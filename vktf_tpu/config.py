@@ -1,0 +1,101 @@
+"""Render/engine configuration.
+
+The reference has no runtime config system; configuration is compile-time
+constants, CMake defines, and device-capability auto-probes (SURVEY.md §5.6;
+reference: src/engine/engine.cppm:40,157-199). The TPU-native analogue is a
+small frozen dataclass whose "static" fields feed jit specialization — the
+direct analogue of the reference's shader specialization constant for light
+count (src/engine/graphics_pipeline.cppm:148-155) — plus auto-probe helpers
+that pick tile sizes from VMEM budget and MSAA from a supported set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Frames in flight; the reference pipelines 2 frames via fences/semaphores
+# (src/engine/engine.cppm:40). Here it bounds how many frame_step results may
+# be un-awaited before we block (XLA async dispatch provides the overlap).
+MAX_RENDER_FRAMES = 2
+
+_SUPPORTED_MSAA = (8, 4, 2, 1)
+
+
+def select_msaa_samples(requested: int) -> int:
+    """Pick the highest supported MSAA count <= requested.
+
+    Mirrors the reference's "max supported of {8,4,2} else 1" probe
+    (src/engine/engine.cppm:157-171); our software rasterizer supports all of
+    them, so this clamps/validates the request.
+    """
+    for samples in _SUPPORTED_MSAA:
+        if requested >= samples:
+            return samples
+    return 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration; a change triggers (cached) recompilation."""
+
+    width: int = 1920
+    height: int = 1080
+    msaa_samples: int = 4
+
+    # Tile dimensions for the binned rasterizer. (height, width) in pixels.
+    tile_shape: Tuple[int, int] = (32, 128)
+    # Max triangles binned per tile; overflow is skipped with a logged error,
+    # following the reference's skip-and-log ethos (SURVEY.md §5.3).
+    bin_capacity: int = 4096
+    # Triangles processed per rasterizer inner step (VPU batching factor).
+    raster_chunk: int = 8
+
+    # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
+    clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    clear_depth: float = 1.0
+
+    # Compute dtypes. Geometry stays f32 (raster precision); shading math f32;
+    # texture storage uint8 in HBM, converted post-gather.
+    geom_dtype: jnp.dtype = jnp.float32
+    shade_dtype: jnp.dtype = jnp.float32
+
+    # Kernel backend: "xla" (pure XLA ops) or "pallas" (hand-written kernels).
+    backend: str = "xla"
+
+    # Number of devices to shard framebuffer tiles across (1 = single chip).
+    num_devices: int = 1
+
+    def __post_init__(self) -> None:
+        if self.msaa_samples not in _SUPPORTED_MSAA:
+            raise ValueError(f"msaa_samples must be one of {_SUPPORTED_MSAA}, got {self.msaa_samples}")
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("render target must be non-empty")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    # -- derived quantities --------------------------------------------------
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_shape[0])
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_shape[1])
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_y * self.tiles_x
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_shape[0]
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_shape[1]
+
+    def replace(self, **kwargs) -> "RenderConfig":
+        return dataclasses.replace(self, **kwargs)
