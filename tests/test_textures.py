@@ -1,0 +1,123 @@
+"""KTX2 container + image decode + mip generation tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from vktf_tpu.loaders.gltf import Texture
+from vktf_tpu.loaders.images import (
+    decode_texture,
+    default_texture_data,
+    generate_mips,
+    linear_to_srgb,
+    srgb_to_linear,
+)
+from vktf_tpu.loaders.ktx import (
+    SUPERCOMPRESSION_ZLIB,
+    SUPERCOMPRESSION_ZSTD,
+    KtxError,
+    load_ktx,
+    parse_ktx2,
+    write_ktx2,
+)
+from vktf_tpu.log import Log
+
+
+def checker(size=8, a=(255, 0, 0, 255), b=(0, 0, 255, 255)):
+    img = np.zeros((size, size, 4), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = ((xx // 2) + (yy // 2)) % 2 == 0
+    img[mask] = a
+    img[~mask] = b
+    return img
+
+
+class TestKtxRoundTrip:
+    @pytest.mark.parametrize(
+        "scheme", [0, SUPERCOMPRESSION_ZSTD, SUPERCOMPRESSION_ZLIB]
+    )
+    def test_roundtrip_schemes(self, tmp_path, scheme):
+        levels = generate_mips(checker(8), srgb=False)
+        path = write_ktx2(tmp_path / "t.ktx2", levels, srgb=True, supercompression=scheme)
+        tex = load_ktx(path)
+        assert tex is not None
+        assert tex.srgb
+        assert len(tex.levels) == 4  # 8,4,2,1
+        np.testing.assert_array_equal(tex.levels[0], levels[0])
+        np.testing.assert_array_equal(tex.levels[3], levels[3])
+
+    def test_not_ktx_raises(self):
+        with pytest.raises(KtxError):
+            parse_ktx2(b"not a ktx file....", name="x")
+
+    def test_basis_skipped_with_log(self, tmp_path):
+        levels = [checker(4)]
+        path = write_ktx2(tmp_path / "b.ktx2", levels, srgb=False)
+        blob = bytearray(path.read_bytes())
+        blob[12:16] = (0).to_bytes(4, "little")  # vkFormat = UNDEFINED (Basis)
+        err = io.StringIO()
+        log = Log(out_stream=io.StringIO(), err_stream=err)
+        assert parse_ktx2(bytes(blob), name="b.ktx2", log=log) is None
+        assert "transcoder" in err.getvalue()
+
+
+class TestMips:
+    def test_mip_chain_shapes(self):
+        levels = generate_mips(np.zeros((16, 8, 4), np.uint8), srgb=False)
+        shapes = [lvl.shape[:2] for lvl in levels]
+        assert shapes == [(16, 8), (8, 4), (4, 2), (2, 1), (1, 1)]
+
+    def test_linear_box_filter_average(self):
+        base = np.zeros((2, 2, 4), np.uint8)
+        base[0, 0] = [100, 0, 0, 255]
+        base[0, 1] = [200, 0, 0, 255]
+        base[1, 0] = [100, 0, 0, 255]
+        base[1, 1] = [200, 0, 0, 255]
+        levels = generate_mips(base, srgb=False)
+        assert levels[1][0, 0, 0] == 150
+
+    def test_srgb_filtering_in_linear_space(self):
+        base = np.zeros((2, 2, 4), np.uint8)
+        base[..., 3] = 255
+        base[0, 0, 0] = 255  # half the pixels full red (sRGB)
+        base[1, 1, 0] = 255
+        levels = generate_mips(base, srgb=True)
+        # average in linear: 0.5 linear -> sRGB ~188, not 128
+        assert abs(int(levels[1][0, 0, 0]) - 188) <= 2
+
+    def test_srgb_transfer_roundtrip(self):
+        x = np.linspace(0, 1, 64)
+        np.testing.assert_allclose(linear_to_srgb(srgb_to_linear(x)), x, atol=1e-6)
+
+
+class TestDecodeTexture:
+    def test_png_decode(self, tmp_path):
+        from PIL import Image
+
+        img = checker(8)
+        path = tmp_path / "c.png"
+        Image.fromarray(img, "RGBA").save(path)
+        tex = decode_texture(Texture(filepath=path), kind="base_color")
+        assert tex is not None and tex.srgb
+        np.testing.assert_array_equal(tex.levels[0], img)
+        assert len(tex.levels) == 4
+
+    def test_embedded_ktx2(self, tmp_path):
+        levels = generate_mips(checker(4), srgb=False)
+        path = write_ktx2(tmp_path / "e.ktx2", levels, srgb=False)
+        tex = decode_texture(Texture(data=path.read_bytes()), kind="normal")
+        assert tex is not None and not tex.srgb
+        assert len(tex.levels) == 3
+
+    def test_missing_file_returns_none_and_logs(self):
+        err = io.StringIO()
+        log = Log(out_stream=io.StringIO(), err_stream=err)
+        tex = decode_texture(Texture(filepath="/nope.png"), kind="base_color", log=log)
+        assert tex is None
+        assert "Failed to read" in err.getvalue()
+
+    def test_defaults(self):
+        assert default_texture_data("base_color").levels[0].shape == (1, 1, 4)
+        n = default_texture_data("normal").levels[0]
+        np.testing.assert_array_equal(n[0, 0], [128, 128, 255, 255])

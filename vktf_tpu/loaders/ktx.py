@@ -1,0 +1,219 @@
+"""KTX2 texture container loading.
+
+TPU-native re-design of the reference KTX path (src/engine/ktx_texture.cppm):
+where the reference transcodes Basis-supercompressed data to a GPU block
+-compressed format chosen from device caps (ktx_texture.cppm:62-94), TPUs
+have no BC/ASTC sampling hardware, so every input decodes on host to RGBA8
+mip-chain numpy arrays that live in HBM as gatherable arrays (SURVEY.md §2
+ktx::Texture row).
+
+Supported: KTX2 with uncompressed vkFormats (R8/RG8/RGB8/RGBA8, UNORM/SRGB)
+under supercompression none/zstd/zlib. BasisLZ/UASTC inputs are skipped with
+a logged error (the reference's missing-KTX skip semantics,
+model.cppm:301-321); a software Basis transcoder is tracked as future work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from vktf_tpu.log import Log, default_log
+
+
+class KtxError(RuntimeError):
+    pass
+
+
+_KTX2_IDENTIFIER = b"\xabKTX 20\xbb\r\n\x1a\n"
+
+# VkFormat values we decode (format -> (channels, srgb))
+_VK_FORMATS = {
+    9: (1, False),  # R8_UNORM
+    15: (1, True),  # R8_SRGB
+    16: (2, False),  # R8G8_UNORM
+    22: (2, True),  # R8G8_SRGB
+    23: (3, False),  # R8G8B8_UNORM
+    29: (3, True),  # R8G8B8_SRGB
+    37: (4, False),  # R8G8B8A8_UNORM
+    43: (4, True),  # R8G8B8A8_SRGB
+}
+
+SUPERCOMPRESSION_NONE = 0
+SUPERCOMPRESSION_BASISLZ = 1
+SUPERCOMPRESSION_ZSTD = 2
+SUPERCOMPRESSION_ZLIB = 3
+
+
+@dataclasses.dataclass
+class KtxTexture:
+    """Decoded texture: RGBA8 mip chain, level 0 first."""
+
+    levels: list[np.ndarray]  # each (H, W, 4) uint8
+    srgb: bool  # whether payload is sRGB-encoded (base color) vs linear
+
+
+def _expand_rgba(data: np.ndarray, channels: int) -> np.ndarray:
+    """Channel-expand to RGBA8 (3/4-component preference mirrors
+    ktx_texture.cppm:65-68; 1/2-component also accepted here)."""
+    h, w = data.shape[:2]
+    out = np.empty((h, w, 4), np.uint8)
+    if channels == 1:
+        out[..., 0] = out[..., 1] = out[..., 2] = data[..., 0]
+        out[..., 3] = 255
+    elif channels == 2:
+        out[..., 0] = out[..., 1] = out[..., 2] = data[..., 0]
+        out[..., 3] = data[..., 1]
+    elif channels == 3:
+        out[..., :3] = data
+        out[..., 3] = 255
+    else:
+        out[:] = data
+    return out
+
+
+def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -> Optional[KtxTexture]:
+    """Parse a KTX2 blob; returns None (with logged error) for unsupported
+    supercompression/formats, raises KtxError for malformed containers."""
+    log = log or default_log()
+    if blob[:12] != _KTX2_IDENTIFIER:
+        raise KtxError(f"{name}: not a KTX2 file")
+    (
+        vk_format,
+        _type_size,
+        width,
+        height,
+        depth,
+        layer_count,
+        face_count,
+        level_count,
+        scheme,
+    ) = struct.unpack_from("<9I", blob, 12)
+    if depth > 1 or layer_count > 1 or face_count > 1:
+        log.error(f"Failed to load KTX texture {name}: arrays/cubemaps/3D unsupported")
+        return None
+    if scheme == SUPERCOMPRESSION_BASISLZ or vk_format == 0:
+        log.error(
+            f"Failed to load KTX texture {name}: Basis-supercompressed data "
+            "requires a transcoder (unsupported)"
+        )
+        return None
+    if vk_format not in _VK_FORMATS:
+        log.error(f"Failed to load KTX texture {name}: unsupported vkFormat {vk_format}")
+        return None
+    channels, srgb = _VK_FORMATS[vk_format]
+    height = max(height, 1)
+    level_count = max(level_count, 1)
+
+    # Level index starts at byte 48 + 2*4 + 2*4 + 2*8 = 80
+    level_index_offset = 80
+    levels = []
+    for level in range(level_count):
+        offset, byte_length, uncompressed_length = struct.unpack_from(
+            "<3Q", blob, level_index_offset + 24 * level
+        )
+        payload = blob[offset : offset + byte_length]
+        if scheme == SUPERCOMPRESSION_ZSTD:
+            import zstandard
+
+            payload = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=uncompressed_length or 1 << 30
+            )
+        elif scheme == SUPERCOMPRESSION_ZLIB:
+            import zlib
+
+            payload = zlib.decompress(payload)
+        elif scheme != SUPERCOMPRESSION_NONE:
+            log.error(f"Failed to load KTX texture {name}: unknown supercompression {scheme}")
+            return None
+        level_w = max(width >> level, 1)
+        level_h = max(height >> level, 1)
+        # KTX2 rows are tightly packed (mipPadding only between levels)
+        expected = level_w * level_h * channels
+        if len(payload) < expected:
+            raise KtxError(
+                f"{name} level {level}: expected {expected} bytes, got {len(payload)}"
+            )
+        data = np.frombuffer(payload, np.uint8, count=expected).reshape(
+            level_h, level_w, channels
+        )
+        levels.append(_expand_rgba(data, channels))
+    return KtxTexture(levels=levels, srgb=srgb)
+
+
+def load_ktx(path: str | Path, log: Optional[Log] = None) -> Optional[KtxTexture]:
+    """Load and decode a .ktx2 file (reference: ktx::Load, ktx_texture.cppm:34-45)."""
+    path = Path(path)
+    try:
+        blob = path.read_bytes()
+    except OSError as e:
+        raise KtxError(f"failed to read KTX file {path}") from e
+    return parse_ktx2(blob, name=str(path), log=log)
+
+
+# ---------------------------------------------------------------------------
+# Writing (fixtures/demo assets) — minimal KTX2 emitter so synthetic scenes
+# exercise the real container path end to end.
+# ---------------------------------------------------------------------------
+
+
+def write_ktx2(
+    path: str | Path,
+    levels: list[np.ndarray],
+    srgb: bool,
+    supercompression: int = SUPERCOMPRESSION_NONE,
+) -> Path:
+    """Write an RGBA8 mip chain as a KTX2 file (optionally zstd-compressed)."""
+    path = Path(path)
+    vk_format = 43 if srgb else 37  # RGBA8 SRGB/UNORM
+    width, height = levels[0].shape[1], levels[0].shape[0]
+    header = _KTX2_IDENTIFIER + struct.pack(
+        "<9I", vk_format, 1, width, height, 0, 0, 1, len(levels), supercompression
+    )
+    # indices: dfd (u32 off,u32 len), kvd (u32,u32), sgd (u64,u64)
+    level_index_offset = 80
+    payload_offset = level_index_offset + 24 * len(levels)
+    # minimal empty DFD (just total-size word)
+    dfd = struct.pack("<I", 4)
+    dfd_offset = payload_offset
+    payload_offset += len(dfd)
+
+    blobs = []
+    for level in levels:
+        raw = np.ascontiguousarray(level, np.uint8).tobytes()
+        if supercompression == SUPERCOMPRESSION_ZSTD:
+            import zstandard
+
+            blobs.append((zstandard.ZstdCompressor().compress(raw), len(raw)))
+        elif supercompression == SUPERCOMPRESSION_ZLIB:
+            import zlib
+
+            blobs.append((zlib.compress(raw), len(raw)))
+        else:
+            blobs.append((raw, len(raw)))
+
+    level_entries = []
+    offset = payload_offset
+    for compressed, uncompressed_length in blobs:
+        offset = (offset + 7) & ~7  # 8-byte align levels
+        level_entries.append((offset, len(compressed), uncompressed_length))
+        offset += len(compressed)
+
+    out = bytearray()
+    out += header
+    out += struct.pack("<2I", dfd_offset, len(dfd))  # dfd
+    out += struct.pack("<2I", 0, 0)  # kvd
+    out += struct.pack("<2Q", 0, 0)  # sgd
+    for entry in level_entries:
+        out += struct.pack("<3Q", *entry)
+    out += dfd
+    for (entry, (compressed, _)) in zip(level_entries, blobs):
+        while len(out) < entry[0]:
+            out.append(0)
+        out += compressed
+    path.write_bytes(bytes(out))
+    return path
