@@ -1,0 +1,137 @@
+"""Vertex-stage ops: node transform propagation, world/clip transforms, and
+homogeneous triangle setup.
+
+Replaces the reference's per-frame CPU scene-graph recursion
+(Model::Update, src/engine/model.cppm:163-194) and the GLSL vertex shader
+(src/game/shaders/vertex.glsl) with dense batched einsums over SoA arrays.
+
+Triangle setup implements 2D-homogeneous rasterization (Olano-Greer): edge
+functions are built directly from clip-space (x', y', w) without near-plane
+geometry clipping — pixels where interpolated w <= 0 or depth is outside
+[0, 1] are rejected per-pixel instead. This keeps the geometry pipeline fully
+dense and branch-free, which is what the TPU VPU wants.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def propagate_transforms(node_local, node_parent, level_slices: Sequence[Tuple[int, int]]):
+    """Compose local transforms into global transforms level by level.
+
+    node_local: (N,4,4) local matrices, nodes sorted topologically by depth so
+    each hierarchy level is a contiguous slice; node_parent: (N,) parent index
+    (into the same sorted order; roots point at themselves with identity
+    composition handled by level 0). level_slices is static: one (start, end)
+    per level, roots first.
+
+    This is the jitted analogue of the reference's recursive
+    global = parent_global @ local traversal (model.cppm:163-194), flattened
+    into ~depth batched (n_l,4,4) matmuls.
+    """
+    node_global = node_local
+    for start, end in level_slices[1:]:  # level 0 = roots: global == local
+        parents = node_parent[start:end]
+        composed = jnp.einsum(
+            "nij,njk->nik", node_global[parents], node_local[start:end]
+        )
+        node_global = jnp.concatenate(
+            [node_global[:start], composed, node_global[end:]], axis=0
+        )
+    return node_global
+
+
+def vertex_world_transform(positions, normals, tangents, vertex_matrix):
+    """Transform vertices to world space with per-vertex model matrices.
+
+    vertex_matrix: (V,4,4) — the node global transform gathered per vertex.
+    Normal/tangent use the rotation block directly, matching the reference
+    vertex shader's mat3(model) (vertex.glsl:26-31, orthogonal assumption).
+    """
+    rot = vertex_matrix[:, :3, :3]
+    world_pos = (
+        jnp.einsum("vij,vj->vi", rot, positions) + vertex_matrix[:, :3, 3]
+    )
+    world_normal = jnp.einsum("vij,vj->vi", rot, normals)
+    world_tangent_xyz = jnp.einsum("vij,vj->vi", rot, tangents[:, :3])
+    world_tangent = jnp.concatenate([world_tangent_xyz, tangents[:, 3:4]], axis=-1)
+    return world_pos, world_normal, world_tangent
+
+
+def clip_transform(world_pos, view_projection):
+    """world -> clip: (V,4) = VP @ (world, 1) (vertex.glsl:34)."""
+    return (
+        jnp.einsum("ij,vj->vi", view_projection[:, :3], world_pos)
+        + view_projection[:, 3][None, :]
+    )
+
+
+def triangle_setup(clip, indices, width: int, height: int):
+    """Per-triangle homogeneous raster setup.
+
+    clip: (V,4) clip coords; indices: (T,3) int32.
+    Returns a dict of per-triangle arrays:
+      edge:   (T,3,3) edge-function coefficients; edge[t,i] = (ax, ay, ac)
+              with e_i(s) = ax*sx + ay*sy + ac evaluated at pixel coords.
+      zw:     (T,2,3) plane coefficients for depth (z_ndc) and 1/w, both to be
+              scaled by inv_det.
+      inv_det:(T,) reciprocal of the homogeneous determinant.
+      valid:  (T,) front-facing & non-degenerate mask (back-face culling —
+              the analogue of cullMode=back/CCW, graphics_pipeline.cppm:212-216).
+      bbox:   (T,4) conservative pixel bbox (x0, y0, x1, y1) inclusive-exclusive,
+              full-screen for triangles touching w<=0.
+    """
+    tri = clip[indices]  # (T,3,4)
+    x, y, z, w = tri[..., 0], tri[..., 1], tri[..., 2], tri[..., 3]
+    # Homogeneous pixel-space coords: x'/w = (x/w+1)/2*W  =>  x' linear in clip.
+    xs = (x + w) * (0.5 * width)
+    ys = (y + w) * (0.5 * height)
+    rows = jnp.stack([xs, ys, w], axis=-1)  # (T,3,3): rows r_i per vertex
+
+    r0, r1, r2 = rows[:, 0], rows[:, 1], rows[:, 2]
+    # Sign convention: with the Vulkan y-flip projection and y-down pixel
+    # coords, CCW-wound front faces produce a negative homogeneous
+    # determinant; negate cofactors+det so front faces have det > 0 and
+    # interior pixels satisfy e_i >= 0.
+    cof0 = jnp.cross(r2, r1)  # e_0 coefficients (opposite vertex 0)
+    cof1 = jnp.cross(r0, r2)
+    cof2 = jnp.cross(r1, r0)
+    det = jnp.einsum("ti,ti->t", r0, cof0)
+
+    edge = jnp.stack([cof0, cof1, cof2], axis=1)  # (T,3,3)
+    # depth plane: z_ndc(s) = (sum_i e_i * z_i) * inv_det; 1/w(s) = (sum_i e_i) * inv_det
+    zplane = jnp.einsum("tic,ti->tc", edge, z)
+    wplane = jnp.sum(edge, axis=1)
+    zw = jnp.stack([zplane, wplane], axis=1)
+
+    # Front faces have det > 0 in this convention (validated by golden tests
+    # against CCW winding + the Vulkan y-flip projection).
+    valid = det > 1e-12
+    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+
+    # Conservative screen bbox (pixel units). Triangles with any w <= 0
+    # project unboundedly: give them the full screen.
+    safe_w = jnp.maximum(w, 1e-12)
+    px = xs / safe_w
+    py = ys / safe_w
+    any_behind = jnp.any(w <= 1e-12, axis=-1)
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(px.min(axis=-1)))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(py.min(axis=-1)))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(px.max(axis=-1)) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(py.max(axis=-1)) + 1.0)
+    bbox = jnp.stack(
+        [
+            jnp.clip(x0, 0, width),
+            jnp.clip(y0, 0, height),
+            jnp.clip(x1, 0, width),
+            jnp.clip(y1, 0, height),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    # Degenerate/back-facing triangles get empty bboxes so binning drops them.
+    bbox = jnp.where(valid[:, None], bbox, jnp.zeros_like(bbox))
+
+    return {"edge": edge, "zw": zw, "inv_det": inv_det, "valid": valid, "bbox": bbox}

@@ -1,0 +1,345 @@
+"""Asset → device-array scene flattening.
+
+The TPU-native replacement for the reference's staging/device model build
+(StagingModel/Model, src/engine/model.cppm:333-833): instead of per-resource
+Vulkan buffers + descriptor sets, the whole multi-asset scene flattens into a
+single pytree of SoA device arrays (SURVEY.md §7 architecture stance):
+
+  * pointer-graph node hierarchies become topo-ordered index arrays whose
+    per-frame composition is ~depth batched matmuls;
+  * per-primitive vertex/index buffers concatenate into global arrays with a
+    per-instance (node, material, AABB) table — one "draw" for everything;
+  * materials become a factor table + texture-id table; textures pack into
+    one HBM texel pool (see vktf_tpu.ops.texture).
+
+Validation mirrors the reference's skip-and-log ethos but supports the
+reference's TODOs (optional material textures, missing attributes get
+defaults instead of rejection — model.cppm:368-423,531-584).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from vktf_tpu.loaders.gltf import Asset, Material, Primitive
+from vktf_tpu.loaders.images import decode_texture, default_texture_data
+from vktf_tpu.log import Log, default_log
+from vktf_tpu.ops.texture import TexturePool, build_texture_pool
+
+_ALPHA_MODES = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderScene:
+    """Device-resident scene state (a pytree of jnp arrays)."""
+
+    # node hierarchy (topo-sorted by depth)
+    node_local: jnp.ndarray  # (N,4,4) f32
+    node_parent: jnp.ndarray  # (N,) i32 (index into sorted order; roots = self)
+    # geometry (concatenated over all instances)
+    positions: jnp.ndarray  # (V,3) f32
+    normals: jnp.ndarray  # (V,3) f32
+    tangents: jnp.ndarray  # (V,4) f32
+    uvs: jnp.ndarray  # (V,2) f32
+    indices: jnp.ndarray  # (T,3) i32 global vertex indices
+    tri_instance: jnp.ndarray  # (T,) i32
+    tri_material: jnp.ndarray  # (T,) i32
+    vertex_instance: jnp.ndarray  # (V,) i32
+    inst_node: jnp.ndarray  # (I,) i32
+    inst_aabb: jnp.ndarray  # (I,2,3) f32 object-space AABB
+    # materials
+    mat_base_color: jnp.ndarray  # (M,4) f32
+    mat_metallic_roughness: jnp.ndarray  # (M,2) f32
+    mat_normal_scale: jnp.ndarray  # (M,) f32
+    mat_alpha: jnp.ndarray  # (M,2) f32: (mode, cutoff)
+    mat_textures: jnp.ndarray  # (M,3) i32: base/mr/normal texture ids
+    texture_pool: TexturePool
+    # lights
+    light_node: jnp.ndarray  # (L,) i32
+    light_type: jnp.ndarray  # (L,) i32: 0 directional, 1 point
+    light_color: jnp.ndarray  # (L,3) f32
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (trace-time) scene facts; a change triggers recompilation —
+    the analogue of the reference's per-scene pipeline creation
+    (scene.cppm:269-277) and light-count specialization constant."""
+
+    level_slices: Tuple[Tuple[int, int], ...]
+    num_lights: int
+    num_instances: int
+    num_triangles: int
+    num_vertices: int
+
+
+def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals for primitives missing NORMAL."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    face_n = np.cross(v1 - v0, v2 - v0)
+    out = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(out, indices[:, k], face_n)
+    lengths = np.linalg.norm(out, axis=-1, keepdims=True)
+    lengths[lengths == 0] = 1.0
+    return (out / lengths).astype(np.float32)
+
+
+def _material_key(material: Optional[Material]):
+    return id(material) if material is not None else None
+
+
+def flatten_assets(
+    assets: Sequence[Asset], log: Optional[Log] = None
+) -> Tuple[RenderScene, SceneMeta, dict]:
+    """Combine glTF assets into one RenderScene (reference: Scene combining
+    multiple assets, scene.cppm:265-312).
+
+    Returns (scene, meta, aux) where aux carries host-side byproducts —
+    currently the decoded texture entries ("texture_entries": list of
+    (TextureData, sampler_dict)) used by the numpy reference renderer.
+    """
+    log = log or default_log()
+
+    # ---- node forest -> level-sorted flat arrays ---------------------------
+    flat_locals: list[np.ndarray] = []
+    flat_parents: list[int] = []
+    flat_levels: list[int] = []
+    node_entries: list[tuple[Asset, int, int]] = []  # (asset, node_idx, flat_idx)
+    node_flat_index: dict[tuple[int, int], int] = {}
+
+    order: list[tuple[Asset, int, int, int]] = []  # (asset, node, parent_flat_or_-1, level)
+    for asset in assets:
+        if asset.default_scene is None:
+            # throws-if-no-default-scene in reference (model.cppm:735-744);
+            # here: skip asset with log error if it has no scene at all
+            if not asset.scenes:
+                log.error(f"Asset {asset.name} has no scenes; skipping")
+                continue
+            scene_def = asset.scenes[0]
+        else:
+            scene_def = asset.scenes[asset.default_scene]
+        if not scene_def.root_nodes:
+            log.error(f"Asset {asset.name} default scene has no root nodes; skipping")
+            continue
+        stack = [(root, -1, 0) for root in scene_def.root_nodes]
+        while stack:
+            node_idx, parent_flat, level = stack.pop(0)
+            order.append((asset, node_idx, parent_flat, level))
+            my_order_pos = len(order) - 1
+            for child in asset.nodes[node_idx].children:
+                stack.append((child, my_order_pos, level + 1))
+
+    # sort BFS order by level (stable) -> contiguous level slices
+    perm = sorted(range(len(order)), key=lambda i: order[i][3])
+    order_to_flat = {old: new for new, old in enumerate(perm)}
+    level_bounds: list[Tuple[int, int]] = []
+    max_level = max((order[i][3] for i in perm), default=-1)
+    sorted_entries = [order[i] for i in perm]
+    for asset, node_idx, parent_order, level in sorted_entries:
+        flat_locals.append(np.asarray(asset.nodes[node_idx].local_transform, np.float32))
+        flat_parents.append(order_to_flat[parent_order] if parent_order >= 0 else len(flat_parents))
+        flat_levels.append(level)
+        node_flat_index[(id(asset), node_idx)] = len(flat_locals) - 1
+    start = 0
+    for level in range(max_level + 1):
+        count = sum(1 for entry_level in flat_levels if entry_level == level)
+        level_bounds.append((start, start + count))
+        start += count
+
+    # ---- instances + geometry ---------------------------------------------
+    positions_list, normals_list, tangents_list, uvs_list = [], [], [], []
+    indices_list, tri_inst_list, vert_inst_list = [], [], []
+    inst_nodes: list[int] = []
+    inst_aabbs: list[np.ndarray] = []
+    inst_materials: list[int] = []
+
+    materials: list[Material | None] = []
+    material_index: dict[Optional[int], int] = {}
+
+    def get_material_index(material: Optional[Material]) -> int:
+        key = _material_key(material)
+        if key not in material_index:
+            material_index[key] = len(materials)
+            materials.append(material)
+        return material_index[key]
+
+    vertex_offset = 0
+    for asset, node_idx, _parent, _level in sorted_entries:
+        node = asset.nodes[node_idx]
+        if node.mesh is None:
+            continue
+        flat_node = node_flat_index[(id(asset), node_idx)]
+        for prim_idx, prim in enumerate(asset.meshes[node.mesh].primitives):
+            count = prim.positions.shape[0]
+            if count == 0 or prim.indices.size == 0:
+                continue
+            normals = prim.normals
+            if normals is None:
+                log.warn(
+                    f"Mesh primitive {asset.meshes[node.mesh].name}[{prim_idx}] "
+                    "has no normals; computing smooth normals"
+                )
+                normals = _compute_smooth_normals(prim.positions, prim.indices)
+            tangents = prim.tangents
+            if tangents is None:
+                tangents = np.tile(
+                    np.asarray([1.0, 0.0, 0.0, 1.0], np.float32), (count, 1)
+                )
+            uvs = prim.uvs
+            if uvs is None:
+                uvs = np.zeros((count, 2), np.float32)
+
+            instance = len(inst_nodes)
+            inst_nodes.append(flat_node)
+            aabb = prim.aabb
+            if aabb is None:
+                aabb = np.stack([prim.positions.min(axis=0), prim.positions.max(axis=0)])
+            inst_aabbs.append(np.asarray(aabb, np.float32))
+            material = get_material_index(prim.material)
+            inst_materials.append(material)
+
+            positions_list.append(prim.positions)
+            normals_list.append(np.asarray(normals, np.float32))
+            tangents_list.append(np.asarray(tangents, np.float32))
+            uvs_list.append(np.asarray(uvs, np.float32))
+            indices_list.append(prim.indices.astype(np.int64) + vertex_offset)
+            tri_inst_list.append(np.full(prim.indices.shape[0], instance, np.int32))
+            vert_inst_list.append(np.full(count, instance, np.int32))
+            vertex_offset += count
+
+    if not inst_nodes:
+        raise ValueError("no renderable geometry in assets")
+
+    positions = np.concatenate(positions_list).astype(np.float32)
+    normals = np.concatenate(normals_list)
+    tangents = np.concatenate(tangents_list)
+    uvs = np.concatenate(uvs_list)
+    indices = np.concatenate(indices_list).astype(np.int32)
+    tri_instance = np.concatenate(tri_inst_list)
+    vertex_instance = np.concatenate(vert_inst_list)
+    inst_material = np.asarray(inst_materials, np.int32)
+    tri_material = inst_material[tri_instance]
+
+    # ---- materials + textures ---------------------------------------------
+    texture_entries: list[tuple] = []  # (TextureData, sampler_dict)
+    texture_index: dict[tuple[Optional[int], str], int] = {}
+
+    def add_texture(gltf_texture, kind: str) -> int:
+        key = (id(gltf_texture) if gltf_texture is not None else None, kind)
+        if key in texture_index:
+            return texture_index[key]
+        data = decode_texture(gltf_texture, kind, log) if gltf_texture is not None else None
+        if data is None:
+            if gltf_texture is not None:
+                # decode failed: reference would reject the material
+                # (model.cppm:391-409); we fall back to defaults + keep going.
+                log.error(f"Using default {kind} texture after decode failure")
+            data = default_texture_data(kind)
+        sampler = {}
+        if gltf_texture is not None and gltf_texture.sampler is not None:
+            s = gltf_texture.sampler
+            sampler = {
+                "mag_filter": s.mag_filter,
+                "min_filter": s.min_filter,
+                "mipmap_mode": s.mipmap_mode,
+                "wrap_u": s.wrap_u,
+                "wrap_v": s.wrap_v,
+            }
+        texture_index[key] = len(texture_entries)
+        texture_entries.append((data, sampler))
+        return texture_index[key]
+
+    M = len(materials)
+    mat_base_color = np.ones((M, 4), np.float32)
+    mat_mr = np.ones((M, 2), np.float32)
+    mat_normal_scale = np.ones(M, np.float32)
+    mat_alpha = np.zeros((M, 2), np.float32)
+    mat_alpha[:, 1] = 0.5
+    mat_textures = np.zeros((M, 3), np.int32)
+
+    for i, material in enumerate(materials):
+        if material is None:
+            # glTF default material: base (1,1,1,1), metallic 1, roughness 1
+            mat_textures[i, 0] = add_texture(None, "base_color")
+            mat_textures[i, 1] = add_texture(None, "metallic_roughness")
+            mat_textures[i, 2] = add_texture(None, "normal")
+            continue
+        pbr = material.pbr_metallic_roughness
+        if pbr is None:
+            # reference rejects non-PBR materials (model.cppm:375-380); we
+            # substitute the default PBR params and log.
+            log.error(
+                f"Material {material.name} has no PBR metallic-roughness; using defaults"
+            )
+            pbr_base, pbr_metallic, pbr_rough = np.ones(4, np.float32), 1.0, 1.0
+            base_tex = mr_tex = None
+        else:
+            pbr_base = pbr.base_color_factor
+            pbr_metallic = pbr.metallic_factor
+            pbr_rough = pbr.roughness_factor
+            base_tex = pbr.base_color_texture
+            mr_tex = pbr.metallic_roughness_texture
+        mat_base_color[i] = pbr_base
+        mat_mr[i] = (pbr_metallic, pbr_rough)
+        mat_normal_scale[i] = material.normal_scale
+        mat_alpha[i] = (_ALPHA_MODES.get(material.alpha_mode, 0), material.alpha_cutoff)
+        mat_textures[i, 0] = add_texture(base_tex, "base_color")
+        mat_textures[i, 1] = add_texture(mr_tex, "metallic_roughness")
+        mat_textures[i, 2] = add_texture(material.normal_texture, "normal")
+
+    texture_pool = build_texture_pool(texture_entries)
+
+    # ---- lights ------------------------------------------------------------
+    light_nodes, light_types, light_colors = [], [], []
+    for asset, node_idx, _parent, _level in sorted_entries:
+        node = asset.nodes[node_idx]
+        if node.light is None:
+            continue
+        light = asset.lights[node.light]
+        light_nodes.append(node_flat_index[(id(asset), node_idx)])
+        light_types.append(0 if light.type == "directional" else 1)
+        light_colors.append(light.color)
+
+    scene = RenderScene(
+        node_local=jnp.asarray(np.stack(flat_locals)),
+        node_parent=jnp.asarray(np.asarray(flat_parents, np.int32)),
+        positions=jnp.asarray(positions),
+        normals=jnp.asarray(normals),
+        tangents=jnp.asarray(tangents),
+        uvs=jnp.asarray(uvs),
+        indices=jnp.asarray(indices),
+        tri_instance=jnp.asarray(tri_instance),
+        tri_material=jnp.asarray(tri_material),
+        vertex_instance=jnp.asarray(vertex_instance),
+        inst_node=jnp.asarray(np.asarray(inst_nodes, np.int32)),
+        inst_aabb=jnp.asarray(np.stack(inst_aabbs)),
+        mat_base_color=jnp.asarray(mat_base_color),
+        mat_metallic_roughness=jnp.asarray(mat_mr),
+        mat_normal_scale=jnp.asarray(mat_normal_scale),
+        mat_alpha=jnp.asarray(mat_alpha),
+        mat_textures=jnp.asarray(mat_textures),
+        texture_pool=texture_pool,
+        light_node=jnp.asarray(np.asarray(light_nodes, np.int32).reshape(-1)),
+        light_type=jnp.asarray(np.asarray(light_types, np.int32).reshape(-1)),
+        light_color=jnp.asarray(
+            np.asarray(light_colors, np.float32).reshape(-1, 3)
+        ),
+    )
+    meta = SceneMeta(
+        level_slices=tuple(level_bounds),
+        num_lights=len(light_nodes),
+        num_instances=len(inst_nodes),
+        num_triangles=int(indices.shape[0]),
+        num_vertices=int(positions.shape[0]),
+    )
+    aux = {"texture_entries": texture_entries}
+    return scene, meta, aux
