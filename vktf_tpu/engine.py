@@ -1,0 +1,110 @@
+"""Engine orchestration: load assets, run the frame loop, render.
+
+Reference parity (src/engine/engine.cppm):
+  * ``Engine(window, config)`` — the ctor's Vulkan bootstrap (instance →
+    device → swapchain → render pass → sync primitives,
+    engine.cppm:395-457) maps to JAX backend/device discovery and compiled
+    -function caching; there is no API-object zoo to build.
+  * ``load(paths)`` — filters non-glTF files with a logged error
+    (engine.cppm:462-473), parses each asset, and builds a Scene whose
+    device arrays upload in one batch (the single staging submission,
+    scene.cppm:288-312).
+  * ``run(callback)`` — the main loop: delta-time update, window event poll,
+    user callback (engine.cppm:76-84).
+  * ``render(scene)`` — one frame. The reference throttles to 2 frames in
+    flight with fences/semaphores (engine.cppm:40,501-563); here frames
+    pipeline through XLA async dispatch and we block only when more than
+    MAX_RENDER_FRAMES results are outstanding.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+
+from vktf_tpu.config import MAX_RENDER_FRAMES, RenderConfig
+from vktf_tpu.loaders.gltf import load_gltf
+from vktf_tpu.log import Log, default_log
+from vktf_tpu.scene.scene import Scene
+from vktf_tpu.utils.delta_time import DeltaTime
+from vktf_tpu.utils.timing import FrameTimer
+from vktf_tpu.window import Window
+
+_GLTF_EXTENSIONS = (".gltf", ".glb")
+
+
+class Engine:
+    def __init__(
+        self,
+        window: Window,
+        config: Optional[RenderConfig] = None,
+        log: Optional[Log] = None,
+    ):
+        self.log = log or default_log()
+        self.window = window
+        self.config = config or RenderConfig(width=window.width, height=window.height)
+        # Device discovery — the PhysicalDevice selection analogue
+        # (physical_device.cppm:126-142): prefer an accelerator backend.
+        self.devices = jax.devices()
+        self.log.info(
+            f"Engine using {self.devices[0].platform} device(s): "
+            f"{[str(d) for d in self.devices[: self.config.num_devices]]}"
+        )
+        self._in_flight: deque = deque()
+        self.frame_timer = FrameTimer()
+
+    # -- asset loading (engine.cppm:459-499) ---------------------------------
+    def load(self, paths: Sequence[str | Path]) -> Optional[Scene]:
+        """Load glTF assets into a renderable Scene.
+
+        Non-glTF paths are skipped with a logged error (engine.cppm:465-470);
+        returns None when nothing loadable remains.
+        """
+        assets = []
+        for path in paths:
+            path = Path(path)
+            if path.suffix.lower() not in _GLTF_EXTENSIONS:
+                self.log.error(
+                    f"Failed to load {path} with unsupported file extension {path.suffix}"
+                )
+                continue
+            assets.append(load_gltf(path, self.log))
+        if not assets:
+            return None
+        return Scene(assets, self.config, self.log)
+
+    # -- main loop (engine.cppm:76-84) ---------------------------------------
+    def run(self, callback: Callable[[float], None]) -> None:
+        """Loop until the window closes: delta update -> poll -> callback."""
+        delta_time = DeltaTime()
+        delta_time.update()
+        while not self.window.is_closed():
+            dt = delta_time.update()
+            self.window.update()
+            callback(dt)
+        self.wait_idle()
+
+    # -- per-frame rendering (engine.cppm:501-563) ---------------------------
+    def render(self, scene: Scene) -> None:
+        """Dispatch one frame; present the oldest completed frame.
+
+        Frames pipeline MAX_RENDER_FRAMES deep: the render call returns after
+        async dispatch, and we only block on (and present) a frame once the
+        in-flight queue is full — the fence-wait analogue (engine.cppm:505-509).
+        """
+        frame = scene.render_async()
+        self._in_flight.append(frame)
+        if len(self._in_flight) >= MAX_RENDER_FRAMES:
+            oldest = self._in_flight.popleft()
+            self.window.present(np.asarray(oldest))
+            self.frame_timer.tick()
+
+    def wait_idle(self) -> None:
+        """Drain in-flight frames (the deviceWaitIdle analogue, engine.cppm:83)."""
+        while self._in_flight:
+            self.window.present(np.asarray(self._in_flight.popleft()))
+            self.frame_timer.tick()

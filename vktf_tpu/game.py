@@ -1,0 +1,146 @@
+"""Demo viewer app — the game-layer port (src/game/game.cppm, main.cpp).
+
+Same control semantics as the reference:
+  * ESC closes the window                          (game.cppm:40-50)
+  * WASD translates the camera at 6 units/sec in its local frame, x = D-A,
+    z = S-W                                        (game.cppm:55-61)
+  * left-mouse drag rotates: pitch = -dy*k, yaw = -dx*k with
+    k = 0.00390625 rad/px                          (game.cppm:63-78)
+
+Headless runs drive the same handlers through a ScriptedInput fly-through;
+``main()`` mirrors the reference's exception-printing entry point
+(main.cpp:23-52) including nested-cause unwinding.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vktf_tpu.config import RenderConfig
+from vktf_tpu.engine import Engine
+from vktf_tpu.log import default_log
+from vktf_tpu.window import (
+    KEY_A,
+    KEY_D,
+    KEY_ESCAPE,
+    KEY_S,
+    KEY_W,
+    MOUSE_BUTTON_LEFT,
+    PRESS,
+    ScriptedInput,
+    Window,
+)
+
+TRANSLATE_SPEED = 6.0  # units/sec (game.cppm:56)
+DRAG_SPEED = 0.00390625  # rad/px (game.cppm:72)
+
+
+def create_window(width: int = 1920, height: int = 1080, frame_dir=None) -> Window:
+    window = Window("VkTF-TPU", width, height, frame_dir=frame_dir)
+
+    def on_key(event):
+        if event.key == KEY_ESCAPE and event.action == PRESS:
+            window.close()
+
+    window.add_key_event_listener(on_key)
+    return window
+
+
+def handle_key_events(window: Window, camera, delta_time: float) -> None:
+    step = TRANSLATE_SPEED * delta_time
+    dx = int(window.is_key_pressed(KEY_D)) - int(window.is_key_pressed(KEY_A))
+    dz = int(window.is_key_pressed(KEY_S)) - int(window.is_key_pressed(KEY_W))
+    if dx or dz:
+        camera.translate(np.asarray([step * dx, 0.0, step * dz], np.float32))
+
+
+class MouseLook:
+    """Stateful left-drag rotation (game.cppm:63-78)."""
+
+    def __init__(self) -> None:
+        self._prev: Optional[np.ndarray] = None
+
+    def handle(self, window: Window, camera) -> None:
+        if not window.is_mouse_button_pressed(MOUSE_BUTTON_LEFT):
+            self._prev = None
+            return
+        position = window.get_cursor_position()
+        if self._prev is not None:
+            drag = DRAG_SPEED * (position - self._prev)
+            camera.rotate(-drag[1], -drag[0])
+        self._prev = position
+
+
+def fly_through_script(num_frames: int = 120) -> ScriptedInput:
+    """A bounded WASD+mouse tour standing in for interactive input."""
+
+    def press_w(window):
+        window.press_key(KEY_W)
+
+    def start_drag(window):
+        window.press_mouse(MOUSE_BUTTON_LEFT)
+        window.move_cursor(0.0, 0.0)
+
+    def drag(step):
+        def action(window):
+            window.move_cursor(12.0 * step, 2.0 * step)
+
+        return action
+
+    steps = [press_w] + [None] * (num_frames // 3)
+    steps += [start_drag] + [drag(i) for i in range(num_frames // 3)]
+    steps += [None] * (num_frames - len(steps)) if num_frames > len(steps) else []
+    return ScriptedInput(steps)
+
+
+def start(
+    asset_paths: Sequence[str],
+    width: int = 1920,
+    height: int = 1080,
+    config: Optional[RenderConfig] = None,
+    script: Optional[ScriptedInput] = None,
+    frame_dir=None,
+) -> Window:
+    """game::Start port (game.cppm:94-104)."""
+    window = create_window(width, height, frame_dir=frame_dir)
+    if script is not None:
+        window.attach_script(script)
+    engine = Engine(window, config or RenderConfig(width=width, height=height))
+    scene = engine.load(asset_paths)
+    if scene is None:
+        raise RuntimeError("no loadable glTF assets provided")
+    mouse_look = MouseLook()
+
+    def frame(delta_time: float) -> None:
+        handle_key_events(window, scene.camera, delta_time)
+        mouse_look.handle(window, scene.camera)
+        engine.render(scene)
+
+    engine.run(frame)
+    return window
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Exception-printing entry point (main.cpp:23-52)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        default_log().error("usage: python -m vktf_tpu.game <asset.gltf> [...]")
+        return 2
+    try:
+        start(argv, script=fly_through_script())
+        return 0
+    except Exception as error:  # nested-exception unwinding analogue
+        cause: BaseException | None = error
+        while cause is not None:
+            print(f"Error: {cause}", file=sys.stderr)
+            cause = cause.__cause__
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+"""User-facing Scene: device state + camera + compiled frame function.
+
+Reference parity: vktf::Scene (src/engine/scene.cppm:39-139) combines N glTF
+assets, owns the active camera (initial position (0,1,0), direction +x, 45°
+vertical FoV — scene.cppm:159-169), and exposes per-frame Update/Render. In
+the TPU build Update+Render collapse into one jitted ``frame_step`` whose
+compilation is keyed on the static scene shape (the analogue of the
+per-scene pipeline + light-count specialization constant,
+scene.cppm:269-277, graphics_pipeline.cppm:148-155).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vktf_tpu.config import RenderConfig
+from vktf_tpu.loaders.gltf import Asset
+from vktf_tpu.log import Log, default_log
+from vktf_tpu.mathx import Camera, ViewFrustumParams
+from vktf_tpu.ops.pipeline import make_frame_fn
+from vktf_tpu.scene.flatten import flatten_assets
+
+
+class Scene:
+    def __init__(
+        self,
+        assets: Sequence[Asset],
+        config: RenderConfig,
+        log: Optional[Log] = None,
+        camera: Optional[Camera] = None,
+    ):
+        log = log or default_log()
+        self.config = config
+        self.render_scene, self.meta, self.aux = flatten_assets(assets, log)
+        # camera defaults from the reference (scene.cppm:159-169)
+        self.camera = camera or Camera(
+            position=(0.0, 1.0, 0.0),
+            direction=(1.0, 0.0, 0.0),
+            view_frustum=ViewFrustumParams(
+                field_of_view_y=np.radians(45.0),
+                aspect_ratio=config.width / config.height,
+                z_near=0.1,
+                z_far=1.0e6,
+            ),
+        )
+        self._frame_fn = make_frame_fn(self.meta, config)
+        log.info(
+            f"Scene ready: {self.meta.num_triangles} tris, "
+            f"{self.meta.num_vertices} verts, {self.meta.num_instances} instances, "
+            f"{self.meta.num_lights} lights"
+        )
+
+    @property
+    def light_count(self) -> int:
+        return self.meta.num_lights
+
+    def render_async(self):
+        """Dispatch one frame; returns the device array WITHOUT blocking —
+        XLA async dispatch provides the frames-in-flight overlap."""
+        return self._frame_fn(
+            self.render_scene,
+            self.camera.view_projection_transform,
+            self.camera.position,
+        )
