@@ -161,14 +161,12 @@ def load_ktx(path: str | Path, log: Optional[Log] = None) -> Optional[KtxTexture
 # ---------------------------------------------------------------------------
 
 
-def write_ktx2(
-    path: str | Path,
+def encode_ktx2(
     levels: list[np.ndarray],
     srgb: bool,
     supercompression: int = SUPERCOMPRESSION_NONE,
-) -> Path:
-    """Write an RGBA8 mip chain as a KTX2 file (optionally zstd-compressed)."""
-    path = Path(path)
+) -> bytes:
+    """Encode an RGBA8 mip chain as KTX2 container bytes."""
     vk_format = 43 if srgb else 37  # RGBA8 SRGB/UNORM
     width, height = levels[0].shape[1], levels[0].shape[0]
     header = _KTX2_IDENTIFIER + struct.pack(
@@ -215,5 +213,16 @@ def write_ktx2(
         while len(out) < entry[0]:
             out.append(0)
         out += compressed
-    path.write_bytes(bytes(out))
+    return bytes(out)
+
+
+def write_ktx2(
+    path: str | Path,
+    levels: list[np.ndarray],
+    srgb: bool,
+    supercompression: int = SUPERCOMPRESSION_NONE,
+) -> Path:
+    """Write an RGBA8 mip chain as a KTX2 file (optionally compressed)."""
+    path = Path(path)
+    path.write_bytes(encode_ktx2(levels, srgb, supercompression))
     return path

@@ -84,6 +84,50 @@ def plane_mesh(size: float = 1.0, segments: int = 1, normal_axis: str = "y"):
     return _mesh(positions, normals, tangents, uvs, indices)
 
 
+def cylinder_mesh(radius: float = 0.5, height: float = 1.0, sectors: int = 32, stacks: int = 1):
+    """Capped cylinder along +y, centred at the origin. CCW outward faces."""
+    positions, normals, tangents, uvs, indices = [], [], [], [], []
+    # side shell
+    for si in range(sectors + 1):
+        phi = 2.0 * np.pi * si / sectors
+        n = np.asarray([np.cos(phi), 0.0, -np.sin(phi)], np.float32)
+        t = np.asarray([-np.sin(phi), 0.0, -np.cos(phi)], np.float32)
+        for st in range(stacks + 1):
+            y = height * (st / stacks - 0.5)
+            positions.append([n[0] * radius, y, n[2] * radius])
+            normals.append(n)
+            tangents.append([t[0], t[1], t[2], 1.0])
+            uvs.append([si / sectors, 1.0 - st / stacks])
+    stride = stacks + 1
+    for si in range(sectors):
+        for st in range(stacks):
+            a = si * stride + st
+            b = a + stride
+            indices += [a, b, b + 1, a, b + 1, a + 1]
+    # caps
+    for sign in (1.0, -1.0):
+        n = np.asarray([0.0, sign, 0.0], np.float32)
+        center = len(positions)
+        positions.append([0.0, sign * height / 2, 0.0])
+        normals.append(n)
+        tangents.append([1.0, 0.0, 0.0, 1.0])
+        uvs.append([0.5, 0.5])
+        ring = len(positions)
+        for si in range(sectors + 1):
+            phi = 2.0 * np.pi * si / sectors
+            x, z = np.cos(phi), -np.sin(phi)
+            positions.append([x * radius, sign * height / 2, z * radius])
+            normals.append(n)
+            tangents.append([1.0, 0.0, 0.0, 1.0])
+            uvs.append([0.5 + 0.5 * x, 0.5 + 0.5 * z * sign])
+        for si in range(sectors):
+            if sign > 0:
+                indices += [center, ring + si, ring + si + 1]
+            else:
+                indices += [center, ring + si + 1, ring + si]
+    return _mesh(positions, normals, tangents, uvs, indices)
+
+
 def uv_sphere_mesh(radius: float = 0.5, rings: int = 16, sectors: int = 32):
     """UV sphere with per-vertex smooth normals and spherical tangents."""
     ring_angles = np.linspace(0.0, np.pi, rings + 1)
