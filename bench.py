@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness: steady-state render FPS on the BASELINE configs.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+The headline metric matches BASELINE.json's north star: FPS at 1080p on a
+Sponza-scale scene with full PBR + 4x MSAA (the reference publishes no
+numbers of its own, so vs_baseline is measured against the 60-FPS target).
+
+Usage:
+    python bench.py                    # headline: sponza @1080p, 4x MSAA
+    python bench.py --preset helmet --width 1280 --height 720 --msaa 1
+    python bench.py --all              # print one line per BASELINE config
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_TARGET_FPS = 60.0  # BASELINE.json north_star
+
+# (preset, width, height, msaa) per BASELINE.json configs
+CONFIGS = {
+    "box": ("box", 1920, 1080, 1),
+    "duck": ("duck", 1920, 1080, 1),
+    "helmet": ("helmet", 1920, 1080, 4),
+    "sponza": ("sponza", 1920, 1080, 4),
+    "flythrough": ("flythrough", 3840, 2160, 4),
+}
+
+# camera placements per preset: (position, direction)
+CAMERAS = {
+    "box": ((0.0, 0.8, 2.4), (0.0, -0.25, -1.0)),
+    "duck": ((0.0, 0.5, 2.0), (0.0, -0.2, -1.0)),
+    "helmet": ((0.0, 0.4, 2.4), (0.0, -0.1, -1.0)),
+    "sponza": ((-9.0, 1.7, 0.0), (1.0, 0.05, 0.0)),
+    "flythrough": ((-9.0, 1.7, 0.0), (1.0, 0.05, 0.0)),
+}
+
+
+def run_bench(preset: str, width: int, height: int, msaa: int,
+              frames: int, warmup: int, animate: bool = True):
+    import jax
+
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.mathx import Camera, ViewFrustumParams
+    from vktf_tpu.models.scenes import build_preset
+    from vktf_tpu.scene.scene import Scene
+
+    config = RenderConfig(width=width, height=height, msaa_samples=msaa)
+    position, direction = CAMERAS[preset]
+    camera = Camera(
+        position,
+        direction,
+        ViewFrustumParams(np.radians(45.0), width / height, 0.1, 1.0e6),
+    )
+    t0 = time.time()
+    scene = Scene(build_preset(preset), config, camera=camera)
+    build_s = time.time() - t0
+
+    t0 = time.time()
+    out = jax.block_until_ready(scene.render_async())
+    compile_s = time.time() - t0
+
+    # steady state: rotate the camera slightly each frame (uniform-update
+    # realism — the per-frame host work of the reference's Scene::Update)
+    for _ in range(warmup):
+        if animate:
+            scene.camera.rotate(0.0, 0.002)
+        out = scene.render_async()
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for _ in range(frames):
+        if animate:
+            scene.camera.rotate(0.0, 0.002)
+        out = scene.render_async()
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / frames
+
+    tris = scene.meta.num_triangles
+    return {
+        "fps": 1.0 / dt,
+        "frame_ms": dt * 1e3,
+        "mtris_per_s": tris / dt / 1e6,
+        "triangles": tris,
+        "build_s": build_s,
+        "compile_s": compile_s,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="sponza", choices=sorted(CONFIGS))
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--msaa", type=int, default=None)
+    parser.add_argument("--frames", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--all", action="store_true")
+    args = parser.parse_args()
+
+    presets = sorted(CONFIGS) if args.all else [args.preset]
+    code = 0
+    for preset in presets:
+        _, width, height, msaa = CONFIGS[preset]
+        width = args.width or width
+        height = args.height or height
+        msaa = args.msaa or msaa
+        try:
+            stats = run_bench(preset, width, height, msaa, args.frames, args.warmup)
+        except Exception as exc:  # pragma: no cover - bench robustness
+            print(json.dumps({
+                "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }))
+            code = 1
+            continue
+        print(json.dumps({
+            "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS"
+                      f" ({stats['triangles']} tris, {stats['platform']})",
+            "value": round(stats["fps"], 2),
+            "unit": "fps",
+            "vs_baseline": round(stats["fps"] / BASELINE_TARGET_FPS, 3),
+            "frame_ms": round(stats["frame_ms"], 2),
+            "mtris_per_s": round(stats["mtris_per_s"], 1),
+            "compile_s": round(stats["compile_s"], 1),
+        }))
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,8 +77,10 @@ def render_both(path, width=64, height=64, msaa=1, camera=None):
         width=width, height=height, msaa_samples=msaa, tile_shape=(32, 64)
     )
     frame_fn = make_frame_fn(meta, config)
-    produced = np.asarray(
-        frame_fn(scene, camera.view_projection_transform, camera.position)
+    produced = np.moveaxis(  # device output is planar (4, H, W)
+        np.asarray(frame_fn(scene, camera.view_projection_transform, camera.position)),
+        0,
+        -1,
     )
     ref_scene = make_reference(scene, meta, aux)
     expected = render_reference(

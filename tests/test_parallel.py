@@ -1,0 +1,72 @@
+"""Multi-chip sharded rendering vs the single-chip pipeline.
+
+Runs on the virtual 8-device CPU mesh (conftest). The sharded frame must be
+bit-identical geometry-wise to the single-chip tiled path: sort-last
+compositing reproduces the lexicographic (depth, draw-order) rule, and
+sort-first tile sharding is a pure work partition.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from vktf_tpu.config import RenderConfig
+from vktf_tpu.models.gltf_writer import GltfWriter
+from vktf_tpu.models.primitives import box_mesh, uv_sphere_mesh
+from vktf_tpu.ops.pipeline import make_frame_fn
+from vktf_tpu.parallel import make_render_mesh, make_sharded_frame_fn
+
+from helpers import build_scene, default_camera
+
+
+@pytest.fixture(scope="module")
+def small_scene(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("parallel")
+    w = GltfWriter()
+    red = w.add_material(base_color_factor=(0.8, 0.1, 0.1, 1.0), roughness_factor=0.7)
+    blue = w.add_material(base_color_factor=(0.1, 0.2, 0.8, 1.0), metallic_factor=0.8)
+    box = w.add_mesh(box_mesh(), material=red)
+    ball = w.add_mesh(uv_sphere_mesh(0.4, rings=12, sectors=24), material=blue)
+    light = w.add_light(type="directional")
+    point = w.add_light(type="point", color=(4.0, 4.0, 4.0))
+    w.add_scene(
+        [
+            w.add_node(mesh=box, translation=(-0.5, 0.0, 0.0), rotation=(0, 0.2588, 0, 0.9659)),
+            w.add_node(mesh=ball, translation=(0.45, 0.1, 0.3)),
+            w.add_node(light=light, rotation=(0.3827, 0.0, 0.0, 0.9239)),
+            w.add_node(light=point, translation=(1.0, 1.0, 1.5)),
+        ]
+    )
+    return build_scene(w.write(tmp_path / "scene.gltf"))
+
+
+def _render_single(scene, meta, config, camera):
+    fn = make_frame_fn(meta, config)
+    return np.asarray(fn(scene, camera.view_projection_transform, camera.position))
+
+
+def _render_sharded(scene, meta, config, camera, gp):
+    mesh = make_render_mesh(jax.devices(), gp=gp)
+    fn = make_sharded_frame_fn(meta, config, mesh)
+    return np.asarray(fn(scene, camera.view_projection_transform, camera.position))
+
+
+@pytest.mark.parametrize("gp", [1, 2, 8])
+def test_sharded_matches_single_chip(small_scene, gp):
+    scene, meta, aux = small_scene
+    config = RenderConfig(width=96, height=64, msaa_samples=2, tile_shape=(32, 64))
+    camera = default_camera(aspect=96 / 64)
+    single = _render_single(scene, meta, config, camera)
+    sharded = _render_sharded(scene, meta, config, camera, gp)
+    assert single.shape == sharded.shape == (4, 64, 96)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_msaa4_uneven_tiles(small_scene):
+    """Tile count not divisible by sp (3x2=6 tiles over sp=4) + 4x MSAA."""
+    scene, meta, aux = small_scene
+    config = RenderConfig(width=128, height=96, msaa_samples=4, tile_shape=(32, 64))
+    camera = default_camera(aspect=128 / 96)
+    single = _render_single(scene, meta, config, camera)
+    sharded = _render_sharded(scene, meta, config, camera, gp=2)
+    np.testing.assert_array_equal(single, sharded)

@@ -50,8 +50,14 @@ class RenderConfig:
     # Max triangles binned per tile; overflow is skipped with a logged error,
     # following the reference's skip-and-log ethos (SURVEY.md §5.3).
     bin_capacity: int = 4096
+    # Max tiles a triangle may cover before it falls to the shared
+    # large-triangle list, and that list's capacity (ops.binning).
+    k_pairs: int = 8
+    large_capacity: int = 256
     # Triangles processed per rasterizer inner step (VPU batching factor).
-    raster_chunk: int = 8
+    raster_chunk: int = 32
+    # Tiles rasterized together per grid step of the tiled path.
+    tile_batch: int = 8
 
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
@@ -62,8 +68,10 @@ class RenderConfig:
     geom_dtype: jnp.dtype = jnp.float32
     shade_dtype: jnp.dtype = jnp.float32
 
-    # Kernel backend: "xla" (pure XLA ops) or "pallas" (hand-written kernels).
-    backend: str = "xla"
+    # Raster backend: "tiled" (binned, production), "dense" (every triangle
+    # vs every sample — the semantic reference), or "pallas" (hand-written
+    # TPU kernels). "xla" is an alias for "dense".
+    backend: str = "tiled"
 
     # Number of devices to shard framebuffer tiles across (1 = single chip).
     num_devices: int = 1
@@ -73,7 +81,7 @@ class RenderConfig:
             raise ValueError(f"msaa_samples must be one of {_SUPPORTED_MSAA}, got {self.msaa_samples}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("render target must be non-empty")
-        if self.backend not in ("xla", "pallas"):
+        if self.backend not in ("tiled", "dense", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
 
     # -- derived quantities --------------------------------------------------

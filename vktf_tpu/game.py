@@ -125,13 +125,37 @@ def start(
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
-    """Exception-printing entry point (main.cpp:23-52)."""
-    argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv:
-        default_log().error("usage: python -m vktf_tpu.game <asset.gltf> [...]")
-        return 2
+    """Exception-printing entry point (main.cpp:23-52).
+
+    Unlike the reference (whose asset paths are hard-coded — game.cppm:28
+    TODO), the viewer takes paths and render options on the command line.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="vktf_tpu.game", description="glTF viewer: scripted fly-through"
+    )
+    parser.add_argument("assets", nargs="+", help="glTF 2.0 files (.gltf/.glb)")
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--msaa", type=int, default=4)
+    parser.add_argument("--frames", type=int, default=120,
+                        help="fly-through length in frames")
+    parser.add_argument("--frame-dir", default=None,
+                        help="dump presented frames as PNGs into this directory")
+    args = parser.parse_args(list(sys.argv[1:] if argv is None else argv))
     try:
-        start(argv, script=fly_through_script())
+        config = RenderConfig(
+            width=args.width, height=args.height, msaa_samples=args.msaa
+        )
+        start(
+            args.assets,
+            width=args.width,
+            height=args.height,
+            config=config,
+            script=fly_through_script(args.frames),
+            frame_dir=args.frame_dir,
+        )
         return 0
     except Exception as error:  # nested-exception unwinding analogue
         cause: BaseException | None = error

@@ -3,24 +3,27 @@
 This is the whole of the reference's Engine::Render recording + GPU execution
 (engine.cppm:501-563, scene.cppm:314-342) as ONE pure function:
 
-    frame_step(scene, camera) -> sRGB-encoded u8 framebuffer
+    frame_step(scene, camera) -> sRGB-encoded u8 framebuffer (planar 4xHxW)
 
   1. scene-graph transform propagation  (Model::Update, model.cppm:163-194)
   2. world-light gathering               (Scene::Update, scene.cppm:183-205)
   3. vertex world/clip transforms        (vertex.glsl)
   4. per-instance frustum culling        (Model::Render, model.cppm:760-768)
-  5. visibility rasterization + depth    (fixed-function raster state)
-  6. deferred PBR shading per sample     (fragment.glsl)
-  7. MSAA resolve + sRGB encode          (render pass resolve attachment)
+  5. triangle->tile binning              (the GPU's internal primitive binning)
+  6. per-tile raster + PBR shade + MSAA resolve, fused (fragment.glsl +
+     fixed-function raster state + render-pass resolve), component-first
+     layouts throughout (see ops.shade_cf for the TPU layout rationale)
 
 Being pure and jitted, frames pipeline through XLA async dispatch with no
 host round-trips — the analogue of the reference's 2-frames-in-flight
 fence/semaphore machinery (engine.cppm:40,505-562).
+
+The output is PLANAR (4, H, W) uint8 — channel-last (H, W, 4) would pad the
+trailing 4 to 128 lanes on TPU (32x memory). Hosts interleave with
+np.moveaxis (see Window.present).
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import numpy as np
 import jax
@@ -29,8 +32,10 @@ import jax.numpy as jnp
 from vktf_tpu.config import RenderConfig
 from vktf_tpu.mathx.bounding_box import transform_aabbs
 from vktf_tpu.mathx.frustum import aabbs_intersect_frustum, frustum_planes
+from vktf_tpu.ops.binning import bin_triangles
 from vktf_tpu.ops.raster_xla import SAMPLE_OFFSETS, rasterize_dense
-from vktf_tpu.ops.shade import shade_deferred
+from vktf_tpu.ops.raster_tiled import make_tile_raster
+from vktf_tpu.ops.shade_cf import shade_samples_cf
 from vktf_tpu.ops.vertex import (
     clip_transform,
     propagate_transforms,
@@ -60,68 +65,66 @@ def gather_world_lights(node_global, light_node, light_type, light_color):
     return jnp.concatenate([pos_or_dir, w_flag, light_color, pad], axis=-1)
 
 
-def linear_to_srgb_u8(linear_rgb):
+def linear_to_srgb_u8(linear):
     """Resolve-time sRGB encode (the swapchain's B8G8R8A8Srgb conversion,
-    swapchain.cppm:76-85), then quantize to u8."""
-    c = jnp.clip(linear_rgb, 0.0, 1.0)
+    swapchain.cppm:76-85), then quantize to u8. Any shape."""
+    c = jnp.clip(linear, 0.0, 1.0)
     srgb = jnp.where(c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
     return (srgb * 255.0 + 0.5).astype(jnp.uint8)
 
 
-def render_frame(
-    scene: RenderScene,
-    camera_view_projection,
-    camera_position,
-    *,
-    meta: SceneMeta,
-    config: RenderConfig,
-) -> jnp.ndarray:
-    """Render one frame; returns (H, W, 4) uint8 (sRGB, alpha=255)."""
-    height, width = config.height, config.width
+def prepare_frame(scene: RenderScene, view_projection, camera_position,
+                  *, meta: SceneMeta, config: RenderConfig):
+    """Stages 1-5: geometry + light prep shared by all raster backends.
+
+    Returns (setup, bins, lights, world) where world = (pos, normal, tangent)
+    per-vertex arrays.
+    """
     ph, pw = config.padded_height, config.padded_width
 
-    # 1. transform propagation
     node_global = propagate_transforms(
         scene.node_local, scene.node_parent, meta.level_slices
     )
-
-    # 2. lights
     lights = gather_world_lights(
         node_global, scene.light_node, scene.light_type, scene.light_color
     )
 
-    # 3. vertex stage
     inst_matrix = node_global[scene.inst_node]  # (I,4,4)
     vert_matrix = inst_matrix[scene.vertex_instance]  # (V,4,4)
     world_pos, world_normal, world_tangent = vertex_world_transform(
         scene.positions, scene.normals, scene.tangents, vert_matrix
     )
-    clip = clip_transform(world_pos, camera_view_projection)
-    setup = triangle_setup(clip, scene.indices, pw, ph)
+    clip = clip_transform(world_pos, view_projection)
+    setup = dict(triangle_setup(clip, scene.indices, pw, ph))
 
-    # 4. frustum culling (per instance = per primitive-draw)
-    planes = frustum_planes(camera_view_projection)
+    # frustum culling (per instance = per primitive-draw)
+    planes = frustum_planes(view_projection)
     world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
     visible = aabbs_intersect_frustum(world_aabbs, planes)
-    setup = dict(setup)
     setup["valid"] = setup["valid"] & visible[scene.tri_instance]
 
-    # 5. rasterize (visibility buffer per MSAA sample)
-    tri_id, _depth = rasterize_dense(
-        setup, ph, pw, msaa_samples=config.msaa_samples, chunk=config.raster_chunk
-    )
+    bins = None
+    if config.backend not in ("dense", "xla"):
+        bins = bin_triangles(
+            setup["bbox"],
+            setup["valid"],
+            tile_shape=config.tile_shape,
+            tiles_y=config.tiles_y,
+            tiles_x=config.tiles_x,
+            capacity=config.bin_capacity,
+            k_pairs=config.k_pairs,
+            large_capacity=config.large_capacity,
+        )
+    return setup, bins, lights, (world_pos, world_normal, world_tangent)
 
-    # 6. deferred shade per sample
-    offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
-    px = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
-    py = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
-    sx = px[None] + offsets[:, 0][:, None, None]
-    sy = py[None] + offsets[:, 1][:, None, None]
-    background = jnp.asarray(config.clear_color, jnp.float32)
-    rgba = shade_deferred(
-        tri_id,
-        sx,
-        sy,
+
+def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
+                camera_position, background):
+    world_pos, world_normal, world_tangent = world
+    return shade_samples_cf(
+        tri_id_flat,
+        sx_flat,
+        sy_flat,
         setup,
         scene.indices,
         world_pos,
@@ -137,13 +140,107 @@ def render_frame(
         camera_position,
         lights,
         background,
-    )  # (S, PH, PW, 4)
+    )
 
-    # 7. resolve (average in linear space) + crop + sRGB encode
-    resolved = jnp.mean(rgba, axis=0)[:height, :width]
-    rgb_u8 = linear_to_srgb_u8(resolved[..., :3])
-    alpha_u8 = jnp.full((height, width, 1), 255, jnp.uint8)
-    return jnp.concatenate([rgb_u8, alpha_u8], axis=-1)
+
+def make_tile_render(scene, setup, bins, lights, camera_position, world,
+                     *, config: RenderConfig):
+    """Build tile_render(tile_idx) -> (4, th, tw) uint8: fused raster + shade
+    + MSAA resolve + sRGB encode for one framebuffer tile."""
+    th, tw = config.tile_shape
+    S = len(SAMPLE_OFFSETS[config.msaa_samples])
+    offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
+    background = jnp.asarray(config.clear_color, jnp.float32)
+
+    tile_raster = make_tile_raster(
+        setup,
+        bins,
+        tile_shape=config.tile_shape,
+        tiles_x=config.tiles_x,
+        bin_capacity=config.bin_capacity,
+        msaa_samples=config.msaa_samples,
+        chunk=config.raster_chunk,
+    )
+
+    n = S * th * tw
+    ly = jax.lax.broadcasted_iota(jnp.float32, (S, th, tw), 1)
+    lx = jax.lax.broadcasted_iota(jnp.float32, (S, th, tw), 2)
+    lsx = (lx + offsets[:, 0][:, None, None]).reshape(n)
+    lsy = (ly + offsets[:, 1][:, None, None]).reshape(n)
+
+    def tile_render(tile_idx):
+        tri_id, _depth = tile_raster(tile_idx)  # (S, th, tw)
+        tri_flat = jax.lax.optimization_barrier(tri_id.reshape(n))
+        oy = ((tile_idx // config.tiles_x) * th).astype(jnp.float32)
+        ox = ((tile_idx % config.tiles_x) * tw).astype(jnp.float32)
+        rgba = _shade_flat(
+            tri_flat, lsx + ox, lsy + oy, scene, setup, world, lights,
+            camera_position, background,
+        )  # (4, n)
+        resolved = jnp.mean(rgba.reshape(4, S, th * tw), axis=1)  # (4, th*tw)
+        out = linear_to_srgb_u8(resolved[:3])
+        alpha = jnp.full((1, th * tw), 255, jnp.uint8)
+        return jnp.concatenate([out, alpha], axis=0).reshape(4, th, tw)
+
+    return tile_render
+
+
+def render_frame(
+    scene: RenderScene,
+    camera_view_projection,
+    camera_position,
+    *,
+    meta: SceneMeta,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Render one frame; returns PLANAR (4, H, W) uint8 (sRGB, alpha=255)."""
+    height, width = config.height, config.width
+    ph, pw = config.padded_height, config.padded_width
+
+    setup, bins, lights, world = prepare_frame(
+        scene, camera_view_projection, camera_position, meta=meta, config=config
+    )
+
+    if config.backend in ("dense", "xla"):
+        # debug/reference path: dense visibility then one flat shade pass
+        tri_id, _depth = rasterize_dense(
+            setup, ph, pw, msaa_samples=config.msaa_samples,
+            chunk=min(config.raster_chunk, 8),
+        )
+        tri_id = jax.lax.optimization_barrier(tri_id)
+        offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
+        S = offsets.shape[0]
+        py = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 1)
+        px = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 2)
+        sx = px + offsets[:, 0][:, None, None]
+        sy = py + offsets[:, 1][:, None, None]
+        n = S * ph * pw
+        background = jnp.asarray(config.clear_color, jnp.float32)
+        rgba = _shade_flat(
+            tri_id.reshape(n), sx.reshape(n), sy.reshape(n), scene, setup,
+            world, lights, camera_position, background,
+        )  # (4, n)
+        resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)
+        rgb_u8 = linear_to_srgb_u8(resolved[:3, :height, :width])
+        alpha_u8 = jnp.full((1, height, width), 255, jnp.uint8)
+        return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
+
+    tile_render = make_tile_render(
+        scene, setup, bins, lights, camera_position, world, config=config
+    )
+    tiles = jax.lax.map(
+        tile_render,
+        jnp.arange(config.num_tiles, dtype=jnp.int32),
+        batch_size=config.tile_batch,
+    )  # (num_tiles, 4, th, tw)
+
+    th, tw = config.tile_shape
+    image = (
+        tiles.reshape(config.tiles_y, config.tiles_x, 4, th, tw)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(4, ph, pw)
+    )
+    return image[:, :height, :width]
 
 
 def make_frame_fn(meta: SceneMeta, config: RenderConfig):

@@ -128,7 +128,14 @@ class Window:
 
     # -- presentation ----------------------------------------------------------
     def present(self, frame: np.ndarray) -> None:
-        """Consume a rendered (H, W, 4) uint8 frame (the swapchain present)."""
+        """Consume a rendered uint8 frame (the swapchain present).
+
+        Accepts planar (4, H, W) — the device output layout, chosen because
+        channel-last trailing dims pad ~32x on TPU (ops.pipeline docstring) —
+        or interleaved (H, W, 4); stores/saves interleaved.
+        """
+        if frame.ndim == 3 and frame.shape[0] == 4 and frame.shape[-1] != 4:
+            frame = np.ascontiguousarray(np.moveaxis(frame, 0, -1))
         self.last_frame = frame
         if self._frame_dir is not None:
             from PIL import Image
