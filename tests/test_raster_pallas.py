@@ -1,0 +1,72 @@
+"""Pallas streaming rasterizer vs the XLA tiled rasterizer (interpret mode).
+
+The Pallas kernel must reproduce the tiled path bit-for-bit on triangle ids
+(both implement lexicographic (depth, draw-order)); depth may differ by f32
+rounding because the kernel pre-multiplies the depth plane by inv_det.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from vktf_tpu.config import RenderConfig
+from vktf_tpu.mathx import Camera, ViewFrustumParams
+from vktf_tpu.models.gltf_writer import GltfWriter
+from vktf_tpu.models.primitives import box_mesh, plane_mesh, uv_sphere_mesh
+from vktf_tpu.ops.pipeline import prepare_frame
+from vktf_tpu.ops.raster_pallas import rasterize_pallas
+from vktf_tpu.ops.raster_tiled import rasterize_tiled
+
+from helpers import build_scene
+
+
+@pytest.fixture(scope="module")
+def scene_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("pallas")
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.5, 0.5, 0.5, 1.0))
+    nodes = [
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat),
+                   translation=(-0.5, 0.0, 0.0), rotation=(0, 0.2588, 0, 0.9659)),
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.45, rings=10, sectors=20), material=mat),
+                   translation=(0.4, 0.1, 0.4)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(size=6.0), material=mat),
+                   translation=(0.0, -0.5, 0.0)),
+        w.add_node(light=w.add_light(type="directional")),
+    ]
+    w.add_scene(nodes)
+    scene, meta, aux = build_scene(w.write(tmp_path / "s.gltf"))
+    config = RenderConfig(width=256, height=128, msaa_samples=2, tile_shape=(32, 128))
+    camera = Camera((0.0, 0.6, 2.4), (0.0, -0.2, -1.0),
+                    ViewFrustumParams(np.radians(45.0), 2.0, 0.1, 100.0))
+    setup, _bins, _lights, _world = jax.jit(
+        lambda s, v, c: prepare_frame(s, v, c, meta=meta, config=config)
+    )(scene, camera.view_projection_transform, camera.position)
+    return setup, config
+
+
+def test_pallas_matches_tiled(scene_setup):
+    setup, config = scene_setup
+    ph, pw = config.padded_height, config.padded_width
+    ids_t, d_t = jax.jit(
+        lambda s: rasterize_tiled(
+            s, ph, pw, tile_shape=config.tile_shape,
+            bin_capacity=config.bin_capacity, msaa_samples=2, chunk=32,
+        )
+    )(setup)
+    ids_p, d_p = jax.jit(
+        lambda s: rasterize_pallas(
+            s, ph, pw, tile_shape=config.tile_shape, msaa_samples=2,
+            chunk=128, interpret=True,
+        )
+    )(setup)
+    ids_t, ids_p = np.asarray(ids_t), np.asarray(ids_p)
+    assert (ids_t >= 0).sum() > 1000  # real coverage
+    np.testing.assert_array_equal(ids_t, ids_p)
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_p), atol=1e-5)
+
+
+def test_pallas_rejects_unaligned_chunk(scene_setup):
+    setup, config = scene_setup
+    with pytest.raises(ValueError, match="multiple of 128"):
+        rasterize_pallas(setup, 128, 256, tile_shape=(32, 128), chunk=64)
