@@ -46,7 +46,8 @@ CAMERAS = {
 
 
 def run_bench(preset: str, width: int, height: int, msaa: int,
-              frames: int, warmup: int, animate: bool = True):
+              frames: int, warmup: int, animate: bool = True,
+              backend: str | None = None):
     import jax
 
     from vktf_tpu.config import RenderConfig
@@ -54,7 +55,11 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     from vktf_tpu.models.scenes import build_preset
     from vktf_tpu.scene.scene import Scene
 
-    config = RenderConfig(width=width, height=height, msaa_samples=msaa)
+    if backend is None:
+        # pallas kernels on TPU; the XLA tiled path elsewhere
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "tiled"
+    config = RenderConfig(width=width, height=height, msaa_samples=msaa,
+                          backend=backend)
     position, direction = CAMERAS[preset]
     camera = Camera(
         position,
@@ -65,8 +70,11 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     scene = Scene(build_preset(preset), config, camera=camera)
     build_s = time.time() - t0
 
+    # NOTE: frames are materialized to host (np.asarray) like the engine's
+    # present path — block_until_ready alone under-reports on remote/tunneled
+    # devices where buffer readiness is tracked optimistically.
     t0 = time.time()
-    out = jax.block_until_ready(scene.render_async())
+    out = np.asarray(scene.render_async())
     compile_s = time.time() - t0
 
     # steady state: rotate the camera slightly each frame (uniform-update
@@ -74,15 +82,13 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     for _ in range(warmup):
         if animate:
             scene.camera.rotate(0.0, 0.002)
-        out = scene.render_async()
-    jax.block_until_ready(out)
+        out = np.asarray(scene.render_async())
 
     t0 = time.time()
     for _ in range(frames):
         if animate:
             scene.camera.rotate(0.0, 0.002)
-        out = scene.render_async()
-    jax.block_until_ready(out)
+        out = np.asarray(scene.render_async())
     dt = (time.time() - t0) / frames
 
     tris = scene.meta.num_triangles
@@ -105,6 +111,9 @@ def main() -> int:
     parser.add_argument("--msaa", type=int, default=None)
     parser.add_argument("--frames", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--backend", default=None,
+                        choices=["pallas", "tiled", "dense"],
+                        help="raster backend (default: pallas on TPU, tiled elsewhere)")
     parser.add_argument("--all", action="store_true")
     args = parser.parse_args()
 
@@ -116,7 +125,7 @@ def main() -> int:
         height = args.height or height
         msaa = args.msaa or msaa
         try:
-            stats = run_bench(preset, width, height, msaa, args.frames, args.warmup)
+            stats = run_bench(preset, width, height, msaa, args.frames, args.warmup, backend=args.backend)
         except Exception as exc:  # pragma: no cover - bench robustness
             print(json.dumps({
                 "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",

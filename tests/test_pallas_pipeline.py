@@ -1,0 +1,93 @@
+"""Golden-image tests of the full Pallas backend (streaming raster +
+shade-table deferred shading) against the independent numpy reference —
+the same harness as test_golden.py with backend="pallas" (interpret mode
+on CPU)."""
+
+import numpy as np
+
+from vktf_tpu.models.gltf_writer import GltfWriter
+from vktf_tpu.models.primitives import box_mesh, plane_mesh, uv_sphere_mesh
+
+from helpers import (
+    assert_images_close,
+    checker_png_bytes,
+    default_camera,
+    normal_map_png_bytes,
+    render_both,
+)
+
+
+def test_pallas_flat_color_box(tmp_path):
+    w = GltfWriter()
+    mat = w.add_material(
+        base_color_factor=(0.1, 0.7, 0.2, 1.0), metallic_factor=0.0, roughness_factor=0.8
+    )
+    mesh = w.add_mesh(box_mesh(), material=mat)
+    w.add_scene(
+        [
+            w.add_node(mesh=mesh, rotation=(0.0, 0.2588, 0.0, 0.9659)),
+            w.add_node(light=w.add_light(type="directional"), rotation=(0.3827, 0, 0, 0.9239)),
+        ]
+    )
+    produced, expected = render_both(w.write(tmp_path / "box.gltf"), backend="pallas")
+    assert produced[..., 1].max() > 30
+    assert_images_close(produced, expected)
+
+
+def test_pallas_full_pbr_textured(tmp_path):
+    """PBR + textures exercises the quad-packed material pool + shade table."""
+    w = GltfWriter()
+    base_img = w.add_image_bytes(
+        checker_png_bytes(16, a=(200, 160, 60, 255), b=(60, 60, 70, 255)), "image/png"
+    )
+    normal_img = w.add_image_bytes(normal_map_png_bytes(16), "image/png")
+    sampler = w.add_sampler()
+    mat = w.add_material(
+        base_color_texture=w.add_texture(base_img, sampler=sampler),
+        normal_texture=w.add_texture(normal_img, sampler=sampler),
+        normal_scale=0.8,
+        metallic_factor=0.7,
+        roughness_factor=0.4,
+    )
+    mesh = w.add_mesh(uv_sphere_mesh(radius=0.7, rings=8, sectors=12), material=mat)
+    w.add_scene(
+        [
+            w.add_node(mesh=mesh),
+            w.add_node(light=w.add_light(type="directional", color=(2.0, 2.0, 1.8)),
+                       rotation=(0.3827, 0.0, 0.0, 0.9239)),
+            w.add_node(light=w.add_light(type="point", color=(4.0, 1.0, 1.0)),
+                       translation=(1.2, 0.8, 1.2)),
+        ]
+    )
+    produced, expected = render_both(
+        w.write(tmp_path / "sphere.gltf"),
+        camera=default_camera(position=(0.0, 0.2, 2.0), direction=(0.0, -0.1, -1.0)),
+        backend="pallas",
+    )
+    assert produced[..., :3].max() > 40
+    assert_images_close(produced, expected, max_mean=2.5, max_outlier_frac=0.02)
+
+
+def test_pallas_hierarchy_msaa(tmp_path):
+    """Instanced hierarchy + 4x MSAA through the Pallas backend."""
+    w = GltfWriter()
+    red = w.add_material(base_color_factor=(0.8, 0.2, 0.2, 1.0), roughness_factor=0.6)
+    blue = w.add_material(base_color_factor=(0.2, 0.2, 0.8, 1.0),
+                          metallic_factor=0.3, roughness_factor=0.3)
+    floor_mat = w.add_material(base_color_factor=(0.4, 0.4, 0.4, 1.0), roughness_factor=0.9)
+    box_red = w.add_mesh(box_mesh(), material=red)
+    box_blue = w.add_mesh(box_mesh(0.3), material=blue)
+    floor = w.add_mesh(plane_mesh(size=4.0), material=floor_mat)
+    child = w.add_node(mesh=box_blue, translation=(0.0, 0.8, 0.0))
+    w.add_scene(
+        [
+            w.add_node(mesh=box_red, translation=(-0.4, 0.0, 0.0), children=[child]),
+            w.add_node(mesh=box_blue, translation=(0.8, -0.2, 0.3)),
+            w.add_node(mesh=floor, translation=(0.0, -0.5, 0.0)),
+            w.add_node(light=w.add_light(type="directional", color=(2.5, 2.5, 2.3)),
+                       rotation=(0.46, 0.18, 0.0, 0.87)),
+        ]
+    )
+    produced, expected = render_both(w.write(tmp_path / "mini.gltf"), msaa=4, backend="pallas")
+    assert produced[..., 0].max() > 40
+    assert_images_close(produced, expected, max_mean=2.5, max_outlier_frac=0.02)

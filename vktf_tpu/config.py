@@ -12,7 +12,7 @@ that pick tile sizes from VMEM budget and MSAA from a supported set.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -58,6 +58,12 @@ class RenderConfig:
     raster_chunk: int = 32
     # Tiles rasterized together per grid step of the tiled path.
     tile_batch: int = 8
+    # Triangles per streamed chunk in the Pallas kernel (multiple of 128).
+    pallas_chunk: int = 256
+    # Force Pallas interpreter mode (None = auto: interpret off-TPU).
+    pallas_interpret: Optional[bool] = None
+    # Samples shaded per chunk (bounds the lane-padded gather intermediates).
+    shade_chunk: int = 1 << 20
 
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)

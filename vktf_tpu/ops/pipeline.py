@@ -104,7 +104,7 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
     setup["valid"] = setup["valid"] & visible[scene.tri_instance]
 
     bins = None
-    if config.backend not in ("dense", "xla"):
+    if config.backend == "tiled":
         bins = bin_triangles(
             setup["bbox"],
             setup["valid"],
@@ -200,6 +200,64 @@ def render_frame(
     setup, bins, lights, world = prepare_frame(
         scene, camera_view_projection, camera_position, meta=meta, config=config
     )
+
+    if config.backend == "pallas":
+        # Pallas streaming raster + shade-table deferred shading: the
+        # production TPU path (ops.raster_pallas / ops.shade_table).
+        from vktf_tpu.ops.raster_pallas import rasterize_pallas
+        from vktf_tpu.ops.shade_table import build_shade_table, shade_table_samples
+
+        interpret = config.pallas_interpret
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        # Stage barriers: XLA's cross-stage fusion of the geometry pipeline
+        # into the raster/shade consumers blows up compile time (measured
+        # minutes -> hours at 1080p); barriers keep stages separate.
+        setup = jax.lax.optimization_barrier(setup)
+        tri_id, _depth = rasterize_pallas(
+            setup, ph, pw, tile_shape=config.tile_shape,
+            msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
+            interpret=interpret,
+        )
+        tri_id = jax.lax.optimization_barrier(tri_id)
+        table = jax.lax.optimization_barrier(build_shade_table(setup, scene, world))
+        offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
+        S = offsets.shape[0]
+        py = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 1)
+        px = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 2)
+        sx = px + offsets[:, 0][:, None, None]
+        sy = py + offsets[:, 1][:, None, None]
+        n = S * ph * pw
+        background = jnp.asarray(config.clear_color, jnp.float32)
+        # Shade in sample chunks: every per-sample row gather materializes a
+        # lane-padded (n_chunk, 128) buffer, so a full 8.3M-sample frame
+        # would hold ~6 x 4GB intermediates at once (measured OOM). Chunking
+        # bounds peak HBM while keeping each chunk fully vectorized.
+        shade_chunk = min(config.shade_chunk, n)
+        n_pad = -(-n // shade_chunk) * shade_chunk
+        pad = n_pad - n
+
+        def flat_pad(x):
+            x = x.reshape(n)
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            return x.reshape(n_pad // shade_chunk, shade_chunk)
+
+        def shade_one(args):
+            tri_c, sx_c, sy_c = args
+            return shade_table_samples(
+                tri_c, sx_c, sy_c, table, scene.quad_pool,
+                camera_position, lights, background,
+            )  # (4, shade_chunk)
+
+        rgba = jax.lax.map(
+            shade_one, (flat_pad(tri_id), flat_pad(sx), flat_pad(sy))
+        )  # (chunks, 4, shade_chunk)
+        rgba = rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
+        resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)
+        rgb_u8 = linear_to_srgb_u8(resolved[:3, :height, :width])
+        alpha_u8 = jnp.full((1, height, width), 255, jnp.uint8)
+        return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
 
     if config.backend in ("dense", "xla"):
         # debug/reference path: dense visibility then one flat shade pass

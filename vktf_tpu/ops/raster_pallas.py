@@ -293,8 +293,8 @@ def rasterize_pallas(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri_data stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri_bbox stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_bbox stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0)),

@@ -1,0 +1,250 @@
+"""Shade-table deferred shading: one wide row-gather per sample.
+
+Follow-up to ops.shade_cf driven by measured TPU gather costs (~9ns per
+index, nearly free extra row width): instead of ~20 independent per-sample
+gathers (triangle indices, three vertex attributes each, material factors,
+texture ids), ALL per-triangle shading inputs are packed once per frame into
+a single flat (T * ROW,) f32 table — attribute PLANE equations (perspective
+-correct: A(s) = P_A.s / W(s), P_A = sum_i cof_i * A_i) plus material
+constants and packed-texture metadata — and each covered sample fetches its
+entire shading context with ONE sliced gather. Texturing then costs two more
+row gathers into the quad-packed material pool (ops.texture_pack): one per
+mip level, covering the 2x2 bilinear footprint of base+MR+normal at once.
+
+Math parity: identical BRDF/TBN/light formulas as ops.shade_cf (which cites
+the reference fragment shader line by line); sRGB decode is the exact EOTF
+evaluated arithmetically instead of via LUT gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vktf_tpu.ops.shade_cf import _rnorm, shade_lights_cf
+from vktf_tpu.ops.texture_pack import ROW_U32, WRAP_CLAMP, WRAP_REPEAT
+
+ROW = 64  # f32 lanes per triangle row
+
+# column layout
+_C_WPLANE = 0  # 3
+_C_UV = 3  # u plane 3, v plane 3
+_C_WPOS = 9  # 9
+_C_NRM = 18  # 9
+_C_TAN = 27  # 12
+_C_BASE = 39  # 4
+_C_MR = 43  # 2 (metallic, roughness)
+_C_NSCALE = 45
+_C_MROW = 46  # material base row
+_C_MW0 = 47  # level-0 width (pow2 square)
+_C_MLEVELS = 48
+_C_WRAPU = 49
+_C_WRAPV = 50
+_C_MAGN = 51
+_C_MINN = 52
+_C_MIPN = 53
+
+
+def build_shade_table(setup, scene, world) -> jnp.ndarray:
+    """Per-frame (T, ROW) f32 shade table (jitted; dense einsums over T)."""
+    edge = setup["edge"]  # (T,3,3) cofactor rows
+    indices = scene.indices  # (T,3)
+    world_pos, world_normal, world_tangent = world
+
+    def plane(attr):  # (V,C) -> (T, C, 3)
+        vals = attr[indices]  # (T,3,C)
+        return jnp.einsum("tic,tik->tkc", edge, vals)
+
+    t = edge.shape[0]
+    cols = jnp.zeros((t, ROW), jnp.float32)
+    cols = cols.at[:, _C_WPLANE:_C_WPLANE + 3].set(jnp.sum(edge, axis=1))
+    cols = cols.at[:, _C_UV:_C_UV + 6].set(plane(scene.uvs).reshape(t, 6))
+    cols = cols.at[:, _C_WPOS:_C_WPOS + 9].set(plane(world_pos).reshape(t, 9))
+    cols = cols.at[:, _C_NRM:_C_NRM + 9].set(plane(world_normal).reshape(t, 9))
+    cols = cols.at[:, _C_TAN:_C_TAN + 12].set(plane(world_tangent).reshape(t, 12))
+
+    mat = scene.tri_material  # (T,)
+    cols = cols.at[:, _C_BASE:_C_BASE + 4].set(scene.mat_base_color[mat])
+    cols = cols.at[:, _C_MR:_C_MR + 2].set(scene.mat_metallic_roughness[mat])
+    cols = cols.at[:, _C_NSCALE].set(scene.mat_normal_scale[mat])
+    cols = cols.at[:, _C_MROW:_C_MROW + 8].set(scene.mat_meta[mat])
+    return cols
+
+
+def gather_rows(table2d, row_idx):
+    """(N,) row indices -> (N, W) row gather.
+
+    MUST be plain 2-D advanced indexing: this lowers to XLA's vectorized
+    row-gather (~94ms for 8.3M x 64 f32 on v5e). The equivalent explicit
+    lax.gather with slice_sizes from a flat array lowers to a scalar slice
+    loop measured 150x slower (14.3s) — do not "simplify" back to that.
+    """
+    return table2d[row_idx]
+
+
+def _srgb_to_linear(c):
+    """Exact sRGB EOTF (matches the build-time LUT of ops.texture)."""
+    return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
+
+
+def _wrap_coord(i, size, mode):
+    """Integer wrap; i/size int32 vectors, mode f32 code vector."""
+    size = jnp.maximum(size, 1)
+    repeat = jnp.remainder(i, size)
+    clamp = jnp.clip(i, 0, size - 1)
+    period = 2 * size
+    m = jnp.remainder(i, period)
+    mirror = jnp.where(m >= size, period - 1 - m, m)
+    return jnp.where(
+        mode == float(WRAP_REPEAT),
+        repeat,
+        jnp.where(mode == float(WRAP_CLAMP), clamp, mirror),
+    )
+
+
+def _sample_material_level(quad_pool, base_row, w0_i, level_i, u, v,
+                           wrap_u, wrap_v, nearest):
+    """One bilinear tap of all 3 material textures at an integer mip level.
+
+    Returns ((base rgba), (mr rgba), (normal rgba)) tuples of (N,) floats,
+    base NOT yet sRGB-decoded.
+    """
+    wl = jnp.maximum(w0_i >> level_i, 1)
+    wlf = wl.astype(jnp.float32)
+    x = u * wlf - 0.5
+    y = v * wlf - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    fx = jnp.where(nearest, (fx >= 0.5).astype(jnp.float32), fx)
+    fy = jnp.where(nearest, (fy >= 0.5).astype(jnp.float32), fy)
+    x0 = _wrap_coord(x0f.astype(jnp.int32), wl, wrap_u)
+    y0 = _wrap_coord(y0f.astype(jnp.int32), wl, wrap_v)
+
+    # closed-form level offset for pow2-square chains (texture_pack.py)
+    offset = 4 * (w0_i * w0_i - wl * wl) // 3
+    row = base_row + offset + y0 * wl + x0
+    quad = gather_rows(quad_pool, row)  # (N, 12) u32
+
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+
+    def tex(slot, srgb):
+        taps = [quad[:, 4 * slot + k] for k in range(4)]
+
+        def chan(shift, decode):
+            vals = [((tp >> shift) & 0xFF).astype(jnp.float32) / 255.0 for tp in taps]
+            if decode:  # sRGB decodes per texel BEFORE filtering (Vulkan rules)
+                vals = [_srgb_to_linear(vv) for vv in vals]
+            return vals[0] * w00 + vals[1] * w10 + vals[2] * w01 + vals[3] * w11
+
+        return (chan(0, srgb), chan(8, srgb), chan(16, srgb), chan(24, False))
+
+    return tex(0, True), tex(1, False), tex(2, False)
+
+
+def shade_table_samples(
+    tri_id,
+    sx,
+    sy,
+    table,
+    quad_pool,
+    camera_position,
+    lights,
+    background_rgba,
+):
+    """Shade flat samples from the shade table; returns (4, N) linear RGBA."""
+    covered = tri_id >= 0
+    t = jnp.maximum(tri_id, 0)
+    row = gather_rows(table, t)  # (N, ROW)
+
+    def col(c):
+        return row[:, c]
+
+    w = col(0) * sx + col(1) * sy + col(2)
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
+
+    def attr(c0):
+        return (col(c0) * sx + col(c0 + 1) * sy + col(c0 + 2)) * inv_w
+
+    u = attr(_C_UV)
+    v = attr(_C_UV + 3)
+    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
+    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
+    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
+
+    # analytic uv screen derivatives: dU/dx = (Pu_a - U * W_a) / W
+    du_dx = (col(_C_UV) - u * col(0)) * inv_w
+    du_dy = (col(_C_UV + 1) - u * col(1)) * inv_w
+    dv_dx = (col(_C_UV + 3) - v * col(0)) * inv_w
+    dv_dy = (col(_C_UV + 4) - v * col(1)) * inv_w
+
+    # ---- material texturing (2 row gathers: one per mip level) -------------
+    base_row_i = col(_C_MROW).astype(jnp.int32)
+    w0_i = col(_C_MW0).astype(jnp.int32)
+    max_level = col(_C_MLEVELS) - 1.0
+    wrap_u = col(_C_WRAPU)
+    wrap_v = col(_C_WRAPV)
+
+    w0f = col(_C_MW0)
+    ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
+    ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
+    lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24))
+    lod = jnp.clip(lod, 0.0, max_level)
+    level0 = jnp.floor(lod)
+    lfrac = lod - level0
+    lfrac = jnp.where(col(_C_MIPN) != 0.0, (lfrac >= 0.5).astype(jnp.float32), lfrac)
+    nearest = jnp.where(lod <= 0.0, col(_C_MAGN) != 0.0, col(_C_MINN) != 0.0)
+
+    l0 = level0.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
+    s0 = _sample_material_level(quad_pool, base_row_i, w0_i, l0, u, v, wrap_u, wrap_v, nearest)
+    s1 = _sample_material_level(quad_pool, base_row_i, w0_i, l1, u, v, wrap_u, wrap_v, nearest)
+
+    def lerp_tex(i, c):
+        return s0[i][c] * (1.0 - lfrac) + s1[i][c] * lfrac
+
+    base_tex = tuple(lerp_tex(0, c) for c in range(4))
+    mr_tex = tuple(lerp_tex(1, c) for c in range(4))
+    nrm_tex = tuple(lerp_tex(2, c) for c in range(3))
+
+    base_rgba = tuple(col(_C_BASE + c) * base_tex[c] for c in range(4))
+    metallic = col(_C_MR) * mr_tex[2]
+    roughness = col(_C_MR + 1) * mr_tex[1]
+    normal_scale = col(_C_NSCALE)
+
+    # ---- TBN + normal mapping (fragment.glsl:59-73) -------------------------
+    n = _rnorm(*nr)
+    tang = _rnorm(tg[0], tg[1], tg[2])
+    bx = n[1] * tang[2] - n[2] * tang[1]
+    by = n[2] * tang[0] - n[0] * tang[2]
+    bz = n[0] * tang[1] - n[1] * tang[0]
+    bxn, byn, bzn = _rnorm(bx, by, bz)
+    handed = tg[3]
+    bit = (bxn * handed, byn * handed, bzn * handed)
+    snx = (2.0 * nrm_tex[0] - 1.0) * normal_scale
+    sny = (2.0 * nrm_tex[1] - 1.0) * normal_scale
+    snz = 2.0 * nrm_tex[2] - 1.0
+    normal = _rnorm(
+        tang[0] * snx + bit[0] * sny + n[0] * snz,
+        tang[1] * snx + bit[1] * sny + n[1] * snz,
+        tang[2] * snx + bit[2] * sny + n[2] * snz,
+    )
+
+    view = _rnorm(
+        camera_position[0] - wp[0],
+        camera_position[1] - wp[1],
+        camera_position[2] - wp[2],
+    )
+    radiance = shade_lights_cf(wp, normal, view, base_rgba[:3], metallic, roughness, lights)
+    alpha = base_rgba[3]
+
+    out = []
+    for c in range(3):
+        rgb = radiance[c] * alpha + background_rgba[c] * (1.0 - alpha)
+        out.append(jnp.where(covered, rgb, background_rgba[c]))
+    out.append(jnp.where(covered, 1.0, background_rgba[3]))
+    return jnp.stack(out, axis=0)

@@ -30,6 +30,7 @@ from vktf_tpu.loaders.gltf import Asset, Material, Primitive
 from vktf_tpu.loaders.images import decode_texture, default_texture_data
 from vktf_tpu.log import Log, default_log
 from vktf_tpu.ops.texture import TexturePool, build_texture_pool
+from vktf_tpu.ops.texture_pack import build_material_pool
 
 _ALPHA_MODES = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
 
@@ -60,6 +61,9 @@ class RenderScene:
     mat_alpha: jnp.ndarray  # (M,2) f32: (mode, cutoff)
     mat_textures: jnp.ndarray  # (M,3) i32: base/mr/normal texture ids
     texture_pool: TexturePool
+    # packed per-material texturing (ops.texture_pack / ops.shade_table):
+    mat_meta: jnp.ndarray  # (M,8) f32: base_row,w0,levels,wrap_u,wrap_v,magN,minN,mipN
+    quad_pool: jnp.ndarray  # (P,12) u32 quad-packed material texels
     # lights
     light_node: jnp.ndarray  # (L,) i32
     light_type: jnp.ndarray  # (L,) i32: 0 directional, 1 point
@@ -298,6 +302,30 @@ def flatten_assets(
 
     texture_pool = build_texture_pool(texture_entries)
 
+    # quad-packed per-material pool for the shade-table path (texture_pack.py)
+    material_specs = []
+    for i in range(M):
+        base_entry = texture_entries[mat_textures[i, 0]]
+        material_specs.append(
+            {
+                "base": texture_entries[mat_textures[i, 0]][0],
+                "mr": texture_entries[mat_textures[i, 1]][0],
+                "normal": texture_entries[mat_textures[i, 2]][0],
+                "sampler": base_entry[1],
+            }
+        )
+    material_pool = build_material_pool(material_specs, log)
+    mat_meta = np.concatenate(
+        [
+            material_pool.base_row[:, None].astype(np.float32),
+            material_pool.width0[:, None].astype(np.float32),
+            material_pool.num_levels[:, None].astype(np.float32),
+            material_pool.wrap.astype(np.float32),
+            material_pool.filters.astype(np.float32),
+        ],
+        axis=1,
+    )  # (M, 8)
+
     # ---- lights ------------------------------------------------------------
     light_nodes, light_types, light_colors = [], [], []
     for asset, node_idx, _parent, _level in sorted_entries:
@@ -328,6 +356,8 @@ def flatten_assets(
         mat_alpha=jnp.asarray(mat_alpha),
         mat_textures=jnp.asarray(mat_textures),
         texture_pool=texture_pool,
+        mat_meta=jnp.asarray(mat_meta),
+        quad_pool=material_pool.quads,
         light_node=jnp.asarray(np.asarray(light_nodes, np.int32).reshape(-1)),
         light_type=jnp.asarray(np.asarray(light_types, np.int32).reshape(-1)),
         light_color=jnp.asarray(
