@@ -55,11 +55,8 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     from vktf_tpu.models.scenes import build_preset
     from vktf_tpu.scene.scene import Scene
 
-    if backend is None:
-        # pallas kernels on TPU; the XLA tiled path elsewhere
-        backend = "pallas" if jax.devices()[0].platform == "tpu" else "tiled"
     config = RenderConfig(width=width, height=height, msaa_samples=msaa,
-                          backend=backend)
+                          backend=backend or "auto")
     position, direction = CAMERAS[preset]
     camera = Camera(
         position,
@@ -100,6 +97,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
         "build_s": build_s,
         "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
+        "backend": config.resolved_backend(),
     }
 
 
@@ -138,7 +136,7 @@ def main() -> int:
             continue
         print(json.dumps({
             "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS"
-                      f" ({stats['triangles']} tris, {stats['platform']})",
+                      f" ({stats['triangles']} tris, {stats['platform']}/{stats['backend']})",
             "value": round(stats["fps"], 2),
             "unit": "fps",
             "vs_baseline": round(stats["fps"] / BASELINE_TARGET_FPS, 3),

@@ -70,12 +70,13 @@ def default_camera(aspect=1.0, position=(0.0, 0.6, 2.2), direction=(0.0, -0.2, -
     return Camera(position, direction, ViewFrustumParams(np.radians(45.0), aspect, 0.1, 100.0))
 
 
-def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled"):
+def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled",
+                shading_rate="sample"):
     scene, meta, aux = build_scene(path)
     camera = camera or default_camera(aspect=width / height)
     config = RenderConfig(
         width=width, height=height, msaa_samples=msaa, tile_shape=(32, 64),
-        backend=backend, pallas_chunk=128,
+        backend=backend, pallas_chunk=128, shading_rate=shading_rate,
     )
     frame_fn = make_frame_fn(meta, config)
     produced = np.moveaxis(  # device output is planar (4, H, W)

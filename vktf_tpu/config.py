@@ -64,6 +64,11 @@ class RenderConfig:
     pallas_interpret: Optional[bool] = None
     # Samples shaded per chunk (bounds the lane-padded gather intermediates).
     shade_chunk: int = 1 << 20
+    # Fragment shading rate (pallas backend): "pixel" shades once per pixel
+    # at the center and resolves by coverage fraction — Vulkan's actual
+    # non-sampleShading behavior (and 4x cheaper at 4x MSAA); "sample"
+    # supersamples every MSAA sample (matches the numpy reference exactly).
+    shading_rate: str = "pixel"
 
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
@@ -74,10 +79,10 @@ class RenderConfig:
     geom_dtype: jnp.dtype = jnp.float32
     shade_dtype: jnp.dtype = jnp.float32
 
-    # Raster backend: "tiled" (binned, production), "dense" (every triangle
-    # vs every sample — the semantic reference), or "pallas" (hand-written
-    # TPU kernels). "xla" is an alias for "dense".
-    backend: str = "tiled"
+    # Raster backend: "auto" picks "pallas" (hand-written TPU kernels) on
+    # TPU and "tiled" (binned XLA) elsewhere; "dense" is the every-triangle
+    # -vs-every-sample semantic reference. "xla" is an alias for "dense".
+    backend: str = "auto"
 
     # Number of devices to shard framebuffer tiles across (1 = single chip).
     num_devices: int = 1
@@ -87,8 +92,19 @@ class RenderConfig:
             raise ValueError(f"msaa_samples must be one of {_SUPPORTED_MSAA}, got {self.msaa_samples}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("render target must be non-empty")
-        if self.backend not in ("tiled", "dense", "xla", "pallas"):
+        if self.backend not in ("auto", "tiled", "dense", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.shading_rate not in ("pixel", "sample"):
+            raise ValueError(f"unknown shading_rate {self.shading_rate!r}")
+
+    def resolved_backend(self) -> str:
+        """Resolve "auto" against the live device (the device-capability
+        auto-probe spirit of the reference, SURVEY.md §5.6)."""
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        return "pallas" if jax.devices()[0].platform == "tpu" else "tiled"
 
     # -- derived quantities --------------------------------------------------
     @property

@@ -104,7 +104,7 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
     setup["valid"] = setup["valid"] & visible[scene.tri_instance]
 
     bins = None
-    if config.backend == "tiled":
+    if config.resolved_backend() == "tiled":
         bins = bin_triangles(
             setup["bbox"],
             setup["valid"],
@@ -200,8 +200,9 @@ def render_frame(
     setup, bins, lights, world = prepare_frame(
         scene, camera_view_projection, camera_position, meta=meta, config=config
     )
+    backend = config.resolved_backend()
 
-    if config.backend == "pallas":
+    if backend == "pallas":
         # Pallas streaming raster + shade-table deferred shading: the
         # production TPU path (ops.raster_pallas / ops.shade_table).
         from vktf_tpu.ops.raster_pallas import rasterize_pallas
@@ -223,43 +224,63 @@ def render_frame(
         table = jax.lax.optimization_barrier(build_shade_table(setup, scene, world))
         offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
         S = offsets.shape[0]
-        py = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 1)
-        px = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 2)
-        sx = px + offsets[:, 0][:, None, None]
-        sy = py + offsets[:, 1][:, None, None]
-        n = S * ph * pw
         background = jnp.asarray(config.clear_color, jnp.float32)
-        # Shade in sample chunks: every per-sample row gather materializes a
-        # lane-padded (n_chunk, 128) buffer, so a full 8.3M-sample frame
-        # would hold ~6 x 4GB intermediates at once (measured OOM). Chunking
-        # bounds peak HBM while keeping each chunk fully vectorized.
-        shade_chunk = min(config.shade_chunk, n)
-        n_pad = -(-n // shade_chunk) * shade_chunk
-        pad = n_pad - n
 
-        def flat_pad(x):
-            x = x.reshape(n)
-            if pad:
-                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-            return x.reshape(n_pad // shade_chunk, shade_chunk)
+        def shade_chunked(tri_flat, sx_flat, sy_flat):
+            # Shade in chunks: every per-sample row gather materializes a
+            # lane-padded (n_chunk, 128) buffer, so a full 8.3M-sample frame
+            # would hold ~6 x 4GB intermediates at once (measured OOM).
+            n = tri_flat.shape[0]
+            shade_chunk = min(config.shade_chunk, n)
+            n_pad = -(-n // shade_chunk) * shade_chunk
+            pad = n_pad - n
 
-        def shade_one(args):
-            tri_c, sx_c, sy_c = args
-            return shade_table_samples(
-                tri_c, sx_c, sy_c, table, scene.quad_pool,
-                camera_position, lights, background,
-            )  # (4, shade_chunk)
+            def flat_pad(x):
+                if pad:
+                    x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+                return x.reshape(n_pad // shade_chunk, shade_chunk)
 
-        rgba = jax.lax.map(
-            shade_one, (flat_pad(tri_id), flat_pad(sx), flat_pad(sy))
-        )  # (chunks, 4, shade_chunk)
-        rgba = rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
-        resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)
-        rgb_u8 = linear_to_srgb_u8(resolved[:3, :height, :width])
+            def shade_one(args):
+                tri_c, sx_c, sy_c = args
+                return shade_table_samples(
+                    tri_c, sx_c, sy_c, table, scene.quad_pool,
+                    camera_position, lights, background,
+                )  # (4, shade_chunk)
+
+            rgba = jax.lax.map(
+                shade_one, (flat_pad(tri_flat), flat_pad(sx_flat), flat_pad(sy_flat))
+            )  # (chunks, 4, shade_chunk)
+            return rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
+
+        if config.shading_rate == "pixel" and S > 1:
+            # Vulkan non-sampleShading semantics: shade once per pixel at the
+            # center, resolve by per-sample coverage fraction. 4x cheaper at
+            # 4x MSAA; silhouette-vs-background edges resolve exactly,
+            # object-object sample edges approximate to the pixel winner.
+            n_px = ph * pw
+            id_px = jnp.max(tri_id, axis=0)  # any covered sample's triangle
+            py = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
+            px = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
+            rgba_px = shade_chunked(
+                id_px.reshape(n_px),
+                (px + 0.5).reshape(n_px),
+                (py + 0.5).reshape(n_px),
+            ).reshape(4, ph, pw)
+            frac = jnp.mean((tri_id >= 0).astype(jnp.float32), axis=0)  # (ph,pw)
+            resolved = rgba_px[:3] * frac + background[:3, None, None] * (1.0 - frac)
+        else:
+            py = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 1)
+            px = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 2)
+            sx = px + offsets[:, 0][:, None, None]
+            sy = py + offsets[:, 1][:, None, None]
+            n = S * ph * pw
+            rgba = shade_chunked(tri_id.reshape(n), sx.reshape(n), sy.reshape(n))
+            resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)[:3]
+        rgb_u8 = linear_to_srgb_u8(resolved[:, :height, :width])
         alpha_u8 = jnp.full((1, height, width), 255, jnp.uint8)
         return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
 
-    if config.backend in ("dense", "xla"):
+    if backend in ("dense", "xla"):
         # debug/reference path: dense visibility then one flat shade pass
         tri_id, _depth = rasterize_dense(
             setup, ph, pw, msaa_samples=config.msaa_samples,
