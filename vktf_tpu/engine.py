@@ -54,6 +54,12 @@ class Engine:
             f"Engine using {self.devices[0].platform} device(s): "
             f"{[str(d) for d in self.devices[: self.config.num_devices]]}"
         )
+        # persistent XLA compile cache — the offline .spv shader cache
+        # analogue (cmake/compile_shader.cmake); survives process restarts
+        from vktf_tpu.runtime import enable_persistent_cache
+
+        cache_dir = enable_persistent_cache()
+        self.log.info(f"Compile cache at {cache_dir}")
         self._in_flight: deque = deque()
         self.frame_timer = FrameTimer()
 

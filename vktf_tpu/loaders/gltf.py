@@ -303,8 +303,31 @@ def read_accessor(gltf: dict, buffers: _BufferCache, accessor_index: int) -> np.
 
 
 def accessor_to_float(gltf: dict, buffers: _BufferCache, accessor_index: int) -> np.ndarray:
-    """Accessor -> float32 (count, components), honoring `normalized`."""
+    """Accessor -> float32 (count, components), honoring `normalized`.
+
+    Non-sparse accessors take the native unpack path when the runtime
+    library is built (vktf_tpu.native, the cgltf-unpack analogue).
+    """
     accessor = gltf["accessors"][accessor_index]
+    if "bufferView" in accessor and not accessor.get("sparse"):
+        from vktf_tpu import native
+
+        dtype = np.dtype(_COMPONENT_DTYPES[accessor["componentType"]])
+        ncomp = _TYPE_COUNTS[accessor["type"]]
+        elem_size = dtype.itemsize * ncomp
+        raw_bytes, stride = _buffer_view_bytes(gltf, buffers, accessor["bufferView"])
+        offset = accessor.get("byteOffset", 0)
+        stride = stride or elem_size
+        count = accessor["count"]
+        end = offset + stride * (count - 1) + elem_size
+        if end <= len(raw_bytes):
+            out = native.unpack_accessor(
+                raw_bytes[offset:end], count, ncomp,
+                accessor["componentType"],
+                bool(accessor.get("normalized")), stride,
+            )
+            if out is not None:
+                return out
     raw = read_accessor(gltf, buffers, accessor_index)
     out = raw.astype(np.float32)
     if accessor.get("normalized") and raw.dtype in _NORMALIZE_SCALE:

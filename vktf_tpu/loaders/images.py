@@ -43,27 +43,33 @@ def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
 
 
 def _halve(level: np.ndarray) -> np.ndarray:
-    """2x2 box-filter downsample with edge-clamp for odd dimensions."""
+    """2x2 box-filter downsample, edge-clamped taps, floor-sized output.
+
+    Level n+1 dims are max(floor(dim/2), 1) — the Vulkan/glTF mip-size rule
+    — and each output texel averages the (clamped) 2x2 source footprint.
+    Matches native/vktf_native.cpp vktf_generate_mips exactly.
+    """
     h, w = level.shape[:2]
     nh, nw = max(h // 2, 1), max(w // 2, 1)
-    # pad to even via edge clamp
-    if h % 2 and h > 1:
-        level = np.concatenate([level, level[-1:]], axis=0)
-    if w % 2 and w > 1:
-        level = np.concatenate([level, level[:, -1:]], axis=1)
-    if h == 1 and w == 1:
-        return level
-    if h == 1:
-        return level[:, 0::2] * 0.5 + level[:, 1::2] * 0.5
-    if w == 1:
-        return level[0::2] * 0.5 + level[1::2] * 0.5
+    y0 = np.minimum(2 * np.arange(nh), h - 1)
+    y1 = np.minimum(2 * np.arange(nh) + 1, h - 1)
+    x0 = np.minimum(2 * np.arange(nw), w - 1)
+    x1 = np.minimum(2 * np.arange(nw) + 1, w - 1)
     return 0.25 * (
-        level[0::2, 0::2] + level[1::2, 0::2] + level[0::2, 1::2] + level[1::2, 1::2]
+        level[y0][:, x0] + level[y1][:, x0] + level[y0][:, x1] + level[y1][:, x1]
     )
 
 
 def generate_mips(base: np.ndarray, srgb: bool) -> list[np.ndarray]:
-    """Full mip chain from an RGBA8 base level, filtered in linear space."""
+    """Full mip chain from an RGBA8 base level, filtered in linear space.
+
+    Uses the native runtime (vktf_tpu.native) when built; numpy otherwise.
+    """
+    from vktf_tpu import native
+
+    native_levels = native.generate_mips(base, srgb)
+    if native_levels is not None:
+        return native_levels
     levels = [np.ascontiguousarray(base, np.uint8)]
     current = base.astype(np.float32) / 255.0
     if srgb:

@@ -118,15 +118,33 @@ def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -
         )
         payload = blob[offset : offset + byte_length]
         if scheme == SUPERCOMPRESSION_ZSTD:
-            import zstandard
+            from vktf_tpu import native
 
-            payload = zstandard.ZstdDecompressor().decompress(
-                payload, max_output_size=uncompressed_length or 1 << 30
+            out = (
+                native.decompress_zstd(payload, uncompressed_length)
+                if uncompressed_length
+                else None
             )
-        elif scheme == SUPERCOMPRESSION_ZLIB:
-            import zlib
+            if out is None:
+                import zstandard
 
-            payload = zlib.decompress(payload)
+                out = zstandard.ZstdDecompressor().decompress(
+                    payload, max_output_size=uncompressed_length or 1 << 30
+                )
+            payload = out
+        elif scheme == SUPERCOMPRESSION_ZLIB:
+            from vktf_tpu import native
+
+            out = (
+                native.inflate_zlib(payload, uncompressed_length)
+                if uncompressed_length
+                else None
+            )
+            if out is None:
+                import zlib
+
+                out = zlib.decompress(payload)
+            payload = out
         elif scheme != SUPERCOMPRESSION_NONE:
             log.error(f"Failed to load KTX texture {name}: unknown supercompression {scheme}")
             return None

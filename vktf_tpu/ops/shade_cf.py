@@ -1,7 +1,7 @@
 """Component-first deferred PBR shading (TPU layout).
 
-Same math as the reference fragment shader (src/game/shaders/fragment.glsl —
-see ops.shade for the op-by-op citation map) but laid out for TPU tiling:
+Same math as the reference fragment shader (src/game/shaders/fragment.glsl,
+cited per formula below) but laid out for TPU tiling:
 every per-sample quantity is a flat ``(N,)`` vector or a component-first
 ``(C, N)`` stack, never ``(..., C)``. TPU tiles pad the last two dims to
 (8,128)/(4,128); trailing C=2..4 component dims inflate memory up to ~50×
@@ -126,7 +126,7 @@ def shade_samples_cf(
 
     tri_id/sx/sy: (N,). Geometry/material inputs are the global scene arrays
     (any layout — gathered per sample into (N,) components here).
-    Semantics identical to ops.shade.shade_deferred.
+    Implements the full reference fragment stage per sample.
     """
     covered = tri_id >= 0
     t = jnp.maximum(tri_id, 0)

@@ -171,19 +171,27 @@ def build_material_pool(
             int(sampler.get("mipmap_mode", "linear") == "nearest"),
         )
 
+        from vktf_tpu import native
+
         for l in range(levels):
             w = max(size >> l, 1)
-            xs = np.arange(w)
-            x1 = _neighbor(xs, w, wrap_u)
-            y1 = _neighbor(xs, w, wrap_v)
-            row_quads = np.empty((w, w, ROW_U32), np.uint32)
-            for t, chain in enumerate(chains):
-                lvl = _pack_u32(chain[l])  # (w, w) u32
-                row_quads[:, :, 4 * t + 0] = lvl
-                row_quads[:, :, 4 * t + 1] = lvl[:, x1]
-                row_quads[:, :, 4 * t + 2] = lvl[y1, :]
-                row_quads[:, :, 4 * t + 3] = lvl[y1][:, x1]
-            blobs.append(row_quads.reshape(-1, ROW_U32))
+            packed = [_pack_u32(chain[l]) for chain in chains]
+            rows_native = native.pack_quads_level(
+                packed[0], packed[1], packed[2], wrap_u, wrap_v
+            )
+            if rows_native is not None:
+                blobs.append(rows_native)
+            else:
+                xs = np.arange(w)
+                x1 = _neighbor(xs, w, wrap_u)
+                y1 = _neighbor(xs, w, wrap_v)
+                row_quads = np.empty((w, w, ROW_U32), np.uint32)
+                for t, lvl in enumerate(packed):
+                    row_quads[:, :, 4 * t + 0] = lvl
+                    row_quads[:, :, 4 * t + 1] = lvl[:, x1]
+                    row_quads[:, :, 4 * t + 2] = lvl[y1, :]
+                    row_quads[:, :, 4 * t + 3] = lvl[y1][:, x1]
+                blobs.append(row_quads.reshape(-1, ROW_U32))
             row_cursor += w * w
 
     rows = np.concatenate(blobs) if blobs else np.zeros((1, ROW_U32), np.uint32)

@@ -19,7 +19,6 @@ from vktf_tpu.config import RenderConfig
 from vktf_tpu.loaders.gltf import Asset
 from vktf_tpu.log import Log, default_log
 from vktf_tpu.mathx import Camera, ViewFrustumParams
-from vktf_tpu.ops.pipeline import make_frame_fn
 from vktf_tpu.scene.flatten import flatten_assets
 
 
@@ -45,7 +44,11 @@ class Scene:
                 z_far=1.0e6,
             ),
         )
-        self._frame_fn = make_frame_fn(self.meta, config)
+        # shared program registry: same scene shape + config reuses the
+        # compiled frame function (vktf_tpu.runtime.cache)
+        from vktf_tpu.runtime import frame_program
+
+        self._frame_fn = frame_program(self.meta, config)
         log.info(
             f"Scene ready: {self.meta.num_triangles} tris, "
             f"{self.meta.num_vertices} verts, {self.meta.num_instances} instances, "
