@@ -30,3 +30,19 @@ class FrameTimer:
     def fps(self) -> float:
         ms = self.frame_ms
         return 1000.0 / ms if ms > 0.0 else 0.0
+
+    def summary(self) -> dict:
+        """Windowed stats incl. tail latency (p50/p99 frame ms)."""
+        if len(self._stamps) < 2:
+            return {"frames": len(self._stamps), "fps": 0.0}
+        import numpy as np
+
+        stamps = np.asarray(self._stamps)
+        dts = np.diff(stamps)
+        return {
+            "frames": len(self._stamps),
+            "fps": float(1.0 / dts.mean()),
+            "frame_ms_mean": float(dts.mean() * 1e3),
+            "frame_ms_p50": float(np.percentile(dts, 50) * 1e3),
+            "frame_ms_p99": float(np.percentile(dts, 99) * 1e3),
+        }
