@@ -50,10 +50,15 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
               backend: str | None = None):
     import jax
 
-    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.config import MAX_RENDER_FRAMES, RenderConfig
     from vktf_tpu.mathx import Camera, ViewFrustumParams
     from vktf_tpu.models.scenes import build_preset
+    from vktf_tpu.runtime import enable_persistent_cache
     from vktf_tpu.scene.scene import Scene
+
+    # the offline-shader-cache analogue (cmake/compile_shader.cmake): repeat
+    # bench runs load the compiled frame program instead of recompiling
+    enable_persistent_cache()
 
     config = RenderConfig(width=width, height=height, msaa_samples=msaa,
                           backend=backend or "auto")
@@ -74,19 +79,28 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     out = np.asarray(scene.render_async())
     compile_s = time.time() - t0
 
-    # steady state: rotate the camera slightly each frame (uniform-update
-    # realism — the per-frame host work of the reference's Scene::Update)
-    for _ in range(warmup):
-        if animate:
-            scene.camera.rotate(0.0, 0.002)
-        out = np.asarray(scene.render_async())
+    def loop(n: int) -> float:
+        """Steady-state loop, MAX_RENDER_FRAMES deep like Engine.render:
+        dispatch frame i+1 (with an async host copy) before materializing
+        frame i, so transfer and dispatch overlap device compute."""
+        in_flight = []
+        t0 = time.time()
+        for _ in range(n):
+            if animate:
+                # per-frame camera motion — the reference's per-frame
+                # Scene::Update uniform write (scene.cppm:314-329)
+                scene.camera.rotate(0.0, 0.002)
+            frame = scene.render_async()
+            frame.copy_to_host_async()
+            in_flight.append(frame)
+            if len(in_flight) >= MAX_RENDER_FRAMES:
+                np.asarray(in_flight.pop(0))
+        for frame in in_flight:
+            np.asarray(frame)
+        return (time.time() - t0) / n
 
-    t0 = time.time()
-    for _ in range(frames):
-        if animate:
-            scene.camera.rotate(0.0, 0.002)
-        out = np.asarray(scene.render_async())
-    dt = (time.time() - t0) / frames
+    loop(warmup)
+    dt = loop(frames)
 
     tris = scene.meta.num_triangles
     return {

@@ -39,7 +39,7 @@ def scene_setup(tmp_path_factory):
     config = RenderConfig(width=256, height=128, msaa_samples=2, tile_shape=(32, 128))
     camera = Camera((0.0, 0.6, 2.4), (0.0, -0.2, -1.0),
                     ViewFrustumParams(np.radians(45.0), 2.0, 0.1, 100.0))
-    setup, _bins, _lights, _world = jax.jit(
+    setup, _bins, _lights, _world, _inst = jax.jit(
         lambda s, v, c: prepare_frame(s, v, c, meta=meta, config=config)
     )(scene, camera.view_projection_transform, camera.position)
     return setup, config

@@ -103,6 +103,13 @@ class Engine:
         in-flight queue is full — the fence-wait analogue (engine.cppm:505-509).
         """
         frame = scene.render_async()
+        # start the device->host copy now so it overlaps the next frame's
+        # compute (the swapchain-present DMA analogue); np.asarray below then
+        # only waits, instead of serializing an 8 MB transfer per frame
+        try:
+            frame.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests with numpy stubs)
+            pass
         self._in_flight.append(frame)
         if len(self._in_flight) >= MAX_RENDER_FRAMES:
             oldest = self._in_flight.popleft()

@@ -77,8 +77,9 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
                   *, meta: SceneMeta, config: RenderConfig):
     """Stages 1-5: geometry + light prep shared by all raster backends.
 
-    Returns (setup, bins, lights, world) where world = (pos, normal, tangent)
-    per-vertex arrays.
+    Returns (setup, bins, lights, world, inst_matrix) where world =
+    (pos, normal, tangent) per-vertex arrays and inst_matrix is the (I,4,4)
+    per-instance world transform (consumed by the shade-table build).
     """
     ph, pw = config.padded_height, config.padded_width
 
@@ -115,7 +116,7 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
             k_pairs=config.k_pairs,
             large_capacity=config.large_capacity,
         )
-    return setup, bins, lights, (world_pos, world_normal, world_tangent)
+    return setup, bins, lights, (world_pos, world_normal, world_tangent), inst_matrix
 
 
 def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
@@ -197,7 +198,7 @@ def render_frame(
     height, width = config.height, config.width
     ph, pw = config.padded_height, config.padded_width
 
-    setup, bins, lights, world = prepare_frame(
+    setup, bins, lights, world, inst_matrix = prepare_frame(
         scene, camera_view_projection, camera_position, meta=meta, config=config
     )
     backend = config.resolved_backend()
@@ -218,10 +219,12 @@ def render_frame(
         tri_id, _depth = rasterize_pallas(
             setup, ph, pw, tile_shape=config.tile_shape,
             msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-            interpret=interpret,
+            interpret=interpret, sort="static",
         )
         tri_id = jax.lax.optimization_barrier(tri_id)
-        table = jax.lax.optimization_barrier(build_shade_table(setup, scene, world))
+        table = jax.lax.optimization_barrier(
+            build_shade_table(setup, scene, inst_matrix)
+        )
         offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
         S = offsets.shape[0]
         background = jnp.asarray(config.clear_color, jnp.float32)

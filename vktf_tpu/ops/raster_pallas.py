@@ -119,6 +119,9 @@ def _chunk_bboxes(bbox, valid, chunk: int):
     )  # (4, n_chunks)
 
 
+WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
+
+
 def _raster_kernel(
     # scalar prefetch
     hit_counts_ref,  # (num_tiles,) i32 in SMEM
@@ -127,7 +130,7 @@ def _raster_kernel(
     tri_data_hbm,  # (16, T_pad) f32 in ANY/HBM
     tri_bbox_hbm,  # (4, T_pad) f32 in ANY/HBM
     # outputs (blocked per tile)
-    out_id_ref,  # (1, S*th, tw) i32 VMEM
+    out_id_ref,  # (1, S*th, tw) i32 VMEM — row = y*S + s (y-major interleave)
     out_depth_ref,  # (1, S*th, tw) f32 VMEM
     # scratch (double-buffered chunk streams)
     data_smem,  # (2, 16, CHUNK) f32 SMEM
@@ -142,31 +145,54 @@ def _raster_kernel(
     n_chunks: int,
     sample_offsets: tuple,
 ):
+    """Streaming raster kernel, y-major sample interleave + row windows.
+
+    Output rows are ordered row = y*S + s (samples of one pixel row are
+    adjacent), so a triangle's screen-space y range maps to ONE contiguous
+    row window. Each triangle then only evaluates WINDOW_ROWS-row slices
+    covering its bbox instead of the whole (S*th, tw) tile — the dominant
+    round-1 cost (a ~10px triangle paid 128 rows of edge evaluation; now it
+    pays 32). Windows are 8-row aligned for sublane-aligned dynamic slices;
+    re-evaluating an overlap row is safe because the depth-test update is
+    idempotent for a fixed triangle.
+    """
     tile_idx = pl.program_id(0)
     s_count = len(sample_offsets)
+    log2s = {1: 0, 2: 1, 4: 2, 8: 3}[s_count]
     rows = s_count * tile_h
+    win = WINDOW_ROWS
 
-    tile_x0 = (tile_idx % tiles_x * tile_w).astype(jnp.float32)
-    tile_y0 = (tile_idx // tiles_x * tile_h).astype(jnp.float32)
+    tile_x0_i = tile_idx % tiles_x * tile_w
+    tile_y0_i = tile_idx // tiles_x * tile_h
+    tile_x0 = tile_x0_i.astype(jnp.float32)
+    tile_y0 = tile_y0_i.astype(jnp.float32)
     tile_x1 = tile_x0 + float(tile_w)
     tile_y1 = tile_y0 + float(tile_h)
 
-    # sample coordinates (rows = s*th + y); offsets are Python floats so no
-    # traced constants are captured
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_w), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_w), 1)
-    y_ids = (row_ids % tile_h).astype(jnp.float32)
-    off_x = jnp.zeros((rows, tile_w), jnp.float32)
-    off_y = jnp.zeros((rows, tile_w), jnp.float32)
+    # static per-window sample patterns (row i = local y*S + s with s = i%S,
+    # valid because window starts are 8-row aligned and S divides 8):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, tile_w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (win, tile_w), 1)
+    y_pat = (row_ids >> log2s).astype(jnp.float32)
+    off_x = jnp.zeros((win, tile_w), jnp.float32)
+    off_y = jnp.zeros((win, tile_w), jnp.float32)
     for s, (ox, oy) in enumerate(sample_offsets):
-        in_block = (row_ids // tile_h) == s
-        off_x = jnp.where(in_block, float(ox), off_x)
-        off_y = jnp.where(in_block, float(oy), off_y)
-    sxx = tile_x0 + col_ids.astype(jnp.float32) + off_x
-    syy = tile_y0 + y_ids + off_y
+        in_row = (row_ids & (s_count - 1)) == s
+        off_x = jnp.where(in_row, float(ox), off_x)
+        off_y = jnp.where(in_row, float(oy), off_y)
+    sxx = tile_x0 + col_ids.astype(jnp.float32) + off_x  # window-invariant
+    syy_pat = y_pat + off_y  # + tile_y0 + rs/S per window
 
-    out_id_ref[0] = jnp.full((rows, tile_w), int(BACKGROUND), jnp.int32)
-    out_depth_ref[0] = jnp.ones((rows, tile_w), jnp.float32)
+    def init_rows(r, _):
+        out_id_ref[0, pl.ds(r * win, win)] = jnp.full(
+            (win, tile_w), int(BACKGROUND), jnp.int32
+        )
+        out_depth_ref[0, pl.ds(r * win, win)] = jnp.ones(
+            (win, tile_w), jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, rows // win, init_rows, 0, unroll=False)
 
     count = hit_counts_ref[tile_idx]
     list_row = tile_idx % 8
@@ -216,60 +242,94 @@ def _raster_kernel(
             return 0
 
         def per_tri(k, _):
+            y0f = bbox_smem[slot, 1, k]
+            y1f = bbox_smem[slot, 3, k]
             hit = (
                 (bbox_smem[slot, 0, k] < tile_x1)
                 & (bbox_smem[slot, 2, k] > tile_x0)
-                & (bbox_smem[slot, 1, k] < tile_y1)
-                & (bbox_smem[slot, 3, k] > tile_y0)
+                & (y0f < tile_y1)
+                & (y1f > tile_y0)
                 & (data_smem[slot, 15, k] >= 0.0)
             )
 
             @pl.when(hit)
             def _():
-                # Top-left fill rule folded arithmetically (Mosaic has no
-                # select on i1 vectors): edge passes iff e > 0, or e == 0
-                # on a top/left edge. tl_i is a scalar f32 (1.0 / 0.0).
-                def edge_pass(a_row, b_row, c_row):
-                    a = data_smem[slot, a_row, k]
-                    b = data_smem[slot, b_row, k]
-                    cc = data_smem[slot, c_row, k]
-                    e = a * sxx + b * syy + cc
+                a0 = data_smem[slot, 0, k]
+                b0 = data_smem[slot, 1, k]
+                c0 = data_smem[slot, 2, k]
+                a1 = data_smem[slot, 3, k]
+                b1 = data_smem[slot, 4, k]
+                c1 = data_smem[slot, 5, k]
+                a2 = data_smem[slot, 6, k]
+                b2 = data_smem[slot, 7, k]
+                c2 = data_smem[slot, 8, k]
+                za = data_smem[slot, 9, k]
+                zb = data_smem[slot, 10, k]
+                zc = data_smem[slot, 11, k]
+                wa = data_smem[slot, 12, k]
+                wb = data_smem[slot, 13, k]
+                wc = data_smem[slot, 14, k]
+                tri_id = data_smem[slot, 15, k].astype(jnp.int32)
+
+                # scalar top-left flags (1.0 if the edge is top or left)
+                def tl_flag(a, b):
                     a_pos = jnp.where(a > 0.0, 1.0, 0.0)
                     a_zero = jnp.where(a == 0.0, 1.0, 0.0)
                     b_pos = jnp.where(b > 0.0, 1.0, 0.0)
-                    tl = a_pos + a_zero * b_pos  # scalar 1.0 if top-left
-                    pos = jnp.where(e > 0.0, 1.0, 0.0)
-                    zero = jnp.where(e == 0.0, 1.0, 0.0)
-                    return pos + zero * tl  # (rows, tw) f32 mask
+                    return a_pos + a_zero * b_pos
 
-                inside_f = (
-                    edge_pass(0, 1, 2) * edge_pass(3, 4, 5) * edge_pass(6, 7, 8)
-                )
-                depth = (
-                    data_smem[slot, 9, k] * sxx
-                    + data_smem[slot, 10, k] * syy
-                    + data_smem[slot, 11, k]
-                )
-                w_recip = (
-                    data_smem[slot, 12, k] * sxx
-                    + data_smem[slot, 13, k] * syy
-                    + data_smem[slot, 14, k]
-                )
-                prev = out_depth_ref[0]
-                prev_id = out_id_ref[0]
-                tri_id = data_smem[slot, 15, k].astype(jnp.int32)
-                # lexicographic (depth, draw-order id): the stream may be
-                # Morton-reordered, so strict-less alone would change who
-                # wins exact-depth ties
-                ok = (
-                    (inside_f > 0.5)
-                    & (w_recip > 0.0)
-                    & (depth >= 0.0)
-                    & (depth <= 1.0)
-                    & ((depth < prev) | ((depth == prev) & (tri_id < prev_id)))
-                )
-                out_depth_ref[0] = jnp.where(ok, depth, prev)
-                out_id_ref[0] = jnp.where(ok, tri_id, prev_id)
+                tl0 = tl_flag(a0, b0)
+                tl1 = tl_flag(a1, b1)
+                tl2 = tl_flag(a2, b2)
+
+                # row window covering the triangle's y span within this tile
+                y0c = jnp.maximum(y0f, tile_y0).astype(jnp.int32) - tile_y0_i
+                y1c = jnp.minimum(y1f, tile_y1).astype(jnp.int32) - tile_y0_i
+                r0 = (y0c << log2s) & ~7
+                r_end = y1c << log2s
+                nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
+
+                def window(w, _):
+                    rs = jnp.minimum(r0 + w * win, rows - win)
+                    rs = pl.multiple_of(rs, 8)
+                    y_base = tile_y0 + (rs >> log2s).astype(jnp.float32)
+                    syy = y_base + syy_pat  # (win, tw)
+
+                    def edge_pass(a, b, cc, tl):
+                        e = a * sxx + b * syy + cc
+                        pos = jnp.where(e > 0.0, 1.0, 0.0)
+                        zero = jnp.where(e == 0.0, 1.0, 0.0)
+                        return pos + zero * tl
+
+                    inside_f = (
+                        edge_pass(a0, b0, c0, tl0)
+                        * edge_pass(a1, b1, c1, tl1)
+                        * edge_pass(a2, b2, c2, tl2)
+                    )
+                    depth = za * sxx + zb * syy + zc
+                    w_recip = wa * sxx + wb * syy + wc
+                    prev = out_depth_ref[0, pl.ds(rs, win)]
+                    prev_id = out_id_ref[0, pl.ds(rs, win)]
+                    # lexicographic (depth, draw-order id): the stream may be
+                    # Morton-reordered, so strict-less alone would change who
+                    # wins exact-depth ties
+                    ok = (
+                        (inside_f > 0.5)
+                        & (w_recip > 0.0)
+                        & (depth >= 0.0)
+                        & (depth <= 1.0)
+                        & ((depth < prev)
+                           | ((depth == prev) & (tri_id < prev_id)))
+                    )
+                    out_depth_ref[0, pl.ds(rs, win)] = jnp.where(
+                        ok, depth, prev
+                    )
+                    out_id_ref[0, pl.ds(rs, win)] = jnp.where(
+                        ok, tri_id, prev_id
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, nw, window, 0, unroll=False)
 
             return 0
 
@@ -295,19 +355,32 @@ def rasterize_pallas(
     Returns (tri_id, depth) of shape (S, H, W) — same contract as
     rasterize_dense / rasterize_tiled. height/width must be tile multiples.
     sort="morton" streams triangles in screen-space Morton order (tight chunk
-    bboxes -> effective prefilter); sort="none" keeps draw order. Results are
-    identical either way (lexicographic depth ties).
+    bboxes -> effective prefilter); sort="static" assumes the stream was
+    already spatially sorted at scene build (flatten_assets world-space
+    Morton) and skips the per-frame argsort + permute gather entirely;
+    sort="none" keeps draw order. Results are identical in all modes
+    (lexicographic depth ties).
     """
     th, tw = tile_shape
     assert height % th == 0 and width % tw == 0
     if chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 (DMA tiling), got {chunk}")
+    if (th * msaa_samples) % WINDOW_ROWS != 0:
+        raise ValueError(
+            f"tile rows ({th}*{msaa_samples}) must be a multiple of the "
+            f"raster window ({WINDOW_ROWS})"
+        )
+    # triangle ids ride an f32 stream row; beyond 2^24 they stop being exact
+    if setup["valid"].shape[0] >= 1 << 24:
+        raise ValueError("rasterize_pallas supports < 2^24 triangles")
     tiles_y, tiles_x = height // th, width // tw
     num_tiles = tiles_y * tiles_x
     offsets = tuple(SAMPLE_OFFSETS[msaa_samples])
     S = len(offsets)
     rows = S * th
 
+    if sort not in ("morton", "static", "none"):
+        raise ValueError(f"unknown sort mode {sort!r}")
     perm = morton_order(setup) if sort == "morton" else None
     tri_data = pack_tri_data(setup, perm)
     tri_data = _pad_cols(tri_data, chunk)
@@ -421,10 +494,10 @@ def rasterize_pallas(
         interpret=interpret,
     )(hit_counts, hit_list, tri_data, tri_bbox)
 
-    def assemble(tiles):  # (num_tiles, S*th, tw) -> (S, H, W)
+    def assemble(tiles):  # (num_tiles, th*S, tw), row = y*S + s -> (S, H, W)
         return (
-            tiles.reshape(tiles_y, tiles_x, S, th, tw)
-            .transpose(2, 0, 3, 1, 4)
+            tiles.reshape(tiles_y, tiles_x, th, S, tw)
+            .transpose(3, 0, 2, 1, 4)
             .reshape(S, height, width)
         )
 

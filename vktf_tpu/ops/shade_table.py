@@ -45,41 +45,96 @@ _C_MINN = 52
 _C_MIPN = 53
 
 
-def build_shade_table(setup, scene, world) -> jnp.ndarray:
-    """Per-frame (T, ROW) f32 shade table (jitted; dense einsums over T)."""
+def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
+    """Per-frame shade table, packed as (T, 2*ROW) uint16 (f32 hi|lo halves).
+
+    Built COMPONENT-MAJOR from tables precomputed at flatten time
+    (scene.tri_corner object-space corner attrs, scene.tri_static_cols
+    material columns): the only per-frame gather is ONE (T,16) row gather of
+    instance matrices. Round 1's triangle-major form ((T,3,C) einsums +
+    .at[:, a:b].set into (T,64)) paid ~10x lane padding on every
+    intermediate and 3.1M attribute row-gathers — measured 65 ms/frame at
+    262k triangles on a v5e; this form measures single-digit ms.
+
+    The u16 hi/lo packing exists because TPU row gathers are 3-5x faster for
+    16-bit dtypes at pow2 row widths (measured: (2M,64) f32 gather 30 ms,
+    (2M,128) u16 gather 10-12 ms); reconstruction in shade_table_samples is
+    bit-exact f32.
+    """
     edge = setup["edge"]  # (T,3,3) cofactor rows
-    indices = scene.indices  # (T,3)
-    world_pos, world_normal, world_tangent = world
+    tc = scene.tri_corner  # (36,T) f32, row = attr_base + channel*3 + corner
 
-    def plane(attr):  # (V,C) -> (T, C, 3)
-        vals = attr[indices]  # (T,3,C)
-        return jnp.einsum("tic,tik->tkc", edge, vals)
-
+    # instance matrix components as flat (T,) vectors (one row gather)
     t = edge.shape[0]
-    cols = jnp.zeros((t, ROW), jnp.float32)
-    cols = cols.at[:, _C_WPLANE:_C_WPLANE + 3].set(jnp.sum(edge, axis=1))
-    cols = cols.at[:, _C_UV:_C_UV + 6].set(plane(scene.uvs).reshape(t, 6))
-    cols = cols.at[:, _C_WPOS:_C_WPOS + 9].set(plane(world_pos).reshape(t, 9))
-    cols = cols.at[:, _C_NRM:_C_NRM + 9].set(plane(world_normal).reshape(t, 9))
-    cols = cols.at[:, _C_TAN:_C_TAN + 12].set(plane(world_tangent).reshape(t, 12))
+    mrows = inst_matrix.reshape(-1, 16)[scene.tri_instance]  # (T,16)
+    m = [[mrows[:, r * 4 + c] for c in range(4)] for r in range(4)]
 
-    mat = scene.tri_material  # (T,)
-    cols = cols.at[:, _C_BASE:_C_BASE + 4].set(scene.mat_base_color[mat])
-    cols = cols.at[:, _C_MR:_C_MR + 2].set(scene.mat_metallic_roughness[mat])
-    cols = cols.at[:, _C_NSCALE].set(scene.mat_normal_scale[mat])
-    cols = cols.at[:, _C_MROW:_C_MROW + 8].set(scene.mat_meta[mat])
-    return cols
+    # edge components as flat (T,) vectors: e[i][k], coefficient k of corner i
+    e = [[edge[:, i, k] for k in range(3)] for i in range(3)]
+
+    def world_corner(base, translate):
+        """Rotate (+translate) the 3 object-space corners of a vec3 attr.
+
+        Returns per-channel lists of 3 corner (T,) vectors."""
+        out = []
+        for c in range(3):
+            row = []
+            for i in range(3):
+                v = (m[c][0] * tc[base + 0 + i] + m[c][1] * tc[base + 3 + i]
+                     + m[c][2] * tc[base + 6 + i])
+                if translate:
+                    v = v + m[c][3]
+                row.append(v)
+            out.append(row)
+        return out
+
+    wp = world_corner(6, translate=True)
+    wn = world_corner(15, translate=False)
+    wt = world_corner(24, translate=False)
+    wt.append([tc[24 + 9 + i] for i in range(3)])  # tangent w passes through
+    uv = [[tc[c * 3 + i] for i in range(3)] for c in range(2)]
+
+    cols: list[jnp.ndarray] = []
+    # w plane: sum over corners per coefficient
+    for k in range(3):
+        cols.append(e[0][k] + e[1][k] + e[2][k])
+    # attribute planes: plane[channel, coeff] = sum_i e[i][coeff] * attr_i[ch]
+    for corners in (uv, wp, wn, wt):
+        for corner in corners:
+            for k in range(3):
+                cols.append(e[0][k] * corner[0] + e[1][k] * corner[1]
+                            + e[2][k] * corner[2])
+    # static material columns, precomputed at flatten
+    for c in range(scene.tri_static_cols.shape[0]):
+        cols.append(scene.tri_static_cols[c])
+
+    zero = jnp.zeros((t,), jnp.float32)
+    while len(cols) < ROW:
+        cols.append(zero)
+    table_f32 = jnp.stack(cols, axis=0).T  # (T, ROW) f32, one transpose
+    bits = jax.lax.bitcast_convert_type(table_f32, jnp.uint32)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = (bits & 0xFFFF).astype(jnp.uint16)
+    return jnp.concatenate([hi, lo], axis=1)  # (T, 2*ROW) u16
 
 
 def gather_rows(table2d, row_idx):
     """(N,) row indices -> (N, W) row gather.
 
     MUST be plain 2-D advanced indexing: this lowers to XLA's vectorized
-    row-gather (~94ms for 8.3M x 64 f32 on v5e). The equivalent explicit
-    lax.gather with slice_sizes from a flat array lowers to a scalar slice
-    loop measured 150x slower (14.3s) — do not "simplify" back to that.
+    row-gather. The equivalent explicit lax.gather with slice_sizes from a
+    flat array lowers to a scalar slice loop measured 150x slower — do not
+    "simplify" back to that.
     """
     return table2d[row_idx]
+
+
+def gather_table_f32(table_u16, row_idx):
+    """Gather (N, ROW) f32 rows from the u16 hi|lo packed table (bit-exact)."""
+    rows = table_u16[row_idx]  # (N, 2*ROW) u16
+    hi = rows[:, :ROW].astype(jnp.uint32) << 16
+    lo = rows[:, ROW:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
 
 
 def _srgb_to_linear(c):
@@ -159,7 +214,7 @@ def shade_table_samples(
     """Shade flat samples from the shade table; returns (4, N) linear RGBA."""
     covered = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
-    row = gather_rows(table, t)  # (N, ROW)
+    row = gather_table_f32(table, t)  # (N, ROW) f32 from packed u16
 
     def col(c):
         return row[:, c]

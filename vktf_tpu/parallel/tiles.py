@@ -82,7 +82,7 @@ def render_frame_sharded(
         raise ValueError(f"samples per tile {n_samples} not divisible by gp={gp}")
 
     # Stages 1-4 replicated (cheap relative to raster/shade).
-    setup, _, lights, world = prepare_frame(
+    setup, _, lights, world, _inst_matrix = prepare_frame(
         scene, view_projection, camera_position,
         meta=meta, config=config.replace(backend="dense"),  # skip global binning
     )

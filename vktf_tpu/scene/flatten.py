@@ -64,6 +64,10 @@ class RenderScene:
     # packed per-material texturing (ops.texture_pack / ops.shade_table):
     mat_meta: jnp.ndarray  # (M,8) f32: base_row,w0,levels,wrap_u,wrap_v,magN,minN,mipN
     quad_pool: jnp.ndarray  # (P,12) u32 quad-packed material texels
+    # precomputed per-triangle tables (component-major, built once at flatten
+    # so the per-frame shade-table build does no attribute/material gathers):
+    tri_corner: jnp.ndarray  # (36,T) f32 object-space corner attrs (see below)
+    tri_static_cols: jnp.ndarray  # (15,T) f32 static material table columns
     # lights
     light_node: jnp.ndarray  # (L,) i32
     light_type: jnp.ndarray  # (L,) i32: 0 directional, 1 point
@@ -233,6 +237,47 @@ def flatten_assets(
     inst_material = np.asarray(inst_materials, np.int32)
     tri_material = inst_material[tri_instance]
 
+    # ---- static triangle-stream spatial order ------------------------------
+    # Sort the triangle stream ONCE by 3-D Morton code of the world-space
+    # centroid (initial node transforms, propagated on the host). Spatially
+    # coherent chunks give the Pallas streaming rasterizer tight per-chunk
+    # bboxes, without round 1's per-frame screen-space argsort + 16-row
+    # permute gather (~60 ms/frame at 262k triangles on a v5e). Draw order —
+    # and therefore the depth-tie rule — becomes this sorted order, shared by
+    # every backend and the numpy oracle.
+    parents_np = np.asarray(flat_parents, np.int64)
+    node_global_np = np.stack(flat_locals).astype(np.float64)
+    for lv_start, lv_end in level_bounds[1:]:
+        node_global_np[lv_start:lv_end] = np.einsum(
+            "nij,njk->nik",
+            node_global_np[parents_np[lv_start:lv_end]],
+            node_global_np[lv_start:lv_end],
+        )
+    inst_mats = node_global_np[np.asarray(inst_nodes, np.int64)]
+    tri_m = inst_mats[tri_instance]  # (T,4,4)
+    centroid = (
+        positions[indices[:, 0]] + positions[indices[:, 1]] + positions[indices[:, 2]]
+    ) / 3.0
+    world_c = (
+        np.einsum("tij,tj->ti", tri_m[:, :3, :3], centroid) + tri_m[:, :3, 3]
+    )
+    lo, hi = world_c.min(axis=0), world_c.max(axis=0)
+    q = ((world_c - lo) / np.maximum(hi - lo, 1e-9) * 1023.0).astype(np.uint64)
+
+    def _spread3(x):  # 10 bits -> every 3rd bit
+        x &= 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    morton = _spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1) | (_spread3(q[:, 2]) << 2)
+    tri_perm = np.argsort(morton, kind="stable")
+    indices = indices[tri_perm]
+    tri_instance = tri_instance[tri_perm]
+    tri_material = tri_material[tri_perm]
+
     # ---- materials + textures ---------------------------------------------
     texture_entries: list[tuple] = []  # (TextureData, sampler_dict)
     texture_index: dict[tuple[Optional[int], str], int] = {}
@@ -326,6 +371,26 @@ def flatten_assets(
         axis=1,
     )  # (M, 8)
 
+    # ---- precomputed per-triangle tables (ops.shade_table inputs) ----------
+    # Corner attributes in OBJECT space, component-major (36, T): row =
+    # attr_base + channel*3 + corner. Gathering these per frame cost ~150 ms
+    # at 262k triangles (36 element-gathers); precomputing leaves the frame
+    # with a single (T,16) instance-matrix row gather.
+    num_tris = indices.shape[0]
+    tri_corner = np.empty((36, num_tris), np.float32)
+    for base, attr, nch in ((0, uvs, 2), (6, positions, 3),
+                            (15, normals, 3), (24, tangents, 4)):
+        for c in range(nch):
+            col = np.ascontiguousarray(attr[:, c])
+            for i in range(3):
+                tri_corner[base + c * 3 + i] = col[indices[:, i]]
+    # Static material columns of the shade table (15, T): base color (4),
+    # metallic-roughness (2), normal scale (1), mat_meta (8).
+    mat_cols = np.concatenate(
+        [mat_base_color, mat_mr, mat_normal_scale[:, None], mat_meta], axis=1
+    ).astype(np.float32)  # (M, 15)
+    tri_static_cols = np.ascontiguousarray(mat_cols[tri_material].T)  # (15,T)
+
     # ---- lights ------------------------------------------------------------
     light_nodes, light_types, light_colors = [], [], []
     for asset, node_idx, _parent, _level in sorted_entries:
@@ -358,6 +423,8 @@ def flatten_assets(
         texture_pool=texture_pool,
         mat_meta=jnp.asarray(mat_meta),
         quad_pool=material_pool.quads,
+        tri_corner=jnp.asarray(tri_corner),
+        tri_static_cols=jnp.asarray(tri_static_cols),
         light_node=jnp.asarray(np.asarray(light_nodes, np.int32).reshape(-1)),
         light_type=jnp.asarray(np.asarray(light_types, np.int32).reshape(-1)),
         light_color=jnp.asarray(
