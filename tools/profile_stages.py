@@ -92,7 +92,7 @@ if __name__ == "__main__":
     rast = jax.jit(lambda su: rasterize_pallas(
         su, ph, pw, tile_shape=config.tile_shape,
         msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-        interpret=interp, sort="static"))
+        interpret=interp, sort="morton"))
     t, (tri_id, depth) = timeit(rast, setup, n=args.frames)
     results["raster_ms"] = t * 1e3
 

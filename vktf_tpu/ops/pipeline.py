@@ -219,7 +219,7 @@ def render_frame(
         tri_id, _depth = rasterize_pallas(
             setup, ph, pw, tile_shape=config.tile_shape,
             msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-            interpret=interpret, sort="static",
+            interpret=interpret, sort="morton",
         )
         tri_id = jax.lax.optimization_barrier(tri_id)
         table = jax.lax.optimization_barrier(

@@ -226,65 +226,28 @@ def _raster_kernel(
             dma.wait()
 
         def per_group(g, _):
-            # rows 4..7 carry the 16-triangle group bbox (precomputed)
+            # rows 4..7 carry the 16-triangle group bbox (precomputed).
+            # Loop order is (group -> window -> triangle) with the window's
+            # depth/id accumulators CARRIED through the triangle loop: one
+            # VMEM read + one write per (group, window) instead of a
+            # read-modify-write per triangle — the per-triangle VMEM
+            # dependency chain was the round-1 kernel's real bottleneck
+            # (windowing alone made it slower, not faster).
             k0 = g * 16
+            gy0 = bbox_smem[slot, 5, k0]
+            gy1 = bbox_smem[slot, 7, k0]
             group_hit = (
                 (bbox_smem[slot, 4, k0] < tile_x1)
                 & (bbox_smem[slot, 6, k0] > tile_x0)
-                & (bbox_smem[slot, 5, k0] < tile_y1)
-                & (bbox_smem[slot, 7, k0] > tile_y0)
+                & (gy0 < tile_y1)
+                & (gy1 > tile_y0)
             )
 
             @pl.when(group_hit)
             def _():
-                jax.lax.fori_loop(k0, k0 + 16, per_tri, 0, unroll=False)
-
-            return 0
-
-        def per_tri(k, _):
-            y0f = bbox_smem[slot, 1, k]
-            y1f = bbox_smem[slot, 3, k]
-            hit = (
-                (bbox_smem[slot, 0, k] < tile_x1)
-                & (bbox_smem[slot, 2, k] > tile_x0)
-                & (y0f < tile_y1)
-                & (y1f > tile_y0)
-                & (data_smem[slot, 15, k] >= 0.0)
-            )
-
-            @pl.when(hit)
-            def _():
-                a0 = data_smem[slot, 0, k]
-                b0 = data_smem[slot, 1, k]
-                c0 = data_smem[slot, 2, k]
-                a1 = data_smem[slot, 3, k]
-                b1 = data_smem[slot, 4, k]
-                c1 = data_smem[slot, 5, k]
-                a2 = data_smem[slot, 6, k]
-                b2 = data_smem[slot, 7, k]
-                c2 = data_smem[slot, 8, k]
-                za = data_smem[slot, 9, k]
-                zb = data_smem[slot, 10, k]
-                zc = data_smem[slot, 11, k]
-                wa = data_smem[slot, 12, k]
-                wb = data_smem[slot, 13, k]
-                wc = data_smem[slot, 14, k]
-                tri_id = data_smem[slot, 15, k].astype(jnp.int32)
-
-                # scalar top-left flags (1.0 if the edge is top or left)
-                def tl_flag(a, b):
-                    a_pos = jnp.where(a > 0.0, 1.0, 0.0)
-                    a_zero = jnp.where(a == 0.0, 1.0, 0.0)
-                    b_pos = jnp.where(b > 0.0, 1.0, 0.0)
-                    return a_pos + a_zero * b_pos
-
-                tl0 = tl_flag(a0, b0)
-                tl1 = tl_flag(a1, b1)
-                tl2 = tl_flag(a2, b2)
-
-                # row window covering the triangle's y span within this tile
-                y0c = jnp.maximum(y0f, tile_y0).astype(jnp.int32) - tile_y0_i
-                y1c = jnp.minimum(y1f, tile_y1).astype(jnp.int32) - tile_y0_i
+                # window range covering the group's y span within this tile
+                y0c = jnp.maximum(gy0, tile_y0).astype(jnp.int32) - tile_y0_i
+                y1c = jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i
                 r0 = (y0c << log2s) & ~7
                 r_end = y1c << log2s
                 nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
@@ -294,39 +257,87 @@ def _raster_kernel(
                     rs = pl.multiple_of(rs, 8)
                     y_base = tile_y0 + (rs >> log2s).astype(jnp.float32)
                     syy = y_base + syy_pat  # (win, tw)
+                    win_y1 = y_base + float(win >> log2s)
 
-                    def edge_pass(a, b, cc, tl):
-                        e = a * sxx + b * syy + cc
-                        pos = jnp.where(e > 0.0, 1.0, 0.0)
-                        zero = jnp.where(e == 0.0, 1.0, 0.0)
-                        return pos + zero * tl
+                    acc_d = out_depth_ref[0, pl.ds(rs, win)]
+                    acc_i = out_id_ref[0, pl.ds(rs, win)]
 
-                    inside_f = (
-                        edge_pass(a0, b0, c0, tl0)
-                        * edge_pass(a1, b1, c1, tl1)
-                        * edge_pass(a2, b2, c2, tl2)
-                    )
-                    depth = za * sxx + zb * syy + zc
-                    w_recip = wa * sxx + wb * syy + wc
-                    prev = out_depth_ref[0, pl.ds(rs, win)]
-                    prev_id = out_id_ref[0, pl.ds(rs, win)]
-                    # lexicographic (depth, draw-order id): the stream may be
-                    # Morton-reordered, so strict-less alone would change who
-                    # wins exact-depth ties
-                    ok = (
-                        (inside_f > 0.5)
-                        & (w_recip > 0.0)
-                        & (depth >= 0.0)
-                        & (depth <= 1.0)
-                        & ((depth < prev)
-                           | ((depth == prev) & (tri_id < prev_id)))
-                    )
-                    out_depth_ref[0, pl.ds(rs, win)] = jnp.where(
-                        ok, depth, prev
-                    )
-                    out_id_ref[0, pl.ds(rs, win)] = jnp.where(
-                        ok, tri_id, prev_id
-                    )
+                    # BRANCHLESS, unrolled straight-line block over the 16
+                    # group triangles: per-triangle branches (pl.when /
+                    # lax.cond) defeat Mosaic's software pipelining and cost
+                    # more than the vector math they skip; instead the bbox
+                    # miss folds into the coverage mask as an f32 factor.
+                    for k in range(16):
+                        kk = k0 + k
+                        miss_x0 = bbox_smem[slot, 0, kk]
+                        miss_x1 = bbox_smem[slot, 2, kk]
+                        ty0 = bbox_smem[slot, 1, kk]
+                        ty1 = bbox_smem[slot, 3, kk]
+                        hit = (
+                            (miss_x0 < tile_x1)
+                            & (miss_x1 > tile_x0)
+                            & (ty0 < win_y1)
+                            & (ty1 > y_base)
+                            & (data_smem[slot, 15, kk] >= 0.0)
+                        )
+                        hit_f = jnp.where(hit, 1.0, 0.0)
+
+                        a0 = data_smem[slot, 0, kk]
+                        b0 = data_smem[slot, 1, kk]
+                        c0 = data_smem[slot, 2, kk]
+                        a1 = data_smem[slot, 3, kk]
+                        b1 = data_smem[slot, 4, kk]
+                        c1 = data_smem[slot, 5, kk]
+                        a2 = data_smem[slot, 6, kk]
+                        b2 = data_smem[slot, 7, kk]
+                        c2 = data_smem[slot, 8, kk]
+                        tri_id = data_smem[slot, 15, kk].astype(jnp.int32)
+
+                        # scalar top-left flags (1.0 on top/left edges)
+                        def tl_flag(a, b):
+                            a_pos = jnp.where(a > 0.0, 1.0, 0.0)
+                            a_zero = jnp.where(a == 0.0, 1.0, 0.0)
+                            b_pos = jnp.where(b > 0.0, 1.0, 0.0)
+                            return a_pos + a_zero * b_pos
+
+                        def edge_pass(a, b, cc, tl):
+                            e = a * sxx + b * syy + cc
+                            pos = jnp.where(e > 0.0, 1.0, 0.0)
+                            zero = jnp.where(e == 0.0, 1.0, 0.0)
+                            return pos + zero * tl
+
+                        inside_f = (
+                            hit_f
+                            * edge_pass(a0, b0, c0, tl_flag(a0, b0))
+                            * edge_pass(a1, b1, c1, tl_flag(a1, b1))
+                            * edge_pass(a2, b2, c2, tl_flag(a2, b2))
+                        )
+                        depth = (
+                            data_smem[slot, 9, kk] * sxx
+                            + data_smem[slot, 10, kk] * syy
+                            + data_smem[slot, 11, kk]
+                        )
+                        w_recip = (
+                            data_smem[slot, 12, kk] * sxx
+                            + data_smem[slot, 13, kk] * syy
+                            + data_smem[slot, 14, kk]
+                        )
+                        # lexicographic (depth, draw-order id): the stream
+                        # is Morton-reordered, so strict-less alone would
+                        # change who wins exact-depth ties
+                        ok = (
+                            (inside_f > 0.5)
+                            & (w_recip > 0.0)
+                            & (depth >= 0.0)
+                            & (depth <= 1.0)
+                            & ((depth < acc_d)
+                               | ((depth == acc_d) & (tri_id < acc_i)))
+                        )
+                        acc_d = jnp.where(ok, depth, acc_d)
+                        acc_i = jnp.where(ok, tri_id, acc_i)
+
+                    out_depth_ref[0, pl.ds(rs, win)] = acc_d
+                    out_id_ref[0, pl.ds(rs, win)] = acc_i
                     return 0
 
                 jax.lax.fori_loop(0, nw, window, 0, unroll=False)
