@@ -1,9 +1,11 @@
 """Multi-chip sharded rendering vs the single-chip pipeline.
 
-Runs on the virtual 8-device CPU mesh (conftest). The sharded frame must be
-bit-identical geometry-wise to the single-chip tiled path: sort-last
-compositing reproduces the lexicographic (depth, draw-order) rule, and
-sort-first tile sharding is a pure work partition.
+Runs on the virtual 8-device CPU mesh (conftest). The sharded frame runs the
+PRODUCTION pipeline (Pallas streaming rasterizer in interpret mode +
+shade-table deferred shading) and must be bit-identical to the single-chip
+pallas backend: sort-last compositing reproduces the lexicographic
+(depth, draw-order) rule, and sort-first band sharding is a pure work
+partition.
 """
 
 import numpy as np
@@ -54,7 +56,8 @@ def _render_sharded(scene, meta, config, camera, gp):
 @pytest.mark.parametrize("gp", [1, 2, 8])
 def test_sharded_matches_single_chip(small_scene, gp):
     scene, meta, aux = small_scene
-    config = RenderConfig(width=96, height=64, msaa_samples=2, tile_shape=(32, 64))
+    config = RenderConfig(width=96, height=64, msaa_samples=2,
+                          tile_shape=(32, 64), backend="pallas")
     camera = default_camera(aspect=96 / 64)
     single = _render_single(scene, meta, config, camera)
     sharded = _render_sharded(scene, meta, config, camera, gp)
@@ -65,7 +68,8 @@ def test_sharded_matches_single_chip(small_scene, gp):
 def test_sharded_msaa4_uneven_tiles(small_scene):
     """Tile count not divisible by sp (3x2=6 tiles over sp=4) + 4x MSAA."""
     scene, meta, aux = small_scene
-    config = RenderConfig(width=128, height=96, msaa_samples=4, tile_shape=(32, 64))
+    config = RenderConfig(width=128, height=96, msaa_samples=4,
+                          tile_shape=(32, 64), backend="pallas")
     camera = default_camera(aspect=128 / 96)
     single = _render_single(scene, meta, config, camera)
     sharded = _render_sharded(scene, meta, config, camera, gp=2)

@@ -144,6 +144,76 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
     )
 
 
+def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
+                         *, config: RenderConfig, y0=0):
+    """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
+
+    tri_id: (S, h, w) winner ids at framebuffer pixel-row offset y0 (y0 may
+    be traced — the multi-chip path passes each device's band offset).
+    Returns planar (4, h, w) uint8.
+    """
+    from vktf_tpu.ops.shade_table import shade_table_samples
+
+    S, h, w = tri_id.shape
+    offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
+    background = jnp.asarray(config.clear_color, jnp.float32)
+    y_off = jnp.asarray(y0, jnp.float32)
+
+    def shade_chunked(tri_flat, sx_flat, sy_flat):
+        # Shade in chunks: every per-sample row gather materializes a
+        # lane-padded buffer, so a full 8.3M-sample frame would hold
+        # several-GB intermediates at once (measured OOM).
+        n = tri_flat.shape[0]
+        shade_chunk = min(config.shade_chunk, n)
+        n_pad = -(-n // shade_chunk) * shade_chunk
+        pad = n_pad - n
+
+        def flat_pad(x):
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            return x.reshape(n_pad // shade_chunk, shade_chunk)
+
+        def shade_one(args):
+            tri_c, sx_c, sy_c = args
+            return shade_table_samples(
+                tri_c, sx_c, sy_c, table, scene.quad_pool,
+                camera_position, lights, background,
+            )  # (4, shade_chunk)
+
+        rgba = jax.lax.map(
+            shade_one, (flat_pad(tri_flat), flat_pad(sx_flat), flat_pad(sy_flat))
+        )  # (chunks, 4, shade_chunk)
+        return rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
+
+    if config.shading_rate == "pixel" and S > 1:
+        # Vulkan non-sampleShading semantics: shade once per pixel at the
+        # center, resolve by per-sample coverage fraction. 4x cheaper at
+        # 4x MSAA; silhouette-vs-background edges resolve exactly,
+        # object-object sample edges approximate to the pixel winner.
+        n_px = h * w
+        id_px = jnp.max(tri_id, axis=0)  # any covered sample's triangle
+        py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y_off
+        px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        rgba_px = shade_chunked(
+            id_px.reshape(n_px),
+            (px + 0.5).reshape(n_px),
+            (py + 0.5).reshape(n_px),
+        ).reshape(4, h, w)
+        frac = jnp.mean((tri_id >= 0).astype(jnp.float32), axis=0)  # (h,w)
+        resolved = rgba_px[:3] * frac + background[:3, None, None] * (1.0 - frac)
+    else:
+        py = jax.lax.broadcasted_iota(jnp.float32, (S, h, w), 1) + y_off
+        px = jax.lax.broadcasted_iota(jnp.float32, (S, h, w), 2)
+        sx = px + offsets[:, 0][:, None, None]
+        sy = py + offsets[:, 1][:, None, None]
+        n = S * h * w
+        rgba = shade_chunked(tri_id.reshape(n), sx.reshape(n), sy.reshape(n))
+        resolved = jnp.mean(rgba.reshape(4, S, h, w), axis=1)[:3]
+    rgb_u8 = linear_to_srgb_u8(resolved)
+    alpha_u8 = jnp.full((1, h, w), 255, jnp.uint8)
+    return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
+
+
 def make_tile_render(scene, setup, bins, lights, camera_position, world,
                      *, config: RenderConfig):
     """Build tile_render(tile_idx) -> (4, th, tw) uint8: fused raster + shade
@@ -207,7 +277,7 @@ def render_frame(
         # Pallas streaming raster + shade-table deferred shading: the
         # production TPU path (ops.raster_pallas / ops.shade_table).
         from vktf_tpu.ops.raster_pallas import rasterize_pallas
-        from vktf_tpu.ops.shade_table import build_shade_table, shade_table_samples
+        from vktf_tpu.ops.shade_table import build_shade_table
 
         interpret = config.pallas_interpret
         if interpret is None:
@@ -225,63 +295,10 @@ def render_frame(
         table = jax.lax.optimization_barrier(
             build_shade_table(setup, scene, inst_matrix)
         )
-        offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
-        S = offsets.shape[0]
-        background = jnp.asarray(config.clear_color, jnp.float32)
-
-        def shade_chunked(tri_flat, sx_flat, sy_flat):
-            # Shade in chunks: every per-sample row gather materializes a
-            # lane-padded (n_chunk, 128) buffer, so a full 8.3M-sample frame
-            # would hold ~6 x 4GB intermediates at once (measured OOM).
-            n = tri_flat.shape[0]
-            shade_chunk = min(config.shade_chunk, n)
-            n_pad = -(-n // shade_chunk) * shade_chunk
-            pad = n_pad - n
-
-            def flat_pad(x):
-                if pad:
-                    x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-                return x.reshape(n_pad // shade_chunk, shade_chunk)
-
-            def shade_one(args):
-                tri_c, sx_c, sy_c = args
-                return shade_table_samples(
-                    tri_c, sx_c, sy_c, table, scene.quad_pool,
-                    camera_position, lights, background,
-                )  # (4, shade_chunk)
-
-            rgba = jax.lax.map(
-                shade_one, (flat_pad(tri_flat), flat_pad(sx_flat), flat_pad(sy_flat))
-            )  # (chunks, 4, shade_chunk)
-            return rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
-
-        if config.shading_rate == "pixel" and S > 1:
-            # Vulkan non-sampleShading semantics: shade once per pixel at the
-            # center, resolve by per-sample coverage fraction. 4x cheaper at
-            # 4x MSAA; silhouette-vs-background edges resolve exactly,
-            # object-object sample edges approximate to the pixel winner.
-            n_px = ph * pw
-            id_px = jnp.max(tri_id, axis=0)  # any covered sample's triangle
-            py = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
-            px = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
-            rgba_px = shade_chunked(
-                id_px.reshape(n_px),
-                (px + 0.5).reshape(n_px),
-                (py + 0.5).reshape(n_px),
-            ).reshape(4, ph, pw)
-            frac = jnp.mean((tri_id >= 0).astype(jnp.float32), axis=0)  # (ph,pw)
-            resolved = rgba_px[:3] * frac + background[:3, None, None] * (1.0 - frac)
-        else:
-            py = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 1)
-            px = jax.lax.broadcasted_iota(jnp.float32, (S, ph, pw), 2)
-            sx = px + offsets[:, 0][:, None, None]
-            sy = py + offsets[:, 1][:, None, None]
-            n = S * ph * pw
-            rgba = shade_chunked(tri_id.reshape(n), sx.reshape(n), sy.reshape(n))
-            resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)[:3]
-        rgb_u8 = linear_to_srgb_u8(resolved[:, :height, :width])
-        alpha_u8 = jnp.full((1, height, width), 255, jnp.uint8)
-        return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
+        rgba = pallas_shade_resolve(
+            tri_id, scene, table, lights, camera_position, config=config,
+        )
+        return rgba[:, :height, :width]
 
     if backend in ("dense", "xla"):
         # debug/reference path: dense visibility then one flat shade pass

@@ -44,11 +44,12 @@ from vktf_tpu.ops.raster_xla import BACKGROUND, SAMPLE_OFFSETS
 TRI_ROWS = 16
 
 
-def pack_tri_data(setup, perm=None):
+def pack_tri_data(setup, perm=None, id_base=0):
     """Pack triangle_setup outputs into the kernel stream layouts.
 
     perm optionally reorders the stream (screen-space Morton order); row 15
-    carries the ORIGINAL draw-order id so depth ties stay exact.
+    carries the ORIGINAL draw-order id (offset by id_base for gp-sharded
+    triangle blocks) so depth ties stay exact.
     """
     edge, zw, inv_det, valid = (
         setup["edge"],
@@ -57,7 +58,9 @@ def pack_tri_data(setup, perm=None):
         setup["valid"],
     )
     num_tris = edge.shape[0]
-    tri_ids = jnp.arange(num_tris, dtype=jnp.float32)
+    tri_ids = jnp.arange(num_tris, dtype=jnp.float32) + jnp.asarray(
+        id_base, jnp.float32
+    )
     rows = [edge[:, i, c] for i in range(3) for c in range(3)]
     rows += [zw[:, 0, c] * inv_det for c in range(3)]
     rows += [zw[:, 1, c] for c in range(3)]
@@ -125,6 +128,7 @@ WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 def _raster_kernel(
     # scalar prefetch
     hit_counts_ref,  # (num_tiles,) i32 in SMEM
+    params_ref,  # (1,) i32 in SMEM: [0] = framebuffer y offset (sp bands)
     # inputs
     hit_list_ref,  # (8, n_chunks_pad) i32 in SMEM — 8 tiles' hit chunks
     tri_data_hbm,  # (16, T_pad) f32 in ANY/HBM
@@ -160,10 +164,10 @@ def _raster_kernel(
     s_count = len(sample_offsets)
     log2s = {1: 0, 2: 1, 4: 2, 8: 3}[s_count]
     rows = s_count * tile_h
-    win = WINDOW_ROWS
+    win = min(WINDOW_ROWS, rows)
 
     tile_x0_i = tile_idx % tiles_x * tile_w
-    tile_y0_i = tile_idx // tiles_x * tile_h
+    tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
     tile_x0 = tile_x0_i.astype(jnp.float32)
     tile_y0 = tile_y0_i.astype(jnp.float32)
     tile_x1 = tile_x0 + float(tile_w)
@@ -360,6 +364,8 @@ def rasterize_pallas(
     chunk: int = 256,
     interpret: bool = False,
     sort: str = "morton",
+    y_offset=0,
+    id_base=0,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -371,15 +377,21 @@ def rasterize_pallas(
     Morton) and skips the per-frame argsort + permute gather entirely;
     sort="none" keeps draw order. Results are identical in all modes
     (lexicographic depth ties).
+
+    For multi-chip sharding (vktf_tpu.parallel): y_offset (traced scalar ok)
+    places this call's framebuffer band at a pixel-row offset in screen
+    space, and id_base offsets the emitted triangle ids so gp-sharded
+    triangle blocks keep globally-unique, draw-order-monotonic ids.
     """
     th, tw = tile_shape
     assert height % th == 0 and width % tw == 0
     if chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 (DMA tiling), got {chunk}")
-    if (th * msaa_samples) % WINDOW_ROWS != 0:
+    win = min(WINDOW_ROWS, th * msaa_samples)
+    if (th * msaa_samples) % win != 0:
         raise ValueError(
             f"tile rows ({th}*{msaa_samples}) must be a multiple of the "
-            f"raster window ({WINDOW_ROWS})"
+            f"raster window ({win})"
         )
     # triangle ids ride an f32 stream row; beyond 2^24 they stop being exact
     if setup["valid"].shape[0] >= 1 << 24:
@@ -393,7 +405,7 @@ def rasterize_pallas(
     if sort not in ("morton", "static", "none"):
         raise ValueError(f"unknown sort mode {sort!r}")
     perm = morton_order(setup) if sort == "morton" else None
-    tri_data = pack_tri_data(setup, perm)
+    tri_data = pack_tri_data(setup, perm, id_base=id_base)
     tri_data = _pad_cols(tri_data, chunk)
     t_pad = tri_data.shape[1]
     n_chunks = t_pad // chunk
@@ -441,9 +453,10 @@ def rasterize_pallas(
     # (num_tiles x n_chunks) overlap matrix is tiny next to the triangle
     # stream): each tile's kernel loop then touches ONLY its hit chunks, with
     # the next chunk's DMA prefetched while the current one rasterizes.
+    y_off = jnp.asarray(y_offset, jnp.int32)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     t_x0 = ((tile_ids % tiles_x) * tw).astype(jnp.float32)[:, None]
-    t_y0 = ((tile_ids // tiles_x) * th).astype(jnp.float32)[:, None]
+    t_y0 = ((tile_ids // tiles_x) * th + y_off).astype(jnp.float32)[:, None]
     overlap = (
         (chunk_bbox[0][None, :] < t_x0 + tw)
         & (chunk_bbox[2][None, :] > t_x0)
@@ -473,7 +486,7 @@ def rasterize_pallas(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(  # 8-tile group of hit-chunk lists, scalar-readable
@@ -503,7 +516,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((num_tiles, rows, tw), jnp.float32),
         ],
         interpret=interpret,
-    )(hit_counts, hit_list, tri_data, tri_bbox)
+    )(hit_counts, y_off.reshape(1), hit_list, tri_data, tri_bbox)
 
     def assemble(tiles):  # (num_tiles, th*S, tw), row = y*S + s -> (S, H, W)
         return (
