@@ -1,0 +1,116 @@
+"""Alpha MASK / BLEND golden tests: pallas depth-peel vs the numpy oracle.
+
+The reference parses glTF alphaMode/alphaCutoff (gltf_asset.cppm:618-644)
+and configures srcAlpha/(1-srcAlpha) blending (graphics_pipeline.cppm:
+226-234) but never acts on the modes; this framework implements the glTF
+semantics: OPAQUE ignores alpha, MASK discards below the cutoff, BLEND
+composites over the surface behind (2-layer depth peel in the pallas
+backend, mirrored by the oracle in ops/reference.py).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from vktf_tpu.models.gltf_writer import GltfWriter
+from vktf_tpu.models.primitives import box_mesh, plane_mesh
+
+from helpers import assert_images_close, render_both
+
+
+def _alpha_checker_png(size=16, cell=4):
+    from PIL import Image
+
+    img = np.zeros((size, size, 4), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = ((xx // cell) + (yy // cell)) % 2 == 0
+    img[..., :3] = 200
+    img[mask, 3] = 255
+    img[~mask, 3] = 40  # below the 0.5 cutoff -> masked out
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _quad_over_box(tmp_path, front_material_kwargs, name):
+    """An alpha-tested/blended quad floating in front of an opaque box."""
+    w = GltfWriter()
+    back = w.add_material(base_color_factor=(0.15, 0.6, 0.2, 1.0),
+                          metallic_factor=0.0, roughness_factor=0.8)
+    front = w.add_material(**front_material_kwargs)
+    mbox = w.add_mesh(box_mesh(0.6), material=back)
+    # plane_mesh is horizontal (y-up); rotate -90deg about x to face camera
+    mquad = w.add_mesh(plane_mesh(0.9), material=front)
+    light = w.add_light("point", color=(6.0, 6.0, 6.0))
+    sun = w.add_light("directional", color=(0.6, 0.6, 0.6))
+    w.add_scene([
+        w.add_node(mesh=mbox, translation=(0.0, 0.3, -0.6)),
+        w.add_node(mesh=mquad, translation=(0.1, 0.35, 0.45),
+                   rotation=(0.7071068, 0.0, 0.0, 0.7071068)),
+        w.add_node(light=light, translation=(1.2, 1.5, 2.0)),
+        w.add_node(light=sun, rotation=(0.2, 0.1, 0.0, 0.97)),
+    ])
+    return w.write(tmp_path / name)
+
+
+def test_alpha_blend_over_opaque(tmp_path):
+    path = _quad_over_box(
+        tmp_path,
+        dict(base_color_factor=(0.9, 0.25, 0.2, 0.45), metallic_factor=0.0,
+             roughness_factor=0.5, alpha_mode="BLEND"),
+        "blend.gltf",
+    )
+    produced, expected = render_both(path, 96, 64, msaa=1, backend="pallas")
+    assert_images_close(produced, expected)
+
+
+def test_alpha_mask_checker(tmp_path):
+    w = GltfWriter()
+    img = w.add_image_bytes(_alpha_checker_png(), "image/png")
+    sampler = w.add_sampler(mag=9728, min=9728)  # NEAREST/NEAREST
+    tex = w.add_texture(img, sampler)
+    back = w.add_material(base_color_factor=(0.1, 0.25, 0.8, 1.0),
+                          metallic_factor=0.0, roughness_factor=0.6)
+    masked = w.add_material(base_color_factor=(1.0, 1.0, 1.0, 1.0),
+                            base_color_texture=tex, metallic_factor=0.0,
+                            roughness_factor=0.7, alpha_mode="MASK",
+                            alpha_cutoff=0.5)
+    mbox = w.add_mesh(box_mesh(0.6), material=back)
+    mquad = w.add_mesh(plane_mesh(0.9), material=masked)
+    light = w.add_light("point", color=(6.0, 6.0, 6.0))
+    w.add_scene([
+        w.add_node(mesh=mbox, translation=(0.0, 0.3, -0.6)),
+        w.add_node(mesh=mquad, translation=(0.1, 0.35, 0.45),
+                   rotation=(0.7071068, 0.0, 0.0, 0.7071068)),
+        w.add_node(light=light, translation=(1.2, 1.5, 2.0)),
+    ])
+    path = w.write(tmp_path / "mask.gltf")
+    produced, expected = render_both(path, 96, 64, msaa=1, backend="pallas")
+    assert_images_close(produced, expected)
+
+
+def test_blend_msaa_pixel_rate(tmp_path):
+    """4x MSAA pixel-rate shading with a blended surface stays within the
+    pixel-rate tolerance budget."""
+    path = _quad_over_box(
+        tmp_path,
+        dict(base_color_factor=(0.9, 0.25, 0.2, 0.45), metallic_factor=0.0,
+             roughness_factor=0.5, alpha_mode="BLEND"),
+        "blend4.gltf",
+    )
+    produced, expected = render_both(path, 96, 64, msaa=4, backend="pallas",
+                                     shading_rate="pixel")
+    assert_images_close(produced, expected, max_mean=3.0,
+                        max_outlier_frac=0.06)
+
+
+def test_opaque_scene_single_layer(tmp_path):
+    """All-opaque scenes keep the 1-layer fast path (peel_layers == 1)."""
+    from helpers import build_scene
+
+    w = GltfWriter()
+    m = w.add_material(base_color_factor=(0.5, 0.5, 0.5, 1.0))
+    w.add_scene([w.add_node(mesh=w.add_mesh(box_mesh(), material=m))])
+    _scene, meta, _aux = build_scene(w.write(tmp_path / "op.gltf"))
+    assert meta.peel_layers == 1

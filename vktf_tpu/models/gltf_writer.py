@@ -113,6 +113,7 @@ class GltfWriter:
         normal_texture: Optional[int] = None,
         normal_scale: float = 1.0,
         alpha_mode: str = "OPAQUE",
+        alpha_cutoff: Optional[float] = None,
         double_sided: bool = False,
     ) -> int:
         pbr: dict[str, Any] = {
@@ -131,6 +132,8 @@ class GltfWriter:
             material["normalTexture"] = {"index": normal_texture, "scale": float(normal_scale)}
         if alpha_mode != "OPAQUE":
             material["alphaMode"] = alpha_mode
+        if alpha_cutoff is not None:
+            material["alphaCutoff"] = float(alpha_cutoff)
         if double_sided:
             material["doubleSided"] = True
         self.gltf.setdefault("materials", []).append(material)

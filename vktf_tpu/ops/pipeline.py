@@ -81,8 +81,6 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
     (pos, normal, tangent) per-vertex arrays and inst_matrix is the (I,4,4)
     per-instance world transform (consumed by the shade-table build).
     """
-    ph, pw = config.padded_height, config.padded_width
-
     node_global = propagate_transforms(
         scene.node_local, scene.node_parent, meta.level_slices
     )
@@ -96,7 +94,12 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
         scene.positions, scene.normals, scene.tangents, vert_matrix
     )
     clip = clip_transform(world_pos, view_projection)
-    setup = dict(triangle_setup(clip, scene.indices, pw, ph))
+    # Viewport transform uses the LOGICAL width/height: the padded
+    # framebuffer region beyond (width, height) is extra raster area that is
+    # cropped away, NOT part of the projection. (Passing padded dims here
+    # stretched every frame whose size wasn't a tile multiple — e.g. 1080p
+    # rendered with a 0.7% vertical stretch against the 1088-row pad.)
+    setup = dict(triangle_setup(clip, scene.indices, config.width, config.height))
 
     # frustum culling (per instance = per primitive-draw)
     planes = frustum_planes(view_projection)
@@ -136,6 +139,7 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
         scene.mat_base_color,
         scene.mat_metallic_roughness,
         scene.mat_normal_scale,
+        scene.mat_alpha,
         scene.mat_textures,
         scene.texture_pool,
         camera_position,
@@ -148,22 +152,28 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
                          *, config: RenderConfig, y0=0):
     """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
 
-    tri_id: (S, h, w) winner ids at framebuffer pixel-row offset y0 (y0 may
-    be traced — the multi-chip path passes each device's band offset).
-    Returns planar (4, h, w) uint8.
+    tri_id: (S, h, w) winner ids — or (L, S, h, w) depth-peeled layers,
+    nearest first — at framebuffer pixel-row offset y0 (y0 may be traced;
+    the multi-chip path passes each device's band offset). Layers composite
+    front-to-back with glTF alphaMode semantics (OPAQUE/MASK/BLEND) over the
+    clear color. Returns planar (4, h, w) uint8.
     """
-    from vktf_tpu.ops.shade_table import shade_table_samples
+    from vktf_tpu.ops.shade_table import shade_table_layer
 
-    S, h, w = tri_id.shape
+    ids = tri_id if tri_id.ndim == 4 else tri_id[None]
+    layers, S, h, w = ids.shape
     offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
     background = jnp.asarray(config.clear_color, jnp.float32)
     y_off = jnp.asarray(y0, jnp.float32)
 
-    def shade_chunked(tri_flat, sx_flat, sy_flat):
-        # Shade in chunks: every per-sample row gather materializes a
-        # lane-padded buffer, so a full 8.3M-sample frame would hold
-        # several-GB intermediates at once (measured OOM).
-        n = tri_flat.shape[0]
+    def shade_chunked(layer_ids, sx_flat, sy_flat):
+        """Shade each layer of flat samples; returns (rgb (L,3,N), a (L,N)).
+
+        Chunked because every per-sample row gather materializes a
+        lane-padded buffer — a full 8.3M-sample frame would hold several-GB
+        intermediates at once (measured OOM).
+        """
+        n = sx_flat.shape[0]
         shade_chunk = min(config.shade_chunk, n)
         n_pad = -(-n // shade_chunk) * shade_chunk
         pad = n_pad - n
@@ -175,15 +185,26 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
 
         def shade_one(args):
             tri_c, sx_c, sy_c = args
-            return shade_table_samples(
+            rgb, a, _covered = shade_table_layer(
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
-                camera_position, lights, background,
-            )  # (4, shade_chunk)
+                camera_position, lights,
+            )
+            return rgb, a  # (3, chunk), (chunk,)
 
-        rgba = jax.lax.map(
-            shade_one, (flat_pad(tri_flat), flat_pad(sx_flat), flat_pad(sy_flat))
-        )  # (chunks, 4, shade_chunk)
-        return rgba.transpose(1, 0, 2).reshape(4, n_pad)[:, :n]
+        sxp, syp = flat_pad(sx_flat), flat_pad(sy_flat)
+        out_rgb, out_a = [], []
+        for l in range(layers):
+            rgb, a = jax.lax.map(shade_one, (flat_pad(layer_ids[l]), sxp, syp))
+            out_rgb.append(rgb.transpose(1, 0, 2).reshape(3, n_pad)[:, :n])
+            out_a.append(a.reshape(n_pad)[:n])
+        return out_rgb, out_a
+
+    def composite(rgbs, alphas):
+        """Front-to-back over() of the shaded layers onto the clear color."""
+        comp = jnp.broadcast_to(background[:3, None], rgbs[0].shape)
+        for l in reversed(range(layers)):
+            comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
+        return comp
 
     if config.shading_rate == "pixel" and S > 1:
         # Vulkan non-sampleShading semantics: shade once per pixel at the
@@ -191,24 +212,26 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
         # 4x MSAA; silhouette-vs-background edges resolve exactly,
         # object-object sample edges approximate to the pixel winner.
         n_px = h * w
-        id_px = jnp.max(tri_id, axis=0)  # any covered sample's triangle
+        id_px = jnp.max(ids, axis=1).reshape(layers, n_px)
         py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y_off
         px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        rgba_px = shade_chunked(
-            id_px.reshape(n_px),
-            (px + 0.5).reshape(n_px),
-            (py + 0.5).reshape(n_px),
-        ).reshape(4, h, w)
-        frac = jnp.mean((tri_id >= 0).astype(jnp.float32), axis=0)  # (h,w)
-        resolved = rgba_px[:3] * frac + background[:3, None, None] * (1.0 - frac)
+        rgbs, alphas = shade_chunked(
+            id_px, (px + 0.5).reshape(n_px), (py + 0.5).reshape(n_px)
+        )
+        comp = composite(rgbs, alphas).reshape(3, h, w)
+        frac = jnp.mean((ids[0] >= 0).astype(jnp.float32), axis=0)  # (h,w)
+        resolved = comp * frac + background[:3, None, None] * (1.0 - frac)
     else:
         py = jax.lax.broadcasted_iota(jnp.float32, (S, h, w), 1) + y_off
         px = jax.lax.broadcasted_iota(jnp.float32, (S, h, w), 2)
         sx = px + offsets[:, 0][:, None, None]
         sy = py + offsets[:, 1][:, None, None]
         n = S * h * w
-        rgba = shade_chunked(tri_id.reshape(n), sx.reshape(n), sy.reshape(n))
-        resolved = jnp.mean(rgba.reshape(4, S, h, w), axis=1)[:3]
+        rgbs, alphas = shade_chunked(
+            ids.reshape(layers, n), sx.reshape(n), sy.reshape(n)
+        )
+        comp = composite(rgbs, alphas)
+        resolved = jnp.mean(comp.reshape(3, S, h, w), axis=1)
     rgb_u8 = linear_to_srgb_u8(resolved)
     alpha_u8 = jnp.full((1, h, w), 255, jnp.uint8)
     return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
@@ -289,7 +312,7 @@ def render_frame(
         tri_id, _depth = rasterize_pallas(
             setup, ph, pw, tile_shape=config.tile_shape,
             msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-            interpret=interpret, sort="morton",
+            interpret=interpret, sort="morton", layers=meta.peel_layers,
         )
         tri_id = jax.lax.optimization_barrier(tri_id)
         table = jax.lax.optimization_barrier(

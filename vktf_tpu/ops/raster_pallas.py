@@ -133,21 +133,20 @@ def _raster_kernel(
     hit_list_ref,  # (8, n_chunks_pad) i32 in SMEM — 8 tiles' hit chunks
     tri_data_hbm,  # (16, T_pad) f32 in ANY/HBM
     tri_bbox_hbm,  # (4, T_pad) f32 in ANY/HBM
-    # outputs (blocked per tile)
-    out_id_ref,  # (1, S*th, tw) i32 VMEM — row = y*S + s (y-major interleave)
-    out_depth_ref,  # (1, S*th, tw) f32 VMEM
-    # scratch (double-buffered chunk streams)
-    data_smem,  # (2, 16, CHUNK) f32 SMEM
-    bbox_smem,  # (2, 8, CHUNK) f32 SMEM (rows 4-7 = group bboxes)
-    data_sem,  # DMA (2,)
-    bbox_sem,  # DMA (2,)
-    *,
+    # outputs (blocked per tile): per layer (id, depth) pairs, then scratch
+    *outs_and_scratch,
+    # out_id_ref[l],  (1, S*th, tw) i32 VMEM — row = y*S + s (y-major)
+    # out_depth_ref[l],  (1, S*th, tw) f32 VMEM
+    # data_smem: (2, 16, CHUNK) f32 SMEM (double-buffered chunk stream)
+    # bbox_smem: (2, 8, CHUNK) f32 SMEM (rows 4-7 = group bboxes)
+    # data_sem, bbox_sem: DMA (2,)
     tiles_x: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_chunks: int,
     sample_offsets: tuple,
+    layers: int,
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
 
@@ -159,7 +158,17 @@ def _raster_kernel(
     pays 32). Windows are 8-row aligned for sublane-aligned dynamic slices;
     re-evaluating an overlap row is safe because the depth-test update is
     idempotent for a fixed triangle.
+
+    With layers=2 the kernel depth-peels: it keeps the TWO lexicographically
+    nearest (depth, draw-order) fragments per sample, which alpha MASK/BLEND
+    compositing consumes downstream (the reference's fixed blend state,
+    graphics_pipeline.cppm:226-234, resolved against the next-nearest
+    surface instead of draw-order framebuffer contents).
     """
+    out_refs = outs_and_scratch[: 2 * layers]
+    id_refs = [out_refs[2 * l] for l in range(layers)]
+    depth_refs = [out_refs[2 * l + 1] for l in range(layers)]
+    data_smem, bbox_smem, data_sem, bbox_sem = outs_and_scratch[2 * layers:]
     tile_idx = pl.program_id(0)
     s_count = len(sample_offsets)
     log2s = {1: 0, 2: 1, 4: 2, 8: 3}[s_count]
@@ -188,12 +197,13 @@ def _raster_kernel(
     syy_pat = y_pat + off_y  # + tile_y0 + rs/S per window
 
     def init_rows(r, _):
-        out_id_ref[0, pl.ds(r * win, win)] = jnp.full(
-            (win, tile_w), int(BACKGROUND), jnp.int32
-        )
-        out_depth_ref[0, pl.ds(r * win, win)] = jnp.ones(
-            (win, tile_w), jnp.float32
-        )
+        for l in range(layers):
+            id_refs[l][0, pl.ds(r * win, win)] = jnp.full(
+                (win, tile_w), int(BACKGROUND), jnp.int32
+            )
+            depth_refs[l][0, pl.ds(r * win, win)] = jnp.ones(
+                (win, tile_w), jnp.float32
+            )
         return 0
 
     jax.lax.fori_loop(0, rows // win, init_rows, 0, unroll=False)
@@ -263,8 +273,12 @@ def _raster_kernel(
                     syy = y_base + syy_pat  # (win, tw)
                     win_y1 = y_base + float(win >> log2s)
 
-                    acc_d = out_depth_ref[0, pl.ds(rs, win)]
-                    acc_i = out_id_ref[0, pl.ds(rs, win)]
+                    accs = [
+                        (depth_refs[l][0, pl.ds(rs, win)],
+                         id_refs[l][0, pl.ds(rs, win)])
+                        for l in range(layers)
+                    ]
+                    acc_d, acc_i = accs[0]
 
                     # BRANCHLESS, unrolled straight-line block over the 16
                     # group triangles: per-triangle branches (pl.when /
@@ -329,19 +343,38 @@ def _raster_kernel(
                         # lexicographic (depth, draw-order id): the stream
                         # is Morton-reordered, so strict-less alone would
                         # change who wins exact-depth ties
-                        ok = (
+                        base_ok = (
                             (inside_f > 0.5)
                             & (w_recip > 0.0)
                             & (depth >= 0.0)
                             & (depth <= 1.0)
-                            & ((depth < acc_d)
-                               | ((depth == acc_d) & (tri_id < acc_i)))
                         )
-                        acc_d = jnp.where(ok, depth, acc_d)
-                        acc_i = jnp.where(ok, tri_id, acc_i)
 
-                    out_depth_ref[0, pl.ds(rs, win)] = acc_d
-                    out_id_ref[0, pl.ds(rs, win)] = acc_i
+                        def lex_less(d, i):
+                            return (depth < d) | ((depth == d) & (tri_id < i))
+
+                        if layers == 1:
+                            ok = base_ok & lex_less(acc_d, acc_i)
+                            acc_d = jnp.where(ok, depth, acc_d)
+                            acc_i = jnp.where(ok, tri_id, acc_i)
+                        else:
+                            # depth peel: insert into the sorted 2-layer list
+                            d1, i1 = accs[1]
+                            ok0 = base_ok & lex_less(acc_d, acc_i)
+                            ok1 = base_ok & ~ok0 & lex_less(d1, i1)
+                            accs[1] = (
+                                jnp.where(ok0, acc_d,
+                                          jnp.where(ok1, depth, d1)),
+                                jnp.where(ok0, acc_i,
+                                          jnp.where(ok1, tri_id, i1)),
+                            )
+                            acc_d = jnp.where(ok0, depth, acc_d)
+                            acc_i = jnp.where(ok0, tri_id, acc_i)
+
+                    accs[0] = (acc_d, acc_i)
+                    for l in range(layers):
+                        depth_refs[l][0, pl.ds(rs, win)] = accs[l][0]
+                        id_refs[l][0, pl.ds(rs, win)] = accs[l][1]
                     return 0
 
                 jax.lax.fori_loop(0, nw, window, 0, unroll=False)
@@ -366,11 +399,14 @@ def rasterize_pallas(
     sort: str = "morton",
     y_offset=0,
     id_base=0,
+    layers: int = 1,
 ):
     """Rasterize via the Pallas streaming kernel.
 
     Returns (tri_id, depth) of shape (S, H, W) — same contract as
-    rasterize_dense / rasterize_tiled. height/width must be tile multiples.
+    rasterize_dense / rasterize_tiled — or (layers, S, H, W) each when
+    layers > 1 (depth peeling: the lexicographically nearest fragments per
+    sample, nearest first). height/width must be tile multiples.
     sort="morton" streams triangles in screen-space Morton order (tight chunk
     bboxes -> effective prefilter); sort="static" assumes the stream was
     already spatially sorted at scene build (flatten_assets world-space
@@ -475,6 +511,8 @@ def rasterize_pallas(
 
     hit_cols = hit_list.shape[1]
 
+    if layers not in (1, 2):
+        raise ValueError(f"layers must be 1 or 2, got {layers}")
     kernel = functools.partial(
         _raster_kernel,
         tiles_x=tiles_x,
@@ -483,6 +521,7 @@ def rasterize_pallas(
         chunk=chunk,
         n_chunks=n_chunks,
         sample_offsets=offsets,
+        layers=layers,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -497,8 +536,8 @@ def rasterize_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # tri_bbox stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0))
+            for _ in range(2 * layers)
         ],
         scratch_shapes=[
             pltpu.SMEM((2, TRI_ROWS, chunk), jnp.float32),
@@ -508,12 +547,14 @@ def rasterize_pallas(
         ],
     )
 
-    out_id, out_depth = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, rows, tw), jnp.int32),
-            jax.ShapeDtypeStruct((num_tiles, rows, tw), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_tiles, rows, tw), jnp.int32 if i % 2 == 0 else jnp.float32
+            )
+            for i in range(2 * layers)
         ],
         interpret=interpret,
     )(hit_counts, y_off.reshape(1), hit_list, tri_data, tri_bbox)
@@ -525,4 +566,8 @@ def rasterize_pallas(
             .reshape(S, height, width)
         )
 
-    return assemble(out_id), assemble(out_depth)
+    if layers == 1:
+        return assemble(outs[0]), assemble(outs[1])
+    tri_id = jnp.stack([assemble(outs[2 * l]) for l in range(layers)])
+    depth = jnp.stack([assemble(outs[2 * l + 1]) for l in range(layers)])
+    return tri_id, depth

@@ -135,6 +135,7 @@ class ReferenceScene:
         self.mat_base_color = as_np(scene.mat_base_color)
         self.mat_mr = as_np(scene.mat_metallic_roughness)
         self.mat_normal_scale = as_np(scene.mat_normal_scale)
+        self.mat_alpha = as_np(scene.mat_alpha)  # (M,2): (mode, cutoff)
         self.mat_textures = as_np(scene.mat_textures)
         self.light_node = as_np(scene.light_node)
         self.light_type = as_np(scene.light_type)
@@ -182,8 +183,12 @@ def render_reference(
     bg = np.asarray(background, np.float64)
 
     for (ox, oy) in sample_offsets:
-        depth_buf = np.ones((height, width), np.float64)
-        color_buf = np.tile(bg[:3], (height, width, 1))
+        # 2-layer depth peel: the two nearest fragments per sample, matching
+        # the production kernel's alpha MASK/BLEND semantics (ties keep the
+        # earlier-drawn triangle, i.e. lexicographic (depth, draw order)).
+        depth_buf = np.ones((2, height, width), np.float64)
+        layer_rgb = np.zeros((2, height, width, 3), np.float64)
+        layer_a = np.zeros((2, height, width), np.float64)
         num_tris = ref.indices.shape[0]
         for t in range(num_tris):
             i0, i1, i2 = ref.indices[t]
@@ -206,6 +211,7 @@ def render_reference(
             base_factor = ref.mat_base_color[material]
             mr_factor = ref.mat_mr[material]
             nscale = ref.mat_normal_scale[material]
+            alpha_mode, alpha_cutoff = ref.mat_alpha[material]
             tex_ids = ref.mat_textures[material]
             wps = world_pos[[i0, i1, i2]]
             wns = world_normal[[i0, i1, i2]]
@@ -222,8 +228,9 @@ def render_reference(
                         continue
                     lam_s = np.asarray([w0, w1, w2]) / area2
                     depth = float(lam_s @ ndc[:, 2])
-                    if depth < 0.0 or depth > 1.0 or depth >= depth_buf[py, px]:
+                    if depth < 0.0 or depth > 1.0 or depth >= depth_buf[1, py, px]:
                         continue
+                    layer = 0 if depth < depth_buf[0, py, px] else 1
                     # perspective-correct barycentrics
                     lw = lam_s * inv_w
                     lam = lw / lw.sum()
@@ -284,9 +291,27 @@ def render_reference(
                         brdf = _brdf_ref(base[:3], metallic, roughness, l, normal, v)
                         radiance += atten * color * brdf * max(float(normal @ l), 0.0)
 
-                    alpha = base[3]
-                    depth_buf[py, px] = depth
-                    color_buf[py, px] = radiance * alpha + bg[:3] * (1 - alpha)
+                    # effective alpha by glTF alphaMode (OPAQUE/MASK/BLEND)
+                    if alpha_mode == 1:
+                        alpha = 1.0 if base[3] >= alpha_cutoff else 0.0
+                    elif alpha_mode == 2:
+                        alpha = float(base[3])
+                    else:
+                        alpha = 1.0
+                    if layer == 0:  # push the incumbent nearest to layer 1
+                        depth_buf[1, py, px] = depth_buf[0, py, px]
+                        layer_rgb[1, py, px] = layer_rgb[0, py, px]
+                        layer_a[1, py, px] = layer_a[0, py, px]
+                    depth_buf[layer, py, px] = depth
+                    layer_rgb[layer, py, px] = radiance
+                    layer_a[layer, py, px] = alpha
+        # front-to-back over() of the two layers onto the clear color
+        color_buf = (
+            layer_a[0, ..., None] * layer_rgb[0]
+            + (1.0 - layer_a[0, ..., None])
+            * (layer_a[1, ..., None] * layer_rgb[1]
+               + (1.0 - layer_a[1, ..., None]) * bg[:3])
+        )
         accum += color_buf
     accum /= S
     c = np.clip(accum, 0.0, 1.0)

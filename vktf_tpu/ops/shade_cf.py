@@ -116,6 +116,7 @@ def shade_samples_cf(
     mat_base_color,
     mat_metallic_roughness,
     mat_normal_scale,
+    mat_alpha,
     mat_textures,
     texture_pool: TexturePool,
     camera_position,
@@ -214,7 +215,18 @@ def shade_samples_cf(
     radiance = shade_lights_cf(
         wp, normal, view, base_rgba[:3], metallic, roughness, lights
     )
-    alpha = base_rgba[3]
+    # effective alpha by glTF alphaMode: OPAQUE -> 1, MASK -> step(cutoff),
+    # BLEND -> textured alpha. This single-layer backend blends only against
+    # the clear color (no depth peeling — use the pallas backend for correct
+    # surface-behind-surface translucency).
+    amode = mat_alpha[:, 0][t]
+    acut = mat_alpha[:, 1][t]
+    a = base_rgba[3]
+    alpha = jnp.where(
+        amode == 0.0,
+        1.0,
+        jnp.where(amode == 1.0, (a >= acut).astype(jnp.float32), a),
+    )
 
     # blend srcAlpha/(1-srcAlpha) over the clear color, background passthrough
     out = []

@@ -43,6 +43,8 @@ _C_WRAPV = 50
 _C_MAGN = 51
 _C_MINN = 52
 _C_MIPN = 53
+_C_AMODE = 54  # alpha mode: 0 OPAQUE, 1 MASK, 2 BLEND
+_C_ACUT = 55  # MASK alpha cutoff
 
 
 def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
@@ -211,7 +213,36 @@ def shade_table_samples(
     lights,
     background_rgba,
 ):
-    """Shade flat samples from the shade table; returns (4, N) linear RGBA."""
+    """Shade flat samples from the shade table; returns (4, N) linear RGBA,
+    composited over the background (the single-layer path)."""
+    rgb, alpha, covered = shade_table_layer(
+        tri_id, sx, sy, table, quad_pool, camera_position, lights
+    )
+    out = []
+    for c in range(3):
+        comp = rgb[c] * alpha + background_rgba[c] * (1.0 - alpha)
+        out.append(jnp.where(covered, comp, background_rgba[c]))
+    out.append(jnp.where(covered, 1.0, background_rgba[3]))
+    return jnp.stack(out, axis=0)
+
+
+def shade_table_layer(
+    tri_id,
+    sx,
+    sy,
+    table,
+    quad_pool,
+    camera_position,
+    lights,
+):
+    """Shade one visibility layer; returns (rgb (3,N), alpha_eff (N,),
+    covered (N,) bool).
+
+    alpha_eff applies the glTF alphaMode semantics the reference parses but
+    does not act on (gltf material alpha_mode/alpha_cutoff): OPAQUE forces
+    1, MASK thresholds the textured alpha at the cutoff (0 or 1), BLEND
+    passes it through for over-compositing by the caller.
+    """
     covered = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
     row = gather_table_f32(table, t)  # (N, ROW) f32 from packed u16
@@ -295,11 +326,15 @@ def shade_table_samples(
         camera_position[2] - wp[2],
     )
     radiance = shade_lights_cf(wp, normal, view, base_rgba[:3], metallic, roughness, lights)
-    alpha = base_rgba[3]
 
-    out = []
-    for c in range(3):
-        rgb = radiance[c] * alpha + background_rgba[c] * (1.0 - alpha)
-        out.append(jnp.where(covered, rgb, background_rgba[c]))
-    out.append(jnp.where(covered, 1.0, background_rgba[3]))
-    return jnp.stack(out, axis=0)
+    # effective alpha by glTF alphaMode: OPAQUE -> 1, MASK -> step(cutoff),
+    # BLEND -> textured alpha; uncovered samples contribute nothing
+    mode = col(_C_AMODE)
+    a = base_rgba[3]
+    alpha = jnp.where(
+        mode == 0.0,
+        1.0,
+        jnp.where(mode == 1.0, (a >= col(_C_ACUT)).astype(jnp.float32), a),
+    )
+    alpha = jnp.where(covered, alpha, 0.0)
+    return jnp.stack(radiance, axis=0), alpha, covered

@@ -129,6 +129,7 @@ def render_frame_sharded(
         band_y0 = sp_rank.astype(jnp.int32) * band_h
 
         # sort-first: this device's band, sort-last: its triangle shard
+        layers = meta.peel_layers
         tri_id, depth = rasterize_pallas(
             setup_local, band_h, pw,
             tile_shape=config.tile_shape,
@@ -138,24 +139,46 @@ def render_frame_sharded(
             sort="morton",
             y_offset=band_y0,
             id_base=id_base,
-        )  # (S, band_h, pw), ids GLOBAL, -1 background
+            layers=layers,
+        )  # ([L,] S, band_h, pw), ids GLOBAL, -1 background
 
         # sort-last compositing: lexicographic (depth, id) min over gp.
         # Uncovered samples carry (clear depth, id -1), which reproduces the
         # single-chip rule that a triangle at exactly the clear depth loses
         # to the background.
-        min_depth = jax.lax.pmin(depth, "gp")
-        cand = jnp.where(depth == min_depth, tri_id, jnp.int32(2**31 - 1))
-        win_id = jax.lax.pmin(cand, "gp")
+        imax = jnp.int32(2**31 - 1)
+
+        def lexmin_gp(d, i):
+            gd = jax.lax.pmin(d, "gp")
+            gi = jax.lax.pmin(jnp.where(d == gd, i, imax), "gp")
+            return gd, gi
+
+        if layers == 1:
+            _, win_id = lexmin_gp(depth, tri_id)
+        else:
+            # merge each rank's sorted 2-layer list into the global nearest
+            # two: layer0 = global lexmin of local layer0s; layer1 = lexmin
+            # over {rank's layer1 if its layer0 won, else its layer0}
+            g0d, g0i = lexmin_gp(depth[0], tri_id[0])
+            is_win = (depth[0] == g0d) & (tri_id[0] == g0i)
+            cand_d = jnp.where(is_win, depth[1], depth[0])
+            cand_i = jnp.where(is_win, tri_id[1], tri_id[0])
+            _, g1i = lexmin_gp(cand_d, cand_i)
+            win_id = jnp.stack([g0i, g1i])
         win_id = jax.lax.optimization_barrier(win_id)
 
         # shade a disjoint row-slice of the band per gp rank
         rh = band_h // gp
         rows0 = gp_rank * rh
-        s_count = tri_id.shape[0]
-        id_slice = jax.lax.dynamic_slice(
-            win_id, (0, rows0, 0), (s_count, rh, pw)
-        )
+        s_count = tri_id.shape[-3]
+        if layers == 1:
+            id_slice = jax.lax.dynamic_slice(
+                win_id, (0, rows0, 0), (s_count, rh, pw)
+            )
+        else:
+            id_slice = jax.lax.dynamic_slice(
+                win_id, (0, 0, rows0, 0), (layers, s_count, rh, pw)
+            )
         rgba_slice = pallas_shade_resolve(
             id_slice, scene, table, lights, camera_position,
             config=config, y0=band_y0 + rows0,

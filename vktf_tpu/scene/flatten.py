@@ -85,6 +85,11 @@ class SceneMeta:
     num_instances: int
     num_triangles: int
     num_vertices: int
+    # Depth-peel layer count: 2 when any material is alpha MASK/BLEND so the
+    # rasterizer keeps the two nearest fragments per sample, else 1. A static
+    # jit-specialization knob like the light count (the analogue of the
+    # reference's per-scene pipeline state, graphics_pipeline.cppm:226-234).
+    peel_layers: int = 1
 
 
 def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -384,12 +389,14 @@ def flatten_assets(
             col = np.ascontiguousarray(attr[:, c])
             for i in range(3):
                 tri_corner[base + c * 3 + i] = col[indices[:, i]]
-    # Static material columns of the shade table (15, T): base color (4),
-    # metallic-roughness (2), normal scale (1), mat_meta (8).
+    # Static material columns of the shade table (17, T): base color (4),
+    # metallic-roughness (2), normal scale (1), mat_meta (8), alpha mode +
+    # cutoff (2).
     mat_cols = np.concatenate(
-        [mat_base_color, mat_mr, mat_normal_scale[:, None], mat_meta], axis=1
-    ).astype(np.float32)  # (M, 15)
-    tri_static_cols = np.ascontiguousarray(mat_cols[tri_material].T)  # (15,T)
+        [mat_base_color, mat_mr, mat_normal_scale[:, None], mat_meta, mat_alpha],
+        axis=1,
+    ).astype(np.float32)  # (M, 17)
+    tri_static_cols = np.ascontiguousarray(mat_cols[tri_material].T)  # (17,T)
 
     # ---- lights ------------------------------------------------------------
     light_nodes, light_types, light_colors = [], [], []
@@ -437,6 +444,7 @@ def flatten_assets(
         num_instances=len(inst_nodes),
         num_triangles=int(indices.shape[0]),
         num_vertices=int(positions.shape[0]),
+        peel_layers=2 if bool((mat_alpha[:, 0] != 0).any()) else 1,
     )
     aux = {"texture_entries": texture_entries}
     return scene, meta, aux
