@@ -82,9 +82,12 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     def loop(n: int) -> float:
         """Steady-state loop, MAX_RENDER_FRAMES deep like Engine.render:
         dispatch frame i+1 (with an async host copy) before materializing
-        frame i, so transfer and dispatch overlap device compute."""
+        frame i, so transfer and dispatch overlap device compute. Reports the
+        MEDIAN present-to-present interval — the shared/tunneled TPU shows
+        transient multi-hundred-ms stalls that a mean would absorb into the
+        steady-state number."""
         in_flight = []
-        t0 = time.time()
+        presents = []
         for _ in range(n):
             if animate:
                 # per-frame camera motion — the reference's per-frame
@@ -95,9 +98,11 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
             in_flight.append(frame)
             if len(in_flight) >= MAX_RENDER_FRAMES:
                 np.asarray(in_flight.pop(0))
+                presents.append(time.time())
         for frame in in_flight:
             np.asarray(frame)
-        return (time.time() - t0) / n
+            presents.append(time.time())
+        return float(np.median(np.diff(presents)))
 
     loop(warmup)
     dt = loop(frames)
@@ -127,6 +132,8 @@ def main() -> int:
                         choices=["pallas", "tiled", "dense"],
                         help="raster backend (default: pallas on TPU, tiled elsewhere)")
     parser.add_argument("--all", action="store_true")
+    parser.add_argument("--verbose", action="store_true",
+                        help="print observability counters to stderr")
     args = parser.parse_args()
 
     presets = sorted(CONFIGS) if args.all else [args.preset]
@@ -158,6 +165,10 @@ def main() -> int:
             "mtris_per_s": round(stats["mtris_per_s"], 1),
             "compile_s": round(stats["compile_s"], 1),
         }))
+    if args.verbose:
+        from vktf_tpu.utils.profiling import counters
+
+        print(f"counters: {counters.snapshot()}", file=sys.stderr)
     return code
 
 

@@ -31,6 +31,7 @@ from vktf_tpu.loaders.gltf import load_gltf
 from vktf_tpu.log import Log, default_log
 from vktf_tpu.scene.scene import Scene
 from vktf_tpu.utils.delta_time import DeltaTime
+from vktf_tpu.utils.profiling import annotate, counters
 from vktf_tpu.utils.timing import FrameTimer
 from vktf_tpu.window import Window
 
@@ -61,6 +62,7 @@ class Engine:
         cache_dir = enable_persistent_cache()
         self.log.info(f"Compile cache at {cache_dir}")
         self._in_flight: deque = deque()
+        self._checked_scene: Optional[Scene] = None
         self.frame_timer = FrameTimer()
 
     # -- asset loading (engine.cppm:459-499) ---------------------------------
@@ -102,7 +104,22 @@ class Engine:
         async dispatch, and we only block on (and present) a frame once the
         in-flight queue is full — the fence-wait analogue (engine.cppm:505-509).
         """
-        frame = scene.render_async()
+        if scene is not self._checked_scene:
+            # one-time binning-overflow diagnostic per scene (skip-and-log
+            # policy, SURVEY.md §5.3): the tiled backend drops triangles
+            # silently past its bin capacities
+            self._checked_scene = scene
+            diag = scene.binning_diagnostics()
+            if diag["dropped_pairs"] or diag["dropped_large"]:
+                counters.add("binning.dropped_pairs", diag["dropped_pairs"])
+                counters.add("binning.dropped_large", diag["dropped_large"])
+                self.log.error(
+                    f"Binning overflow: {diag['dropped_pairs']} tile pairs + "
+                    f"{diag['dropped_large']} large triangles dropped — raise "
+                    "bin_capacity/large_capacity or use the pallas backend"
+                )
+        with annotate("engine.dispatch"):
+            frame = scene.render_async()
         # start the device->host copy now so it overlaps the next frame's
         # compute (the swapchain-present DMA analogue); np.asarray below then
         # only waits, instead of serializing an 8 MB transfer per frame
@@ -113,7 +130,8 @@ class Engine:
         self._in_flight.append(frame)
         if len(self._in_flight) >= MAX_RENDER_FRAMES:
             oldest = self._in_flight.popleft()
-            self.window.present(np.asarray(oldest))
+            with annotate("engine.present"):
+                self.window.present(np.asarray(oldest))
             self.frame_timer.tick()
 
     def wait_idle(self) -> None:
@@ -121,3 +139,13 @@ class Engine:
         while self._in_flight:
             self.window.present(np.asarray(self._in_flight.popleft()))
             self.frame_timer.tick()
+        summary = self.frame_timer.summary()
+        if summary.get("frames", 0) > 1:
+            self.log.info(
+                "Frame stats: {fps:.2f} FPS, {frame_ms_mean:.1f} ms mean, "
+                "p50 {frame_ms_p50:.1f} / p99 {frame_ms_p99:.1f} ms over "
+                "{frames} frames".format(**summary)
+            )
+        events = counters.snapshot()
+        if events:
+            self.log.info(f"Counters: {events}")

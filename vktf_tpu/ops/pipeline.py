@@ -291,9 +291,10 @@ def render_frame(
     height, width = config.height, config.width
     ph, pw = config.padded_height, config.padded_width
 
-    setup, bins, lights, world, inst_matrix = prepare_frame(
-        scene, camera_view_projection, camera_position, meta=meta, config=config
-    )
+    with jax.named_scope("vktf.prepare"):
+        setup, bins, lights, world, inst_matrix = prepare_frame(
+            scene, camera_view_projection, camera_position, meta=meta, config=config
+        )
     backend = config.resolved_backend()
 
     if backend == "pallas":
@@ -309,18 +310,21 @@ def render_frame(
         # into the raster/shade consumers blows up compile time (measured
         # minutes -> hours at 1080p); barriers keep stages separate.
         setup = jax.lax.optimization_barrier(setup)
-        tri_id, _depth = rasterize_pallas(
-            setup, ph, pw, tile_shape=config.tile_shape,
-            msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-            interpret=interpret, sort="morton", layers=meta.peel_layers,
-        )
+        with jax.named_scope("vktf.raster"):
+            tri_id, _depth = rasterize_pallas(
+                setup, ph, pw, tile_shape=config.tile_shape,
+                msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
+                interpret=interpret, sort="morton", layers=meta.peel_layers,
+            )
         tri_id = jax.lax.optimization_barrier(tri_id)
-        table = jax.lax.optimization_barrier(
-            build_shade_table(setup, scene, inst_matrix)
-        )
-        rgba = pallas_shade_resolve(
-            tri_id, scene, table, lights, camera_position, config=config,
-        )
+        with jax.named_scope("vktf.shade_table"):
+            table = jax.lax.optimization_barrier(
+                build_shade_table(setup, scene, inst_matrix)
+            )
+        with jax.named_scope("vktf.shade_resolve"):
+            rgba = pallas_shade_resolve(
+                tri_id, scene, table, lights, camera_position, config=config,
+            )
         return rgba[:, :height, :width]
 
     if backend in ("dense", "xla"):

@@ -195,6 +195,13 @@ def build_material_pool(
             row_cursor += w * w
 
     rows = np.concatenate(blobs) if blobs else np.zeros((1, ROW_U32), np.uint32)
+    # pool row indices ride f32 shade-table columns; past 2^24 they stop
+    # being exact and texel addressing silently corrupts
+    if rows.shape[0] >= 1 << 24:
+        raise ValueError(
+            f"material pool has {rows.shape[0]} quad rows (>= 2^24); texel "
+            "addresses would lose f32 exactness — reduce texture sizes"
+        )
     return MaterialPool(
         quads=jnp.asarray(rows),
         base_row=base_row,

@@ -30,6 +30,7 @@ from vktf_tpu.loaders.gltf import Asset, Material, Primitive
 from vktf_tpu.loaders.images import decode_texture, default_texture_data
 from vktf_tpu.log import Log, default_log
 from vktf_tpu.ops.texture import TexturePool, build_texture_pool
+from vktf_tpu.utils.profiling import counters
 from vktf_tpu.ops.texture_pack import build_material_pool
 
 _ALPHA_MODES = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
@@ -67,7 +68,7 @@ class RenderScene:
     # precomputed per-triangle tables (component-major, built once at flatten
     # so the per-frame shade-table build does no attribute/material gathers):
     tri_corner: jnp.ndarray  # (36,T) f32 object-space corner attrs (see below)
-    tri_static_cols: jnp.ndarray  # (15,T) f32 static material table columns
+    tri_static_cols: jnp.ndarray  # (17,T) f32 static material table columns
     # lights
     light_node: jnp.ndarray  # (L,) i32
     light_type: jnp.ndarray  # (L,) i32: 0 directional, 1 point
@@ -135,12 +136,14 @@ def flatten_assets(
             # throws-if-no-default-scene in reference (model.cppm:735-744);
             # here: skip asset with log error if it has no scene at all
             if not asset.scenes:
+                counters.add("assets.skipped")
                 log.error(f"Asset {asset.name} has no scenes; skipping")
                 continue
             scene_def = asset.scenes[0]
         else:
             scene_def = asset.scenes[asset.default_scene]
         if not scene_def.root_nodes:
+            counters.add("assets.skipped")
             log.error(f"Asset {asset.name} default scene has no root nodes; skipping")
             continue
         stack = [(root, -1, 0) for root in scene_def.root_nodes]
@@ -296,6 +299,7 @@ def flatten_assets(
             if gltf_texture is not None:
                 # decode failed: reference would reject the material
                 # (model.cppm:391-409); we fall back to defaults + keep going.
+                counters.add("textures.decode_failed")
                 log.error(f"Using default {kind} texture after decode failure")
             data = default_texture_data(kind)
         sampler = {}
@@ -356,6 +360,18 @@ def flatten_assets(
     material_specs = []
     for i in range(M):
         base_entry = texture_entries[mat_textures[i, 0]]
+        # the packed pool bakes ONE sampler per material (the base color
+        # texture's); log when mr/normal samplers differ (skip-and-log
+        # ethos) — the tiled backend still honors per-texture samplers
+        for slot, slot_name in ((1, "metallic-roughness"), (2, "normal")):
+            other = texture_entries[mat_textures[i, slot]][1]
+            if other and base_entry[1] and other != base_entry[1]:
+                counters.add("materials.sampler_mismatch")
+                log.error(
+                    f"Material {i}: {slot_name} sampler differs from base "
+                    "color's; the packed-pool (pallas) path uses the base "
+                    "sampler for all three textures"
+                )
         material_specs.append(
             {
                 "base": texture_entries[mat_textures[i, 0]][0],

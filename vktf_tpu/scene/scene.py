@@ -67,3 +67,36 @@ class Scene:
             self.camera.view_projection_transform,
             self.camera.position,
         )
+
+    def binning_diagnostics(self) -> dict:
+        """Dropped-triangle diagnostics for the current camera.
+
+        The tiled/dense backends bin into fixed-capacity per-tile lists;
+        overflow silently drops triangles, so this surfaces it per the
+        skip-and-log policy (SURVEY.md §5.3). The pallas backend streams
+        every triangle (no capacities) and always reports zero drops.
+        """
+        if self.config.resolved_backend() != "tiled":
+            return {"dropped_pairs": 0, "dropped_large": 0}
+        import jax
+
+        from vktf_tpu.ops.binning import binning_overflow
+        from vktf_tpu.ops.pipeline import prepare_frame
+
+        def check(scene, vp, pos):
+            _setup, bins, _lights, _world, _inst = prepare_frame(
+                scene, vp, pos, meta=self.meta, config=self.config
+            )
+            return binning_overflow(
+                bins, self.config.bin_capacity, self.config.large_capacity
+            )
+
+        dropped, dropped_large = jax.jit(check)(
+            self.render_scene,
+            self.camera.view_projection_transform,
+            self.camera.position,
+        )
+        return {
+            "dropped_pairs": int(dropped),
+            "dropped_large": int(dropped_large),
+        }
