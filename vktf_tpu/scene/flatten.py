@@ -290,11 +290,38 @@ def flatten_assets(
     texture_entries: list[tuple] = []  # (TextureData, sampler_dict)
     texture_index: dict[tuple[Optional[int], str], int] = {}
 
+    # Decode every referenced texture in parallel up front — the analogue of
+    # the reference's std::async KTX fan-out (model.cppm:333-349). PIL, zstd
+    # and the native decoders release the GIL, so a thread pool scales the
+    # dominant load cost by ~core count at Sponza scale.
+    decode_jobs: dict[tuple[int, str], object] = {}
+    for material in materials:
+        if material is None:
+            continue
+        pbr = material.pbr_metallic_roughness
+        refs = [(material.normal_texture, "normal")]
+        if pbr is not None:
+            refs += [(pbr.base_color_texture, "base_color"),
+                     (pbr.metallic_roughness_texture, "metallic_roughness")]
+        for tex, kind in refs:
+            if tex is not None:
+                decode_jobs.setdefault((id(tex), kind), (tex, kind))
+    decoded: dict[tuple[int, str], object] = {}
+    if decode_jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor() as pool:
+            futures = {
+                key: pool.submit(decode_texture, tex, kind, log)
+                for key, (tex, kind) in decode_jobs.items()
+            }
+            decoded = {key: f.result() for key, f in futures.items()}
+
     def add_texture(gltf_texture, kind: str) -> int:
         key = (id(gltf_texture) if gltf_texture is not None else None, kind)
         if key in texture_index:
             return texture_index[key]
-        data = decode_texture(gltf_texture, kind, log) if gltf_texture is not None else None
+        data = decoded.get(key) if gltf_texture is not None else None
         if data is None:
             if gltf_texture is not None:
                 # decode failed: reference would reject the material
