@@ -201,6 +201,50 @@ int64_t vktf_decompress_zstd(const uint8_t* src, int64_t src_len, uint8_t* dst,
   return ZSTD_isError(rc) ? -1 : (int64_t)rc;
 }
 
-int32_t vktf_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// ETC1S block expansion (Basis Universal transcode target -> RGBA8)
+//
+// ETC1S is the simplified ETC1 subset Basis uses: one 5:5:5 base color and
+// one intensity table per 4x4 block, 2-bit selectors per texel (see
+// vktf_tpu/loaders/basis.py for the container/VLC layer). The reference
+// transcodes through libktx (ktx_texture.cppm:62-94); the TPU target is
+// plain RGBA8.
+// ---------------------------------------------------------------------------
+
+static const int32_t kEtc1Modifiers[8][4] = {
+    {-8, -2, 2, 8},     {-17, -5, 5, 17},   {-29, -9, 9, 29},
+    {-42, -13, 13, 42}, {-60, -18, 18, 60}, {-80, -24, 24, 80},
+    {-106, -33, 33, 106}, {-183, -47, 47, 183},
+};
+
+// endpoint_ids/selector_ids: (bh*bw) i32; endpoints: (E,4) i32 r5,g5,b5,inten;
+// selectors: (S,16) u8 2-bit values; out: (bh*4, bw*4, 4) u8 then caller crops.
+void vktf_decode_etc1s(const int32_t* endpoint_ids, const int32_t* selector_ids,
+                       const int32_t* endpoints, const uint8_t* selectors,
+                       int32_t bh, int32_t bw, uint8_t* out) {
+  const int32_t stride = bw * 4 * 4;  // bytes per output row
+  for (int32_t by = 0; by < bh; ++by) {
+    for (int32_t bx = 0; bx < bw; ++bx) {
+      const int32_t* ep = endpoints + 4 * endpoint_ids[by * bw + bx];
+      const uint8_t* sel = selectors + 16 * selector_ids[by * bw + bx];
+      const int32_t r8 = (ep[0] << 3) | (ep[0] >> 2);
+      const int32_t g8 = (ep[1] << 3) | (ep[1] >> 2);
+      const int32_t b8 = (ep[2] << 3) | (ep[2] >> 2);
+      const int32_t* mods = kEtc1Modifiers[ep[3] & 7];
+      for (int32_t y = 0; y < 4; ++y) {
+        uint8_t* row = out + (by * 4 + y) * stride + bx * 16;
+        for (int32_t x = 0; x < 4; ++x) {
+          const int32_t m = mods[sel[y * 4 + x] & 3];
+          row[4 * x + 0] = (uint8_t)std::min(std::max(r8 + m, 0), 255);
+          row[4 * x + 1] = (uint8_t)std::min(std::max(g8 + m, 0), 255);
+          row[4 * x + 2] = (uint8_t)std::min(std::max(b8 + m, 0), 255);
+          row[4 * x + 3] = 255;
+        }
+      }
+    }
+  }
+}
+
+int32_t vktf_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -51,7 +51,9 @@ class TestKtxRoundTrip:
         with pytest.raises(KtxError):
             parse_ktx2(b"not a ktx file....", name="x")
 
-    def test_basis_skipped_with_log(self, tmp_path):
+    def test_malformed_basis_skipped_with_log(self, tmp_path):
+        """vkFormat 0 without a recognizable Basis DFD/scheme skips with a
+        logged error (proper Basis payloads transcode — tests/test_basis.py)."""
         levels = [checker(4)]
         path = write_ktx2(tmp_path / "b.ktx2", levels, srgb=False)
         blob = bytearray(path.read_bytes())
@@ -59,7 +61,7 @@ class TestKtxRoundTrip:
         err = io.StringIO()
         log = Log(out_stream=io.StringIO(), err_stream=err)
         assert parse_ktx2(bytes(blob), name="b.ktx2", log=log) is None
-        assert "transcoder" in err.getvalue()
+        assert "unsupported" in err.getvalue()
 
 
 class TestMips:

@@ -8,9 +8,12 @@ mip-chain numpy arrays that live in HBM as gatherable arrays (SURVEY.md §2
 ktx::Texture row).
 
 Supported: KTX2 with uncompressed vkFormats (R8/RG8/RGB8/RGBA8, UNORM/SRGB)
-under supercompression none/zstd/zlib. BasisLZ/UASTC inputs are skipped with
-a logged error (the reference's missing-KTX skip semantics,
-model.cppm:301-321); a software Basis transcoder is tracked as future work.
+under supercompression none/zstd/zlib, plus Basis Universal inputs: ETC1S
+slices under BasisLZ supercompression and UASTC blocks (vkFormat 0, DFD
+color model 163/166) via vktf_tpu.loaders.basis — see that module's
+docstring for the transcoder's scope/provenance. Unsupported payloads are
+skipped with a logged error (the reference's missing-KTX skip semantics,
+model.cppm:301-321).
 """
 
 from __future__ import annotations
@@ -48,6 +51,12 @@ SUPERCOMPRESSION_BASISLZ = 1
 SUPERCOMPRESSION_ZSTD = 2
 SUPERCOMPRESSION_ZLIB = 3
 
+# Khronos Data Format descriptor constants (KDF 1.3)
+KDF_MODEL_ETC1S = 163
+KDF_MODEL_UASTC = 166
+KDF_TRANSFER_LINEAR = 1
+KDF_TRANSFER_SRGB = 2
+
 
 @dataclasses.dataclass
 class KtxTexture:
@@ -76,6 +85,108 @@ def _expand_rgba(data: np.ndarray, channels: int) -> np.ndarray:
     return out
 
 
+def _parse_dfd(blob: bytes, offset: int, length: int) -> tuple[int, int]:
+    """Return (colorModel, transferFunction) from the Data Format Descriptor
+    (KDF 1.3 basic block: colorModel at block byte 8, transfer at byte 10,
+    i.e. bytes 12/14 from the DFD start after the u32 totalSize)."""
+    if length >= 16 and offset + 16 <= len(blob):
+        return blob[offset + 12], blob[offset + 14]
+    return 0, 0
+
+
+def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int):
+    """Undo zstd/zlib level supercompression (shared by all payload kinds)."""
+    if scheme == SUPERCOMPRESSION_ZSTD:
+        from vktf_tpu import native
+
+        out = (
+            native.decompress_zstd(payload, uncompressed_length)
+            if uncompressed_length
+            else None
+        )
+        if out is None:
+            import zstandard
+
+            out = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=uncompressed_length or 1 << 30
+            )
+        return out
+    if scheme == SUPERCOMPRESSION_ZLIB:
+        from vktf_tpu import native
+
+        out = (
+            native.inflate_zlib(payload, uncompressed_length)
+            if uncompressed_length
+            else None
+        )
+        if out is None:
+            import zlib
+
+            out = zlib.decompress(payload)
+        return out
+    return payload
+
+
+def _parse_basis(
+    blob, name, width, height, level_count, scheme,
+    kdf_model, kdf_transfer, sgd_offset, sgd_length, log,
+) -> Optional[KtxTexture]:
+    """Transcode Basis Universal payloads (ETC1S/BasisLZ or UASTC) to RGBA8
+    via vktf_tpu.loaders.basis (reference: libktx transcode per device caps,
+    ktx_texture.cppm:62-94; the TPU target is always RGBA8 in HBM)."""
+    from vktf_tpu.loaders import basis
+
+    srgb = kdf_transfer == KDF_TRANSFER_SRGB
+    level_index_offset = 80
+    levels = []
+    try:
+        if scheme == SUPERCOMPRESSION_BASISLZ:
+            if kdf_model not in (KDF_MODEL_ETC1S, 0):
+                log.error(
+                    f"Failed to load KTX texture {name}: BasisLZ with DFD "
+                    f"model {kdf_model} unsupported"
+                )
+                return None
+            sgd = blob[sgd_offset : sgd_offset + sgd_length]
+            gd = basis.parse_basis_lz_global_data(sgd, level_count)
+            for level in range(level_count):
+                offset, byte_length, _un = struct.unpack_from(
+                    "<3Q", blob, level_index_offset + 24 * level
+                )
+                payload = blob[offset : offset + byte_length]
+                desc = gd.images[level]
+                sl = payload[desc["rgb_offset"] : desc["rgb_offset"] + desc["rgb_length"]]
+                levels.append(
+                    basis.decode_etc1s_slice(
+                        sl, max(width >> level, 1), max(height >> level, 1), gd
+                    )
+                )
+        elif kdf_model == KDF_MODEL_UASTC:
+            for level in range(level_count):
+                offset, byte_length, uncompressed = struct.unpack_from(
+                    "<3Q", blob, level_index_offset + 24 * level
+                )
+                payload = _decompress_level(
+                    blob[offset : offset + byte_length], scheme, uncompressed
+                )
+                img = basis.decode_uastc(
+                    payload, max(width >> level, 1), max(height >> level, 1), log
+                )
+                if img is None:
+                    return None
+                levels.append(img)
+        else:
+            log.error(
+                f"Failed to load KTX texture {name}: vkFormat 0 with DFD "
+                f"model {kdf_model} / scheme {scheme} unsupported"
+            )
+            return None
+    except basis.BasisError as e:
+        log.error(f"Failed to transcode Basis KTX texture {name}: {e}")
+        return None
+    return KtxTexture(levels=levels, srgb=srgb)
+
+
 def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -> Optional[KtxTexture]:
     """Parse a KTX2 blob; returns None (with logged error) for unsupported
     supercompression/formats, raises KtxError for malformed containers."""
@@ -96,18 +207,28 @@ def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -
     if depth > 1 or layer_count > 1 or face_count > 1:
         log.error(f"Failed to load KTX texture {name}: arrays/cubemaps/3D unsupported")
         return None
-    if scheme == SUPERCOMPRESSION_BASISLZ or vk_format == 0:
+    height = max(height, 1)
+    level_count = max(level_count, 1)
+    # index section: dfd (2 u32), kvd (2 u32), sgd (2 u64) at bytes 48..79
+    dfd_offset, dfd_length, _kvd_off, _kvd_len = struct.unpack_from("<4I", blob, 48)
+    sgd_offset, sgd_length = struct.unpack_from("<2Q", blob, 64)
+    kdf_model, kdf_transfer = _parse_dfd(blob, dfd_offset, dfd_length)
+
+    if vk_format == 0:  # Basis Universal payloads
+        return _parse_basis(
+            blob, name, width, height, level_count, scheme,
+            kdf_model, kdf_transfer, sgd_offset, sgd_length, log,
+        )
+    if scheme == SUPERCOMPRESSION_BASISLZ:
         log.error(
-            f"Failed to load KTX texture {name}: Basis-supercompressed data "
-            "requires a transcoder (unsupported)"
+            f"Failed to load KTX texture {name}: BasisLZ supercompression "
+            "with a non-Basis vkFormat is malformed"
         )
         return None
     if vk_format not in _VK_FORMATS:
         log.error(f"Failed to load KTX texture {name}: unsupported vkFormat {vk_format}")
         return None
     channels, srgb = _VK_FORMATS[vk_format]
-    height = max(height, 1)
-    level_count = max(level_count, 1)
 
     # Level index starts at byte 48 + 2*4 + 2*4 + 2*8 = 80
     level_index_offset = 80
@@ -117,34 +238,8 @@ def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -
             "<3Q", blob, level_index_offset + 24 * level
         )
         payload = blob[offset : offset + byte_length]
-        if scheme == SUPERCOMPRESSION_ZSTD:
-            from vktf_tpu import native
-
-            out = (
-                native.decompress_zstd(payload, uncompressed_length)
-                if uncompressed_length
-                else None
-            )
-            if out is None:
-                import zstandard
-
-                out = zstandard.ZstdDecompressor().decompress(
-                    payload, max_output_size=uncompressed_length or 1 << 30
-                )
-            payload = out
-        elif scheme == SUPERCOMPRESSION_ZLIB:
-            from vktf_tpu import native
-
-            out = (
-                native.inflate_zlib(payload, uncompressed_length)
-                if uncompressed_length
-                else None
-            )
-            if out is None:
-                import zlib
-
-                out = zlib.decompress(payload)
-            payload = out
+        if scheme in (SUPERCOMPRESSION_ZSTD, SUPERCOMPRESSION_ZLIB):
+            payload = _decompress_level(payload, scheme, uncompressed_length)
         elif scheme != SUPERCOMPRESSION_NONE:
             log.error(f"Failed to load KTX texture {name}: unknown supercompression {scheme}")
             return None
@@ -243,4 +338,91 @@ def write_ktx2(
     """Write an RGBA8 mip chain as a KTX2 file (optionally compressed)."""
     path = Path(path)
     path.write_bytes(encode_ktx2(levels, srgb, supercompression))
+    return path
+
+
+def _basic_dfd(model: int, transfer: int) -> bytes:
+    """Minimal KDF 1.3 basic descriptor block carrying model + transfer."""
+    total = 4 + 24
+    block = struct.pack(
+        "<IHHBBBB",
+        0,  # vendor 0 (Khronos), descriptor type 0
+        0, 24 + 0,  # versionNumber, descriptorBlockSize (no samples)
+        model, 1, transfer, 0,  # colorModel, primaries, transfer, flags
+    ) + bytes(24 - 12)
+    return struct.pack("<I", total) + block
+
+
+def encode_ktx2_basis(
+    levels: list[np.ndarray],
+    srgb: bool,
+    mode: str = "etc1s",
+) -> bytes:
+    """Encode RGBA8 mips as a Basis Universal KTX2 container (vkFormat 0).
+
+    mode="etc1s": BasisLZ-supercompressed ETC1S slices; mode="uastc": UASTC
+    blocks (solid-color subset). See vktf_tpu.loaders.basis for scope.
+    """
+    from vktf_tpu.loaders import basis
+
+    if mode == "etc1s":
+        sgd, payloads = basis.encode_basis_lz(levels)
+        scheme = SUPERCOMPRESSION_BASISLZ
+        dfd = _basic_dfd(KDF_MODEL_ETC1S,
+                         KDF_TRANSFER_SRGB if srgb else KDF_TRANSFER_LINEAR)
+    elif mode == "uastc":
+        sgd = b""
+        payloads = basis.encode_uastc_solid(levels)
+        scheme = SUPERCOMPRESSION_NONE
+        dfd = _basic_dfd(KDF_MODEL_UASTC,
+                         KDF_TRANSFER_SRGB if srgb else KDF_TRANSFER_LINEAR)
+    else:
+        raise ValueError(f"unknown basis mode {mode!r}")
+
+    width, height = levels[0].shape[1], levels[0].shape[0]
+    header = _KTX2_IDENTIFIER + struct.pack(
+        "<9I", 0, 1, width, height, 0, 0, 1, len(levels), scheme
+    )
+    level_index_offset = 80
+    cursor = level_index_offset + 24 * len(levels)
+    dfd_offset = cursor
+    cursor += len(dfd)
+    sgd_offset = 0
+    if sgd:
+        cursor = (cursor + 7) & ~7
+        sgd_offset = cursor
+        cursor += len(sgd)
+    entries = []
+    for p in payloads:
+        cursor = (cursor + 7) & ~7
+        entries.append((cursor, len(p), len(p)))
+        cursor += len(p)
+
+    out = bytearray()
+    out += header
+    out += struct.pack("<2I", dfd_offset, len(dfd))
+    out += struct.pack("<2I", 0, 0)  # kvd
+    out += struct.pack("<2Q", sgd_offset, len(sgd))
+    for entry in entries:
+        out += struct.pack("<3Q", *entry)
+    out += dfd
+    if sgd:
+        while len(out) < sgd_offset:
+            out.append(0)
+        out += sgd
+    for entry, p in zip(entries, payloads):
+        while len(out) < entry[0]:
+            out.append(0)
+        out += p
+    return bytes(out)
+
+
+def write_ktx2_basis(
+    path: str | Path,
+    levels: list[np.ndarray],
+    srgb: bool,
+    mode: str = "etc1s",
+) -> Path:
+    path = Path(path)
+    path.write_bytes(encode_ktx2_basis(levels, srgb, mode))
     return path

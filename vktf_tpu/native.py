@@ -24,6 +24,7 @@ _tried = False
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
@@ -76,6 +77,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vktf_inflate_zlib.argtypes = [_u8p, ctypes.c_int64, _u8p, ctypes.c_int64]
     lib.vktf_decompress_zstd.restype = ctypes.c_int64
     lib.vktf_decompress_zstd.argtypes = [_u8p, ctypes.c_int64, _u8p, ctypes.c_int64]
+    lib.vktf_decode_etc1s.restype = None
+    lib.vktf_decode_etc1s.argtypes = [
+        _i32p, _i32p, _i32p, _u8p, ctypes.c_int32, ctypes.c_int32, _u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -136,6 +141,25 @@ def unpack_accessor(raw: bytes, count: int, comps: int, comp_type: int,
     if rc != 0:
         return None
     return dst.reshape(count, comps)
+
+
+def decode_etc1s(endpoint_ids: np.ndarray, selector_ids: np.ndarray,
+                 endpoints: np.ndarray, selectors: np.ndarray,
+                 width: int, height: int) -> Optional[np.ndarray]:
+    """Native ETC1S block expansion -> (H, W, 4) RGBA8; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    bh, bw = endpoint_ids.shape
+    out = np.empty((bh * 4, bw * 4, 4), np.uint8)
+    lib.vktf_decode_etc1s(
+        np.ascontiguousarray(endpoint_ids.reshape(-1), np.int32),
+        np.ascontiguousarray(selector_ids.reshape(-1), np.int32),
+        np.ascontiguousarray(endpoints.reshape(-1), np.int32),
+        np.ascontiguousarray(selectors.reshape(-1), np.uint8),
+        bh, bw, out.reshape(-1),
+    )
+    return out[:height, :width]
 
 
 def inflate_zlib(data: bytes, out_len: int) -> Optional[bytes]:
