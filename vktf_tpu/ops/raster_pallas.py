@@ -36,10 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vktf_tpu.ops.raster_xla import BACKGROUND, SAMPLE_OFFSETS
 
-# tri_data row layout (component-major, (ROWS, T_pad) f32):
-#   0..8  edge coefficients e_i = (a, b, c), i = 0,1,2
-#   9..11 depth plane (a, b, c) premultiplied by inv_det
-#  12..14 w-recip plane (a, b, c)  [sign(det) > 0 inside]
+# tri_data row layout (component-major, (ROWS, T_pad) f32). All plane rows
+# are ANCHORED at the triangle's bbox corner (triangle_setup): constant = the
+# plane's value at the corner, evaluated as a*(sx-ax) + b*(sy-ay) + const.
+#   0..8  edge planes e_i = (a, b, e_i(anchor)), i = 0,1,2
+#   9..11 depth plane (a, b, depth(anchor))  [inv_det folded]
+#  12..14 w-recip plane (a, b, w_recip(anchor))  [positive inside w > 0]
 #  15     original triangle id (f32-exact for T < 2^24), -1 for invalid
 TRI_ROWS = 16
 
@@ -61,8 +63,11 @@ def pack_tri_data(setup, perm=None, id_base=0):
     tri_ids = jnp.arange(num_tris, dtype=jnp.float32) + jnp.asarray(
         id_base, jnp.float32
     )
+    # all plane rows are ANCHORED at the bbox corner (triangle_setup): the
+    # kernel evaluates with (s - bbox_corner) deltas, reading the anchor from
+    # the bbox stream rows 0/1
     rows = [edge[:, i, c] for i in range(3) for c in range(3)]
-    rows += [zw[:, 0, c] * inv_det for c in range(3)]
+    rows += [zw[:, 0, c] for c in range(3)]
     rows += [zw[:, 1, c] for c in range(3)]
     rows += [jnp.where(valid, tri_ids, -1.0)]
     tri_data = jnp.stack(rows, axis=0)  # (16, T)
@@ -287,18 +292,23 @@ def _raster_kernel(
                     # miss folds into the coverage mask as an f32 factor.
                     for k in range(16):
                         kk = k0 + k
-                        miss_x0 = bbox_smem[slot, 0, kk]
-                        miss_x1 = bbox_smem[slot, 2, kk]
+                        tx0 = bbox_smem[slot, 0, kk]
+                        tx1 = bbox_smem[slot, 2, kk]
                         ty0 = bbox_smem[slot, 1, kk]
                         ty1 = bbox_smem[slot, 3, kk]
                         hit = (
-                            (miss_x0 < tile_x1)
-                            & (miss_x1 > tile_x0)
+                            (tx0 < tile_x1)
+                            & (tx1 > tile_x0)
                             & (ty0 < win_y1)
                             & (ty1 > y_base)
                             & (data_smem[slot, 15, kk] >= 0.0)
                         )
                         hit_f = jnp.where(hit, 1.0, 0.0)
+                        # plane rows are anchored at the bbox corner
+                        # (tx0, ty0) — evaluate with deltas, which keeps f32
+                        # magnitudes small (triangle_setup docstring)
+                        dxx = sxx - tx0
+                        dyy = syy - ty0
 
                         a0 = data_smem[slot, 0, kk]
                         b0 = data_smem[slot, 1, kk]
@@ -319,7 +329,7 @@ def _raster_kernel(
                             return a_pos + a_zero * b_pos
 
                         def edge_pass(a, b, cc, tl):
-                            e = a * sxx + b * syy + cc
+                            e = a * dxx + b * dyy + cc
                             pos = jnp.where(e > 0.0, 1.0, 0.0)
                             zero = jnp.where(e == 0.0, 1.0, 0.0)
                             return pos + zero * tl
@@ -331,13 +341,13 @@ def _raster_kernel(
                             * edge_pass(a2, b2, c2, tl_flag(a2, b2))
                         )
                         depth = (
-                            data_smem[slot, 9, kk] * sxx
-                            + data_smem[slot, 10, kk] * syy
+                            data_smem[slot, 9, kk] * dxx
+                            + data_smem[slot, 10, kk] * dyy
                             + data_smem[slot, 11, kk]
                         )
                         w_recip = (
-                            data_smem[slot, 12, kk] * sxx
-                            + data_smem[slot, 13, kk] * syy
+                            data_smem[slot, 12, kk] * dxx
+                            + data_smem[slot, 13, kk] * dyy
                             + data_smem[slot, 14, kk]
                         )
                         # lexicographic (depth, draw-order id): the stream

@@ -24,18 +24,22 @@ from vktf_tpu.ops.binning import TriangleBins, bin_triangles
 from vktf_tpu.ops.raster_xla import BACKGROUND, SAMPLE_OFFSETS
 
 
-def _raster_chunk(ids, lane_ok, edge, zw, inv_det, sx, sy, best_depth, best_id):
+def _raster_chunk(ids, lane_ok, edge, zw, anchor, sx, sy, best_depth, best_id):
     """Rasterize a chunk of triangles over one tile's samples.
 
     ids: (B,) triangle ids (garbage where ~lane_ok); sx/sy: (N,) sample
-    coords; best_depth/best_id: (N,) running z-buffer. Returns updated pair.
+    coords; best_depth/best_id: (N,) running z-buffer. Plane constants are
+    anchored at each triangle's bbox corner (triangle_setup), so evaluation
+    uses (s - anchor) deltas. Returns updated pair.
     """
     e = edge[ids]  # (B,3,3)
     z = zw[ids]  # (B,2,3)
-    rd = inv_det[ids]  # (B,)
+    anc = anchor[ids]  # (B,2)
+    dx = sx[None, :] - anc[:, 0, None]  # (B,N)
+    dy = sy[None, :] - anc[:, 1, None]
 
     def plane(coeff):  # coeff: (B,3) -> (B,N)
-        return coeff[:, 0, None] * sx[None, :] + coeff[:, 1, None] * sy[None, :] + coeff[:, 2, None]
+        return coeff[:, 0, None] * dx + coeff[:, 1, None] * dy + coeff[:, 2, None]
 
     e0 = plane(e[:, 0])
     e1 = plane(e[:, 1])
@@ -50,7 +54,7 @@ def _raster_chunk(ids, lane_ok, edge, zw, inv_det, sx, sy, best_depth, best_id):
     inside = (
         inside_edge(e0, e[:, 0]) & inside_edge(e1, e[:, 1]) & inside_edge(e2, e[:, 2])
     )
-    depth = plane(z[:, 0]) * rd[:, None]
+    depth = plane(z[:, 0])
     w_recip = plane(z[:, 1])
     inside &= (w_recip > 0) & (depth >= 0.0) & (depth <= 1.0)
     inside &= lane_ok[:, None]
@@ -86,7 +90,7 @@ def make_tile_raster(
     tile-sharded multi-chip path (vktf_tpu.parallel).
     """
     th, tw = tile_shape
-    edge, zw, inv_det = setup["edge"], setup["zw"], setup["inv_det"]
+    edge, zw, anchor = setup["edge"], setup["zw"], setup["anchor"]
     offsets = np.asarray(SAMPLE_OFFSETS[msaa_samples], np.float32)  # (S,2)
     S = offsets.shape[0]
     n_samples = S * th * tw
@@ -115,7 +119,7 @@ def make_tile_raster(
                 ids = jax.lax.dynamic_slice(row, (c * chunk,), (chunk,))
                 lane_ok = jnp.arange(chunk) < (count - c * chunk)
                 return _raster_chunk(
-                    ids, lane_ok, edge, zw, inv_det, sx, sy, bd, bi
+                    ids, lane_ok, edge, zw, anchor, sx, sy, bd, bi
                 )
 
             return body

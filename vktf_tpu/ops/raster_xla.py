@@ -46,22 +46,27 @@ def _edge_inside(e, ax, ay):
     return jnp.where(top_left, e >= 0, e > 0)
 
 
-def _raster_one(edge, zw, inv_det, sx, sy):
+def _raster_one(edge, zw, anchor, sx, sy):
     """Coverage + depth for one triangle over a pixel grid.
 
-    edge: (3,3), zw: (2,3), inv_det: scalar; sx/sy: (...,) sample coords.
+    edge: (3,3) anchored edge planes, zw: (2,3) anchored depth/w planes,
+    anchor: (2,); sx/sy: (...,) sample coords. Plane constants live at the
+    triangle's anchor (triangle_setup), so evaluation uses (s - anchor)
+    deltas — this keeps f32 magnitudes small (see triangle_setup docstring).
     Returns (inside, depth) arrays of the grid shape.
     """
-    e0 = edge[0, 0] * sx + edge[0, 1] * sy + edge[0, 2]
-    e1 = edge[1, 0] * sx + edge[1, 1] * sy + edge[1, 2]
-    e2 = edge[2, 0] * sx + edge[2, 1] * sy + edge[2, 2]
+    dx = sx - anchor[0]
+    dy = sy - anchor[1]
+    e0 = edge[0, 0] * dx + edge[0, 1] * dy + edge[0, 2]
+    e1 = edge[1, 0] * dx + edge[1, 1] * dy + edge[1, 2]
+    e2 = edge[2, 0] * dx + edge[2, 1] * dy + edge[2, 2]
     inside = (
         _edge_inside(e0, edge[0, 0], edge[0, 1])
         & _edge_inside(e1, edge[1, 0], edge[1, 1])
         & _edge_inside(e2, edge[2, 0], edge[2, 1])
     )
-    depth = (zw[0, 0] * sx + zw[0, 1] * sy + zw[0, 2]) * inv_det
-    w_recip = zw[1, 0] * sx + zw[1, 1] * sy + zw[1, 2]  # sign(1/w) via sign(det)>0
+    depth = zw[0, 0] * dx + zw[0, 1] * dy + zw[0, 2]
+    w_recip = zw[1, 0] * dx + zw[1, 1] * dy + zw[1, 2]
     inside &= (w_recip > 0) & (depth >= 0.0) & (depth <= 1.0)
     return inside, depth
 
@@ -72,10 +77,10 @@ def rasterize_dense(setup, height: int, width: int, msaa_samples: int = 1, chunk
     tri_id == -1 where no triangle covers the sample; depth initialized to the
     clear value 1.0 (engine.cppm:520 clears depth to 1.0, compare op Less).
     """
-    edge, zw, inv_det, valid = (
+    edge, zw, anchor, valid = (
         setup["edge"],
         setup["zw"],
-        setup["inv_det"],
+        setup["anchor"],
         setup["valid"],
     )
     num_tris = edge.shape[0]
@@ -98,7 +103,7 @@ def rasterize_dense(setup, height: int, width: int, msaa_samples: int = 1, chunk
         for k in range(chunk):
             t = jnp.minimum(base + k, num_tris - 1)
             ok = ((base + k) < num_tris) & valid[t]
-            inside, depth = _raster_one(edge[t], zw[t], inv_det[t], sx, sy)
+            inside, depth = _raster_one(edge[t], zw[t], anchor[t], sx, sy)
             # Strict < keeps the earlier (lower-index) triangle on depth ties,
             # matching draw order + Less semantics.
             win = ok & inside & (depth < best_depth)

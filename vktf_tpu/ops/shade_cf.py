@@ -132,13 +132,16 @@ def shade_samples_cf(
     covered = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
 
-    edge = setup["edge"]  # (T,3,3)
+    edge = setup["edge"]  # (T,3,3), anchored at the triangle bbox corner
 
-    # e_i = edge_i . (sx, sy, 1); lambda_i = e_i / sum(e)
+    # e_i = a_i*(sx-ax) + b_i*(sy-ay) + e_i(anchor); lambda_i = e_i / sum(e)
+    # (anchored evaluation keeps f32 magnitudes small — triangle_setup)
     ea = [edge[:, i, 0][t] for i in range(3)]  # (N,) each
     eb = [edge[:, i, 1][t] for i in range(3)]
     ec = [edge[:, i, 2][t] for i in range(3)]
-    e = [ea[i] * sx + eb[i] * sy + ec[i] for i in range(3)]
+    dx = sx - setup["anchor"][:, 0][t]
+    dy = sy - setup["anchor"][:, 1][t]
+    e = [ea[i] * dx + eb[i] * dy + ec[i] for i in range(3)]
     esum = e[0] + e[1] + e[2]
     esum = jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
     inv_esum = 1.0 / esum

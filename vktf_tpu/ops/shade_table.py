@@ -45,6 +45,8 @@ _C_MINN = 52
 _C_MIPN = 53
 _C_AMODE = 54  # alpha mode: 0 OPAQUE, 1 MASK, 2 BLEND
 _C_ACUT = 55  # MASK alpha cutoff
+_C_AX = 56  # plane anchor x (bbox corner; all plane constants live there)
+_C_AY = 57  # plane anchor y
 
 
 def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
@@ -109,6 +111,9 @@ def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
     # static material columns, precomputed at flatten
     for c in range(scene.tri_static_cols.shape[0]):
         cols.append(scene.tri_static_cols[c])
+    # plane anchor (bbox corner): sampling evaluates planes with (s - anchor)
+    cols.append(setup["anchor"][:, 0])
+    cols.append(setup["anchor"][:, 1])
 
     zero = jnp.zeros((t,), jnp.float32)
     while len(cols) < ROW:
@@ -249,6 +254,11 @@ def shade_table_layer(
 
     def col(c):
         return row[:, c]
+
+    # plane constants are anchored at the triangle bbox corner: evaluate
+    # with deltas to keep f32 magnitudes small (triangle_setup docstring)
+    sx = sx - col(_C_AX)
+    sy = sy - col(_C_AY)
 
     w = col(0) * sx + col(1) * sy + col(2)
     inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)

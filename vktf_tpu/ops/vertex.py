@@ -70,14 +70,28 @@ def clip_transform(world_pos, view_projection):
 
 
 def triangle_setup(clip, indices, width: int, height: int):
-    """Per-triangle homogeneous raster setup.
+    """Per-triangle homogeneous raster setup, ANCHORED at the bbox corner.
 
     clip: (V,4) clip coords; indices: (T,3) int32.
+
+    Every per-triangle linear function f(s) = a*sx + b*sy + c is stored as
+    (a, b, f(anchor)) with anchor = the triangle's clipped bbox corner, and
+    MUST be evaluated as f(s) = a*(sx - ax) + b*(sy - ay) + f_anchor.
+    Raw cofactor constants reach ~1e8 at 1080p while the evaluated values
+    are O(1): absolute-coordinate evaluation loses ~8 digits to f32
+    cancellation, which produced per-pixel coverage/depth/attribute noise
+    ("torn-paper" speckles) on small or distant triangles. The anchored
+    constants are computed cancellation-free through vertex 0, where each
+    function's value is known in closed form (e_i(s_0) = det/w_0 * [i==0],
+    depth(s_0) = z_ndc_0, w_recip(s_0) = det/w_0), plus a gradient step of
+    at most the bbox extent.
+
     Returns a dict of per-triangle arrays:
-      edge:   (T,3,3) edge-function coefficients; edge[t,i] = (ax, ay, ac)
-              with e_i(s) = ax*sx + ay*sy + ac evaluated at pixel coords.
-      zw:     (T,2,3) plane coefficients for depth (z_ndc) and 1/w, both to be
-              scaled by inv_det.
+      edge:   (T,3,3); edge[t,i] = (a, b, e_i(anchor)).
+      zw:     (T,2,3); zw[t,0] = depth plane (a, b, depth(anchor)) — FINAL
+              values (inv_det folded in); zw[t,1] = w_recip plane
+              (a, b, w_recip(anchor)), positive inside w > 0.
+      anchor: (T,2) f32 anchor (ax, ay) = bbox corner.
       inv_det:(T,) reciprocal of the homogeneous determinant.
       valid:  (T,) front-facing & non-degenerate mask (back-face culling —
               the analogue of cullMode=back/CCW, graphics_pipeline.cppm:212-216).
@@ -100,12 +114,6 @@ def triangle_setup(clip, indices, width: int, height: int):
     cof1 = jnp.cross(r0, r2)
     cof2 = jnp.cross(r1, r0)
     det = jnp.einsum("ti,ti->t", r0, cof0)
-
-    edge = jnp.stack([cof0, cof1, cof2], axis=1)  # (T,3,3)
-    # depth plane: z_ndc(s) = (sum_i e_i * z_i) * inv_det; 1/w(s) = (sum_i e_i) * inv_det
-    zplane = jnp.einsum("tic,ti->tc", edge, z)
-    wplane = jnp.sum(edge, axis=1)
-    zw = jnp.stack([zplane, wplane], axis=1)
 
     # Front faces have det > 0 in this convention (validated by golden tests
     # against CCW winding + the Vulkan y-flip projection). Triangles with all
@@ -139,4 +147,53 @@ def triangle_setup(clip, indices, width: int, height: int):
     # Degenerate/back-facing triangles get empty bboxes so binning drops them.
     bbox = jnp.where(valid[:, None], bbox, jnp.zeros_like(bbox))
 
-    return {"edge": edge, "zw": zw, "inv_det": inv_det, "valid": valid, "bbox": bbox}
+    # ---- anchored plane constants ------------------------------------------
+    anchor = bbox[:, :2].astype(jnp.float32)  # (T,2): (ax, ay)
+    # vertex-0 screen position + the function values there (w_0 > 0 for all
+    # valid triangles that aren't near-plane crossers)
+    sx0 = px[:, 0]
+    sy0 = py[:, 0]
+    det_w0 = det / safe_w[:, 0]  # e_0(s_0) = w_recip(s_0)
+    dx0 = anchor[:, 0] - sx0  # <= bbox extent for non-crossing triangles
+    dy0 = anchor[:, 1] - sy0
+
+    def anchored(a, b, c_raw, value_at_v0):
+        """(a, b, f(anchor)): via vertex 0 normally; via the raw constant
+        for near-plane crossers (their anchor is (0,0), where c_raw is
+        exact by definition, so no precision is lost there)."""
+        f_anchor = jnp.where(
+            any_behind, c_raw, value_at_v0 + a * dx0 + b * dy0
+        )
+        return jnp.stack([a, b, f_anchor], axis=-1)
+
+    zero = jnp.zeros_like(det)
+    edge = jnp.stack(
+        [
+            anchored(cof0[:, 0], cof0[:, 1], cof0[:, 2], det_w0),
+            anchored(cof1[:, 0], cof1[:, 1], cof1[:, 2], zero),
+            anchored(cof2[:, 0], cof2[:, 1], cof2[:, 2], zero),
+        ],
+        axis=1,
+    )  # (T,3,3)
+
+    # depth plane (inv_det folded): depth(s_0) = z_ndc_0 exactly
+    z_ndc0 = z[:, 0] / safe_w[:, 0]
+    za = (cof0[:, 0] * z[:, 0] + cof1[:, 0] * z[:, 1] + cof2[:, 0] * z[:, 2]) * inv_det
+    zb = (cof0[:, 1] * z[:, 0] + cof1[:, 1] * z[:, 1] + cof2[:, 1] * z[:, 2]) * inv_det
+    zc = (cof0[:, 2] * z[:, 0] + cof1[:, 2] * z[:, 1] + cof2[:, 2] * z[:, 2]) * inv_det
+    zplane = anchored(za, zb, zc, z_ndc0)
+    # w_recip plane: w_recip(s_0) = det/w_0
+    wa = cof0[:, 0] + cof1[:, 0] + cof2[:, 0]
+    wb = cof0[:, 1] + cof1[:, 1] + cof2[:, 1]
+    wc = cof0[:, 2] + cof1[:, 2] + cof2[:, 2]
+    wplane = anchored(wa, wb, wc, det_w0)
+    zw = jnp.stack([zplane, wplane], axis=1)
+
+    return {
+        "edge": edge,
+        "zw": zw,
+        "anchor": anchor,
+        "inv_det": inv_det,
+        "valid": valid,
+        "bbox": bbox,
+    }

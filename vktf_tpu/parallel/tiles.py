@@ -110,10 +110,13 @@ def render_frame_sharded(
 
     # Pad triangles to a gp multiple (padded rows have valid=False).
     setup = dict(setup)
-    for key in ("edge", "zw", "inv_det", "valid", "bbox"):
+    for key in ("edge", "zw", "anchor", "inv_det", "valid", "bbox"):
         setup[key] = _pad_axis0(setup[key], gp)
     t_local = setup["valid"].shape[0] // gp
-    setup_specs = {k: P("gp") for k in ("edge", "zw", "inv_det", "valid", "bbox")}
+    setup_specs = {
+        k: P("gp")
+        for k in ("edge", "zw", "anchor", "inv_det", "valid", "bbox")
+    }
 
     @partial(
         jax.shard_map,
