@@ -123,3 +123,64 @@ class TestDecodeTexture:
         assert default_texture_data("base_color").levels[0].shape == (1, 1, 4)
         n = default_texture_data("normal").levels[0]
         np.testing.assert_array_equal(n[0, 0], [128, 128, 255, 255])
+
+
+class TestAnisotropy:
+    def test_aniso_lod_sharpening_matches_oracle(self, tmp_path):
+        """max_anisotropy sharpens grazing-angle mips identically in the
+        pallas sampler and the numpy oracle (single-tap LOD clamp)."""
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.models.gltf_writer import GltfWriter
+        from vktf_tpu.models.primitives import plane_mesh
+        from vktf_tpu.ops.pipeline import make_frame_fn
+        from vktf_tpu.ops.raster_xla import SAMPLE_OFFSETS
+        from vktf_tpu.ops.reference import render_reference
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import (assert_images_close, build_scene,
+                             checker_png_bytes, default_camera, make_reference)
+
+        w = GltfWriter()
+        img = w.add_image_bytes(checker_png_bytes(128, cell=4), "image/png")
+        tex = w.add_texture(img, w.add_sampler())
+        mat = w.add_material(base_color_texture=tex, metallic_factor=0.0,
+                             roughness_factor=0.9)
+        floor = w.add_mesh(plane_mesh(20.0), material=mat)
+        sun = w.add_light("directional", color=(2.0, 2.0, 2.0))
+        w.add_scene([
+            # pulled forward so no triangle crosses the near plane (the
+            # oracle intentionally skips near-plane crossers)
+            w.add_node(mesh=floor, translation=(0.0, 0.0, -1.5)),
+            # rotated so the light's +z direction has positive y (lights the
+            # upward-facing floor)
+            w.add_node(light=sun, rotation=(-0.3827, 0.0, 0.0, 0.9239)),
+        ])
+        path = w.write(tmp_path / "floor.gltf")
+        scene, meta, aux = build_scene(path)
+        # grazing view along the floor: anisotropic footprints
+        camera = default_camera(position=(0.0, 0.2, 9.5),
+                                direction=(0.0, -0.05, -1.0))
+        config = RenderConfig(width=96, height=64, msaa_samples=1,
+                              tile_shape=(32, 64), backend="pallas",
+                              shading_rate="sample", max_anisotropy=8.0)
+        fn = make_frame_fn(meta, config)
+        produced = np.moveaxis(
+            np.asarray(fn(scene, camera.view_projection_transform,
+                          camera.position)), 0, -1)
+        expected = render_reference(
+            make_reference(scene, meta, aux),
+            camera.view_projection_transform, camera.position, 96, 64,
+            SAMPLE_OFFSETS[1], max_anisotropy=8.0,
+        )
+        assert_images_close(produced, expected)
+        # and it actually sharpens: aniso frame differs from isotropic
+        fn_iso = make_frame_fn(meta, config.replace(max_anisotropy=1.0))
+        iso = np.moveaxis(
+            np.asarray(fn_iso(scene, camera.view_projection_transform,
+                              camera.position)), 0, -1)
+        assert np.abs(produced.astype(int) - iso.astype(int)).max() > 8, (
+            "anisotropic LOD clamp had no effect on the grazing floor"
+        )

@@ -69,6 +69,11 @@ class RenderConfig:
     # non-sampleShading behavior (and 4x cheaper at 4x MSAA); "sample"
     # supersamples every MSAA sample (matches the numpy reference exactly).
     shading_rate: str = "pixel"
+    # Sampler anisotropy (pallas backend + numpy oracle), as single-tap LOD
+    # sharpening: mips select by the minor footprint axis, ratio clamped to
+    # this value. 1.0 = isotropic (off). The reference enables sampler
+    # anisotropy up to the device max when available (model.cppm:261-275).
+    max_anisotropy: float = 1.0
 
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)

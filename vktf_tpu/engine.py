@@ -37,6 +37,22 @@ from vktf_tpu.window import Window
 
 _GLTF_EXTENSIONS = (".gltf", ".glb")
 
+# platform preference for device ranking, best first (the discrete-GPU-
+# highest ranking of physical_device.cppm:126-142 mapped to JAX backends)
+_PLATFORM_RANK = {"tpu": 0, "gpu": 1, "cuda": 1, "rocm": 1, "cpu": 2}
+
+
+def rank_devices(devices):
+    """Order devices accelerator-first, then by process locality and id."""
+    return sorted(
+        devices,
+        key=lambda d: (
+            _PLATFORM_RANK.get(d.platform, 3),
+            getattr(d, "process_index", 0),
+            d.id,
+        ),
+    )
+
 
 class Engine:
     def __init__(
@@ -48,12 +64,19 @@ class Engine:
         self.log = log or default_log()
         self.window = window
         self.config = config or RenderConfig(width=window.width, height=window.height)
-        # Device discovery — the PhysicalDevice selection analogue
-        # (physical_device.cppm:126-142): prefer an accelerator backend.
-        self.devices = jax.devices()
+        # Device discovery + ranking — the PhysicalDevice selection analogue
+        # (physical_device.cppm:126-142 ranks discrete GPUs highest): rank
+        # accelerators above host devices, then by local device ordinal, and
+        # log the topology the way the reference logs the chosen adapter.
+        self.devices = rank_devices(jax.devices())
+        first = self.devices[0]
+        topo = {}
+        for d in self.devices:
+            topo[d.platform] = topo.get(d.platform, 0) + 1
         self.log.info(
-            f"Engine using {self.devices[0].platform} device(s): "
-            f"{[str(d) for d in self.devices[: self.config.num_devices]]}"
+            f"Engine using {first.platform} device {first.id}"
+            + (f" ({getattr(first, 'device_kind', '')})" if getattr(first, "device_kind", "") else "")
+            + f"; topology: {topo}"
         )
         # persistent XLA compile cache — the offline .spv shader cache
         # analogue (cmake/compile_shader.cmake); survives process restarts

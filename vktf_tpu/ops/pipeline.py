@@ -149,14 +149,16 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
 
 
 def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
-                         *, config: RenderConfig, y0=0):
+                         *, config: RenderConfig, y0=0, depth=None):
     """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
 
     tri_id: (S, h, w) winner ids — or (L, S, h, w) depth-peeled layers,
     nearest first — at framebuffer pixel-row offset y0 (y0 may be traced;
-    the multi-chip path passes each device's band offset). Layers composite
-    front-to-back with glTF alphaMode semantics (OPAQUE/MASK/BLEND) over the
-    clear color. Returns planar (4, h, w) uint8.
+    the multi-chip path passes each device's band offset). depth carries the
+    matching per-sample depths when pixel-rate shading should pick the
+    depth-winning sample's triangle (None -> max-id fallback). Layers
+    composite front-to-back with glTF alphaMode semantics
+    (OPAQUE/MASK/BLEND) over the clear color. Returns planar (4, h, w) uint8.
     """
     from vktf_tpu.ops.shade_table import shade_table_layer
 
@@ -188,6 +190,7 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
             rgb, a, _covered = shade_table_layer(
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
                 camera_position, lights,
+                max_anisotropy=config.max_anisotropy,
             )
             return rgb, a  # (3, chunk), (chunk,)
 
@@ -210,9 +213,20 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
         # Vulkan non-sampleShading semantics: shade once per pixel at the
         # center, resolve by per-sample coverage fraction. 4x cheaper at
         # 4x MSAA; silhouette-vs-background edges resolve exactly,
-        # object-object sample edges approximate to the pixel winner.
+        # object-object sample edges approximate to the pixel winner —
+        # chosen as the DEPTH-winning sample's triangle when depths are
+        # available (max id would pick an arbitrary triangle now that the
+        # stream is Morton-reordered).
         n_px = h * w
-        id_px = jnp.max(ids, axis=1).reshape(layers, n_px)
+        if depth is not None:
+            depths = depth if depth.ndim == 4 else depth[None]
+            imax = jnp.int32(2**31 - 1)
+            d_min = jnp.min(depths, axis=1, keepdims=True)  # (L,1,h,w)
+            cand = jnp.where((depths == d_min) & (ids >= 0), ids, imax)
+            id_px = jnp.min(cand, axis=1)
+            id_px = jnp.where(id_px == imax, -1, id_px).reshape(layers, n_px)
+        else:
+            id_px = jnp.max(ids, axis=1).reshape(layers, n_px)
         py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y_off
         px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
         rgbs, alphas = shade_chunked(
@@ -311,12 +325,12 @@ def render_frame(
         # minutes -> hours at 1080p); barriers keep stages separate.
         setup = jax.lax.optimization_barrier(setup)
         with jax.named_scope("vktf.raster"):
-            tri_id, _depth = rasterize_pallas(
+            tri_id, depth = rasterize_pallas(
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="morton", layers=meta.peel_layers,
             )
-        tri_id = jax.lax.optimization_barrier(tri_id)
+        tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
         with jax.named_scope("vktf.shade_table"):
             table = jax.lax.optimization_barrier(
                 build_shade_table(setup, scene, inst_matrix)
@@ -324,6 +338,7 @@ def render_frame(
         with jax.named_scope("vktf.shade_resolve"):
             rgba = pallas_shade_resolve(
                 tri_id, scene, table, lights, camera_position, config=config,
+                depth=depth,
             )
         return rgba[:, :height, :width]
 

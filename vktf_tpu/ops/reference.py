@@ -63,13 +63,18 @@ def _sample_bilinear(level: np.ndarray, uv, wrap=("repeat", "repeat"), srgb=Fals
     )
 
 
-def _sample_texture_ref(tex_levels, uv, duvdx, duvdy, wrap, srgb, filters):
+def _sample_texture_ref(tex_levels, uv, duvdx, duvdy, wrap, srgb, filters,
+                        max_anisotropy=1.0):
     """Trilinear sampling with the same LOD rule as the production path."""
     h0, w0 = tex_levels[0].shape[:2]
     ddx = np.asarray([duvdx[0] * w0, duvdx[1] * h0])
     ddy = np.asarray([duvdy[0] * w0, duvdy[1] * h0])
-    rho2 = max(float(ddx @ ddx), float(ddy @ ddy))
-    lod = 0.5 * np.log2(max(rho2, 1e-24))
+    rho_max2 = max(max(float(ddx @ ddx), float(ddy @ ddy)), 1e-24)
+    if max_anisotropy > 1.0:
+        # anisotropy as LOD sharpening (matches ops.shade_table)
+        rho_min2 = max(min(float(ddx @ ddx), float(ddy @ ddy)), 1e-24)
+        rho_max2 = max(min(rho_max2, rho_min2 * max_anisotropy ** 2), 1e-24)
+    lod = 0.5 * np.log2(rho_max2)
     lod = min(max(lod, 0.0), len(tex_levels) - 1)
     l0 = int(np.floor(lod))
     lfrac = lod - l0
@@ -153,6 +158,7 @@ def render_reference(
     height,
     sample_offsets,
     background=(0.0, 0.0, 0.0, 1.0),
+    max_anisotropy: float = 1.0,
 ):
     """Render; returns (H, W, 4) uint8 sRGB, matching the production output."""
     vp = np.asarray(view_projection, np.float64)
@@ -262,6 +268,7 @@ def render_reference(
                             (tm.get("wrap_u", "repeat"), tm.get("wrap_v", "repeat")),
                             tm.get("srgb", srgb_slot),
                             tm,
+                            max_anisotropy=max_anisotropy,
                         )
 
                     base = base_factor * sample(0, True)

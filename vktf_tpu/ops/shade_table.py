@@ -217,11 +217,13 @@ def shade_table_samples(
     camera_position,
     lights,
     background_rgba,
+    max_anisotropy: float = 1.0,
 ):
     """Shade flat samples from the shade table; returns (4, N) linear RGBA,
     composited over the background (the single-layer path)."""
     rgb, alpha, covered = shade_table_layer(
-        tri_id, sx, sy, table, quad_pool, camera_position, lights
+        tri_id, sx, sy, table, quad_pool, camera_position, lights,
+        max_anisotropy=max_anisotropy,
     )
     out = []
     for c in range(3):
@@ -239,6 +241,7 @@ def shade_table_layer(
     quad_pool,
     camera_position,
     lights,
+    max_anisotropy: float = 1.0,
 ):
     """Shade one visibility layer; returns (rgb (3,N), alpha_eff (N,),
     covered (N,) bool).
@@ -288,7 +291,17 @@ def shade_table_layer(
     w0f = col(_C_MW0)
     ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
     ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
-    lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24))
+    rho_max2 = jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24)
+    if max_anisotropy > 1.0:
+        # Anisotropic filtering as LOD sharpening (single-tap approximation
+        # of the reference's sampler anisotropy, model.cppm:261-275): select
+        # the mip by the MINOR footprint axis, clamped so the major/minor
+        # ratio never exceeds max_anisotropy.
+        rho_min2 = jnp.maximum(jnp.minimum(ddx2, ddy2), 1e-24)
+        limit2 = rho_min2 * (max_anisotropy * max_anisotropy)
+        lod = 0.5 * jnp.log2(jnp.maximum(jnp.minimum(rho_max2, limit2), 1e-24))
+    else:
+        lod = 0.5 * jnp.log2(rho_max2)
     lod = jnp.clip(lod, 0.0, max_level)
     level0 = jnp.floor(lod)
     lfrac = lod - level0

@@ -157,7 +157,7 @@ def render_frame_sharded(
             return gd, gi
 
         if layers == 1:
-            _, win_id = lexmin_gp(depth, tri_id)
+            win_depth, win_id = lexmin_gp(depth, tri_id)
         else:
             # merge each rank's sorted 2-layer list into the global nearest
             # two: layer0 = global lexmin of local layer0s; layer1 = lexmin
@@ -166,25 +166,26 @@ def render_frame_sharded(
             is_win = (depth[0] == g0d) & (tri_id[0] == g0i)
             cand_d = jnp.where(is_win, depth[1], depth[0])
             cand_i = jnp.where(is_win, tri_id[1], tri_id[0])
-            _, g1i = lexmin_gp(cand_d, cand_i)
+            g1d, g1i = lexmin_gp(cand_d, cand_i)
             win_id = jnp.stack([g0i, g1i])
-        win_id = jax.lax.optimization_barrier(win_id)
+            win_depth = jnp.stack([g0d, g1d])
+        win_id, win_depth = jax.lax.optimization_barrier((win_id, win_depth))
 
         # shade a disjoint row-slice of the band per gp rank
         rh = band_h // gp
         rows0 = gp_rank * rh
         s_count = tri_id.shape[-3]
         if layers == 1:
-            id_slice = jax.lax.dynamic_slice(
-                win_id, (0, rows0, 0), (s_count, rh, pw)
+            slicer = lambda v: jax.lax.dynamic_slice(
+                v, (0, rows0, 0), (s_count, rh, pw)
             )
         else:
-            id_slice = jax.lax.dynamic_slice(
-                win_id, (0, 0, rows0, 0), (layers, s_count, rh, pw)
+            slicer = lambda v: jax.lax.dynamic_slice(
+                v, (0, 0, rows0, 0), (layers, s_count, rh, pw)
             )
         rgba_slice = pallas_shade_resolve(
-            id_slice, scene, table, lights, camera_position,
-            config=config, y0=band_y0 + rows0,
+            slicer(win_id), scene, table, lights, camera_position,
+            config=config, y0=band_y0 + rows0, depth=slicer(win_depth),
         )  # (4, rh, pw) u8
         rgba = jax.lax.all_gather(
             rgba_slice, "gp", axis=1, tiled=True
