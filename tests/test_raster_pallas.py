@@ -66,6 +66,34 @@ def test_pallas_matches_tiled(scene_setup):
     np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_p), atol=1e-5)
 
 
+def test_pallas_window_sizes_equivalent(scene_setup):
+    """All raster window sizes must produce bit-identical visibility.
+
+    Regression test: r_end excluded the last touched pixel row's sample rows
+    ((y1c << log2s) instead of ((y1c + 1) << log2s)), which the default
+    32-row window usually hid via its 8-row alignment slack — at 1080p it
+    dropped whole triangles near group-span ends for smaller windows.
+    """
+    setup, config = scene_setup
+    ph, pw = config.padded_height, config.padded_width
+
+    def run(wr):
+        ids, depth = jax.jit(
+            lambda s: rasterize_pallas(
+                s, ph, pw, tile_shape=config.tile_shape, msaa_samples=4,
+                chunk=128, interpret=True, window_rows=wr,
+            )
+        )(setup)
+        return np.asarray(ids), np.asarray(depth)
+
+    ids32, d32 = run(32)
+    assert (ids32 >= 0).sum() > 1000
+    for wr in (8, 16, 64, 128):
+        ids_w, d_w = run(wr)
+        np.testing.assert_array_equal(ids32, ids_w)
+        np.testing.assert_array_equal(d32, d_w)
+
+
 def test_pallas_rejects_unaligned_chunk(scene_setup):
     setup, config = scene_setup
     with pytest.raises(ValueError, match="multiple of 128"):

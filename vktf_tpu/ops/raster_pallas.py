@@ -110,23 +110,6 @@ def _pad_cols(x, multiple, fill=0.0):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=fill)
 
 
-def _chunk_bboxes(bbox, valid, chunk: int):
-    """Per-chunk conservative bbox (4, n_chunks) f32: x0,y0,x1,y1."""
-    x0 = jnp.where(valid, bbox[:, 0], 2**30).astype(jnp.float32)
-    y0 = jnp.where(valid, bbox[:, 1], 2**30).astype(jnp.float32)
-    x1 = jnp.where(valid, bbox[:, 2], -(2**30)).astype(jnp.float32)
-    y1 = jnp.where(valid, bbox[:, 3], -(2**30)).astype(jnp.float32)
-    def pad_to(v, fill):
-        return _pad_cols(v[None], chunk, fill)[0]
-    x0 = pad_to(x0, 2**30).reshape(-1, chunk)
-    y0 = pad_to(y0, 2**30).reshape(-1, chunk)
-    x1 = pad_to(x1, -(2**30)).reshape(-1, chunk)
-    y1 = pad_to(y1, -(2**30)).reshape(-1, chunk)
-    return jnp.stack(
-        [x0.min(axis=1), y0.min(axis=1), x1.max(axis=1), y1.max(axis=1)], axis=0
-    )  # (4, n_chunks)
-
-
 WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 
 
@@ -152,6 +135,7 @@ def _raster_kernel(
     n_chunks: int,
     sample_offsets: tuple,
     layers: int,
+    window_rows: int,
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
 
@@ -163,6 +147,13 @@ def _raster_kernel(
     pays 32). Windows are 8-row aligned for sublane-aligned dynamic slices;
     re-evaluating an overlap row is safe because the depth-test update is
     idempotent for a fixed triangle.
+
+    window_rows is sweepable and all sizes are bit-identical in interpret
+    mode (tests/test_raster_pallas.py pins this) — but on real v5e hardware
+    only the default 32 is validated end-to-end: 16/8/64 showed a ~1e-4
+    fraction of missing coverage at 1080p (suspected Mosaic issue with the
+    resulting data-dependent fori_loop trip counts; 32 is also the fastest
+    by 1.7x+, so the other sizes are debug configs).
 
     With layers=2 the kernel depth-peels: it keeps the TWO lexicographically
     nearest (depth, draw-order) fragments per sample, which alpha MASK/BLEND
@@ -178,7 +169,7 @@ def _raster_kernel(
     s_count = len(sample_offsets)
     log2s = {1: 0, 2: 1, 4: 2, 8: 3}[s_count]
     rows = s_count * tile_h
-    win = min(WINDOW_ROWS, rows)
+    win = min(window_rows, rows)
 
     tile_x0_i = tile_idx % tiles_x * tile_w
     tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
@@ -264,11 +255,17 @@ def _raster_kernel(
 
             @pl.when(group_hit)
             def _():
-                # window range covering the group's y span within this tile
+                # window range covering the group's y span within this tile.
+                # y1c is the INCLUSIVE index of the last touched pixel row
+                # (samples inside row y1c can still be < gy1), so the
+                # exclusive sample-row end is (y1c + 1) << log2s.
                 y0c = jnp.maximum(gy0, tile_y0).astype(jnp.int32) - tile_y0_i
-                y1c = jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i
+                y1c = jnp.minimum(
+                    jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i,
+                    tile_h - 1,
+                )
                 r0 = (y0c << log2s) & ~7
-                r_end = y1c << log2s
+                r_end = (y1c + 1) << log2s
                 nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
 
                 def window(w, _):
@@ -289,21 +286,20 @@ def _raster_kernel(
                     # group triangles: per-triangle branches (pl.when /
                     # lax.cond) defeat Mosaic's software pipelining and cost
                     # more than the vector math they skip; instead the bbox
-                    # miss folds into the coverage mask as an f32 factor.
+                    # miss folds into the coverage mask (a scalar bool AND).
                     for k in range(16):
                         kk = k0 + k
                         tx0 = bbox_smem[slot, 0, kk]
                         tx1 = bbox_smem[slot, 2, kk]
                         ty0 = bbox_smem[slot, 1, kk]
                         ty1 = bbox_smem[slot, 3, kk]
-                        hit = (
+                        hit = (  # all-scalar: free next to the vector math
                             (tx0 < tile_x1)
                             & (tx1 > tile_x0)
                             & (ty0 < win_y1)
                             & (ty1 > y_base)
                             & (data_smem[slot, 15, kk] >= 0.0)
                         )
-                        hit_f = jnp.where(hit, 1.0, 0.0)
                         # plane rows are anchored at the bbox corner
                         # (tx0, ty0) — evaluate with deltas, which keeps f32
                         # magnitudes small (triangle_setup docstring)
@@ -321,24 +317,20 @@ def _raster_kernel(
                         c2 = data_smem[slot, 8, kk]
                         tri_id = data_smem[slot, 15, kk].astype(jnp.int32)
 
-                        # scalar top-left flags (1.0 on top/left edges)
-                        def tl_flag(a, b):
-                            a_pos = jnp.where(a > 0.0, 1.0, 0.0)
-                            a_zero = jnp.where(a == 0.0, 1.0, 0.0)
-                            b_pos = jnp.where(b > 0.0, 1.0, 0.0)
-                            return a_pos + a_zero * b_pos
-
-                        def edge_pass(a, b, cc, tl):
+                        def edge_pass(a, b, cc):
+                            # fill rule: e > 0, or e == 0 on a top/left edge.
+                            # The top/left flag (a > 0) | (a == 0 & b > 0) is
+                            # scalar, so the rule is two vector compares and
+                            # two vector bool ops (Mosaic can't select i1
+                            # vectors, so no jnp.where here).
                             e = a * dxx + b * dyy + cc
-                            pos = jnp.where(e > 0.0, 1.0, 0.0)
-                            zero = jnp.where(e == 0.0, 1.0, 0.0)
-                            return pos + zero * tl
+                            tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+                            return (e > 0.0) | (tl & (e == 0.0))
 
-                        inside_f = (
-                            hit_f
-                            * edge_pass(a0, b0, c0, tl_flag(a0, b0))
-                            * edge_pass(a1, b1, c1, tl_flag(a1, b1))
-                            * edge_pass(a2, b2, c2, tl_flag(a2, b2))
+                        inside = (
+                            edge_pass(a0, b0, c0)
+                            & edge_pass(a1, b1, c1)
+                            & edge_pass(a2, b2, c2)
                         )
                         depth = (
                             data_smem[slot, 9, kk] * dxx
@@ -354,7 +346,8 @@ def _raster_kernel(
                         # is Morton-reordered, so strict-less alone would
                         # change who wins exact-depth ties
                         base_ok = (
-                            (inside_f > 0.5)
+                            hit
+                            & inside
                             & (w_recip > 0.0)
                             & (depth >= 0.0)
                             & (depth <= 1.0)
@@ -410,6 +403,7 @@ def rasterize_pallas(
     y_offset=0,
     id_base=0,
     layers: int = 1,
+    window_rows: int | None = None,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -433,7 +427,11 @@ def rasterize_pallas(
     assert height % th == 0 and width % tw == 0
     if chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 (DMA tiling), got {chunk}")
-    win = min(WINDOW_ROWS, th * msaa_samples)
+    if window_rows is None:
+        window_rows = WINDOW_ROWS
+    if window_rows % 8 != 0:
+        raise ValueError(f"window_rows must be 8-row aligned, got {window_rows}")
+    win = min(window_rows, th * msaa_samples)
     if (th * msaa_samples) % win != 0:
         raise ValueError(
             f"tile rows ({th}*{msaa_samples}) must be a multiple of the "
@@ -450,10 +448,12 @@ def rasterize_pallas(
 
     if sort not in ("morton", "static", "none"):
         raise ValueError(f"unknown sort mode {sort!r}")
-    perm = morton_order(setup) if sort == "morton" else None
-    tri_data = pack_tri_data(setup, perm, id_base=id_base)
+    num_tris = setup["valid"].shape[0]
+    tri_data = pack_tri_data(setup, None, id_base=id_base)
     tri_data = _pad_cols(tri_data, chunk)
     t_pad = tri_data.shape[1]
+    if t_pad > num_tris:  # mark stream padding invalid (id row < 0)
+        tri_data = tri_data.at[15, num_tris:].set(-1.0)
     n_chunks = t_pad // chunk
 
     valid = setup["valid"]
@@ -467,7 +467,28 @@ def rasterize_pallas(
         ],
         axis=0,
     )  # (4, T)
-    if perm is not None:
+    bbox_rows = jnp.concatenate(
+        [
+            _pad_cols(bbox_rows[:2], chunk, 2**30),
+            _pad_cols(bbox_rows[2:], chunk, -(2**30)),
+        ],
+        axis=0,
+    )  # (4, t_pad)
+
+    if sort == "morton":
+        # screen Morton keys from the padded bbox rows (invalid -> INT_MAX,
+        # so padding and rejected triangles sort to the stream tail).
+        # (A group-granularity variant — argsort T/16 keys of the flatten-time
+        # world-Morton groups — measured 2.7x SLOWER overall: world-order
+        # groups are too screen-spread, chunk bboxes go loose. The full
+        # per-triangle argsort earns its ~9 ms.)
+        g = 32
+        cx = jnp.clip((bbox_rows[0] + bbox_rows[2]).astype(jnp.int32) // (2 * g), 0, 1023)
+        cy = jnp.clip((bbox_rows[1] + bbox_rows[3]).astype(jnp.int32) // (2 * g), 0, 1023)
+        key = _part1by1(cx) | (_part1by1(cy) << 1)
+        key = jnp.where(tri_data[15] >= 0.0, key, jnp.int32(2**31 - 1))
+        perm = jnp.argsort(key)
+        tri_data = tri_data[:, perm]
         bbox_rows = bbox_rows[:, perm]
 
     def _group_rows(rows16):  # (4, Tp) -> (4, Tp) per-16-group bbox, repeated
@@ -476,15 +497,9 @@ def rasterize_pallas(
         lo = jnp.repeat(g[:2].min(axis=2), 16, axis=1)
         hi = jnp.repeat(g[2:].max(axis=2), 16, axis=1)
         return jnp.concatenate([lo, hi], axis=0)
-    tri_bbox = jnp.concatenate(
-        [
-            _pad_cols(bbox_rows[:2], chunk, 2**30),
-            _pad_cols(bbox_rows[2:], chunk, -(2**30)),
-        ],
-        axis=0,
-    )
+
     # rows 4..7: per-16-triangle group bboxes (kernel's mid-level skip)
-    tri_bbox = jnp.concatenate([tri_bbox, _group_rows(tri_bbox)], axis=0)
+    tri_bbox = jnp.concatenate([bbox_rows, _group_rows(bbox_rows)], axis=0)
     chunk_bbox = jnp.stack(
         [
             tri_bbox[0].reshape(-1, chunk).min(axis=1),
@@ -532,6 +547,7 @@ def rasterize_pallas(
         n_chunks=n_chunks,
         sample_offsets=offsets,
         layers=layers,
+        window_rows=window_rows,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
