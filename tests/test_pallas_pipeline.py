@@ -100,3 +100,61 @@ def test_pallas_hierarchy_msaa(tmp_path):
     produced_px, _ = render_both(path, msaa=4, backend="pallas",
                                  shading_rate="pixel")
     assert_images_close(produced_px, expected, max_mean=3.5, max_outlier_frac=0.06)
+
+
+def test_table_build_pallas_matches_xla(tmp_path):
+    """build_shade_table_pallas must reproduce build_shade_table to ~1 ULP.
+
+    The kernel computes the identical column expressions; only FMA
+    contraction inside the Pallas lowering may differ, so compare the
+    reconstructed f32 columns at tight relative tolerance and require the
+    static (non-arithmetic) columns to be bit-exact.
+    """
+    import jax
+    import numpy as np
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.mathx import Camera, ViewFrustumParams
+    from vktf_tpu.models.gltf_writer import GltfWriter
+    from vktf_tpu.models.primitives import box_mesh, uv_sphere_mesh
+    from vktf_tpu.ops.pipeline import prepare_frame
+    from vktf_tpu.ops.shade_table import (ROW, build_shade_table,
+                                          build_shade_table_pallas)
+
+    from helpers import build_scene
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.8, 0.4, 0.2, 1.0))
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat)),
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.5, rings=7, sectors=13),
+                                   material=mat), translation=(1.0, 0.2, 0.0)),
+        w.add_node(light=w.add_light(type="directional")),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "t.gltf"))
+    config = RenderConfig(width=128, height=128, msaa_samples=1)
+    camera = Camera((0.0, 0.5, 3.0), (0.0, 0.0, -1.0),
+                    ViewFrustumParams(np.radians(45.0), 1.0, 0.1, 100.0))
+    setup, _b, _l, _w, inst = jax.jit(
+        lambda s, v, c: prepare_frame(s, v, c, meta=meta, config=config)
+    )(scene, camera.view_projection_transform, camera.position)
+
+    def to_f32(u16):
+        u16 = np.asarray(u16)
+        return ((u16[:, :ROW].astype(np.uint32) << 16)
+                | u16[:, ROW:]).view(np.float32)
+
+    # block smaller than T to exercise the grid; T here is not a block
+    # multiple, exercising the pad/slice path too
+    a = to_f32(build_shade_table(setup, scene, inst))
+    b = to_f32(build_shade_table_pallas(setup, scene, inst, interpret=True,
+                                        block=256))
+    assert a.shape == b.shape
+    # plane coefficients suffer catastrophic cancellation (tiny values from
+    # large products), so bound the error per COLUMN: |diff| within ~1 ULP
+    # of the column's magnitude, not of the (possibly cancelled) element.
+    # (whole columns can cancel to ~1e-4 — e.g. a flat scene's wpos-y plane —
+    # so keep a small absolute floor as well)
+    col_scale = np.abs(a).max(axis=0, keepdims=True)
+    assert (np.abs(b - a) <= col_scale * 2e-5 + 1e-4).all()
+    # static material columns + anchors are copies, not arithmetic
+    np.testing.assert_array_equal(a[:, 39:], b[:, 39:])

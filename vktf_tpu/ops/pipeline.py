@@ -315,7 +315,7 @@ def render_frame(
         # Pallas streaming raster + shade-table deferred shading: the
         # production TPU path (ops.raster_pallas / ops.shade_table).
         from vktf_tpu.ops.raster_pallas import rasterize_pallas
-        from vktf_tpu.ops.shade_table import build_shade_table
+        from vktf_tpu.ops.shade_table import build_shade_table_pallas
 
         interpret = config.pallas_interpret
         if interpret is None:
@@ -333,7 +333,8 @@ def render_frame(
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
         with jax.named_scope("vktf.shade_table"):
             table = jax.lax.optimization_barrier(
-                build_shade_table(setup, scene, inst_matrix)
+                build_shade_table_pallas(setup, scene, inst_matrix,
+                                         interpret=interpret)
             )
         with jax.named_scope("vktf.shade_resolve"):
             rgba = pallas_shade_resolve(

@@ -482,7 +482,7 @@ def rasterize_pallas(
         # world-Morton groups — measured 2.7x SLOWER overall: world-order
         # groups are too screen-spread, chunk bboxes go loose. The full
         # per-triangle argsort earns its ~9 ms.)
-        g = 32
+        g = 16  # swept 8/16/32/64 at 1080p sponza: 16 fastest (62.8/66.7/67.1/73.8 ms)
         cx = jnp.clip((bbox_rows[0] + bbox_rows[2]).astype(jnp.int32) // (2 * g), 0, 1023)
         cy = jnp.clip((bbox_rows[1] + bbox_rows[3]).astype(jnp.int32) // (2 * g), 0, 1023)
         key = _part1by1(cx) | (_part1by1(cy) << 1)

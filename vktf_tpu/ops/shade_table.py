@@ -18,6 +18,8 @@ evaluated arithmetically instead of via LUT gathers.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -123,6 +125,111 @@ def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
     hi = (bits >> 16).astype(jnp.uint16)
     lo = (bits & 0xFFFF).astype(jnp.uint16)
     return jnp.concatenate([hi, lo], axis=1)  # (T, 2*ROW) u16
+
+
+def _table_build_kernel(edge_ref, tc_ref, stat_ref, anc_ref, m_ref, out_ref,
+                        *, static_rows: int):
+    """Per-block shade-table build: compute the 64 f32 columns component-major
+    in VMEM, transpose once per block, and emit the (bt, 128) u16 hi|lo rows.
+
+    Column layout and math are EXACTLY build_shade_table's; this kernel
+    exists because the XLA form paid ~16 ms/frame at 262k triangles in
+    full-array stack/transpose/bitcast materializations — here each stays a
+    (64, bt) VMEM tile.
+    """
+    def row(ref, r):  # (1, block) — keep every intermediate 2-D for Mosaic
+        return ref[r:r + 1, :]
+
+    e = [[row(edge_ref, i * 3 + k) for k in range(3)] for i in range(3)]
+    m = [[row(m_ref, r * 4 + c) for c in range(4)] for r in range(4)]
+
+    def world_corner(base, translate):
+        out = []
+        for c in range(3):
+            corners = []
+            for i in range(3):
+                v = (m[c][0] * row(tc_ref, base + 0 + i)
+                     + m[c][1] * row(tc_ref, base + 3 + i)
+                     + m[c][2] * row(tc_ref, base + 6 + i))
+                if translate:
+                    v = v + m[c][3]
+                corners.append(v)
+            out.append(corners)
+        return out
+
+    wp = world_corner(6, translate=True)
+    wn = world_corner(15, translate=False)
+    wt = world_corner(24, translate=False)
+    wt.append([row(tc_ref, 24 + 9 + i) for i in range(3)])
+    uv = [[row(tc_ref, c * 3 + i) for i in range(3)] for c in range(2)]
+
+    cols = []
+    for k in range(3):
+        cols.append(e[0][k] + e[1][k] + e[2][k])
+    for corners in (uv, wp, wn, wt):
+        for corner in corners:
+            for k in range(3):
+                cols.append(e[0][k] * corner[0] + e[1][k] * corner[1]
+                            + e[2][k] * corner[2])
+    for c in range(static_rows):
+        cols.append(row(stat_ref, c))
+    cols.append(row(anc_ref, 0))
+    cols.append(row(anc_ref, 1))
+    zero = jnp.zeros_like(cols[0])
+    while len(cols) < ROW:
+        cols.append(zero)
+
+    table = jnp.concatenate(cols, axis=0)  # (64, bt) f32
+    bits = jax.lax.bitcast_convert_type(table.T, jnp.uint32)  # (bt, 64)
+    out_ref[:, :ROW] = (bits >> 16).astype(jnp.uint16)
+    out_ref[:, ROW:] = (bits & 0xFFFF).astype(jnp.uint16)
+
+
+def build_shade_table_pallas(setup, scene, inst_matrix, *, interpret=False,
+                             block: int = 512) -> jnp.ndarray:
+    """build_shade_table as one Pallas kernel (same (T, 2*ROW) u16 output).
+
+    The only XLA work left is the (T,16) instance-matrix row gather and the
+    cheap component-major transposes of the per-frame inputs; everything
+    else (the ~110 fused multiply-adds per column set, the transpose, the
+    u16 hi/lo split) happens per 512-triangle block in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    edge = setup["edge"]  # (T,3,3)
+    t = edge.shape[0]
+    t_pad = -(-t // block) * block
+
+    def pad(x):  # (C, T) -> (C, t_pad)
+        if t_pad == t:
+            return x
+        return jnp.pad(x, ((0, 0), (0, t_pad - t)))
+
+    edge9 = pad(edge.reshape(t, 9).T)
+    tc = pad(scene.tri_corner)
+    stat = pad(scene.tri_static_cols)
+    anc = pad(setup["anchor"].T)
+    mrows = pad(inst_matrix.reshape(-1, 16)[scene.tri_instance].T)  # (16,t_pad)
+    static_rows = scene.tri_static_cols.shape[0]
+
+    grid = (t_pad // block,)
+
+    def in_spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_table_build_kernel, static_rows=static_rows),
+        grid=grid,
+        in_specs=[in_spec(9), in_spec(36), in_spec(static_rows), in_spec(2),
+                  in_spec(16)],
+        out_specs=pl.BlockSpec((block, 2 * ROW), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 2 * ROW), jnp.uint16),
+        interpret=interpret,
+    )(edge9, tc, stat, anc, mrows)
+    return out[:t]
 
 
 def gather_rows(table2d, row_idx):

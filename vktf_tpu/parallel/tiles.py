@@ -44,7 +44,7 @@ from vktf_tpu.config import RenderConfig
 from vktf_tpu.ops.raster_pallas import rasterize_pallas
 from vktf_tpu.ops.raster_xla import BACKGROUND
 from vktf_tpu.ops.pipeline import pallas_shade_resolve, prepare_frame
-from vktf_tpu.ops.shade_table import build_shade_table
+from vktf_tpu.ops.shade_table import build_shade_table_pallas
 from vktf_tpu.scene.flatten import RenderScene, SceneMeta
 
 
@@ -105,7 +105,7 @@ def render_frame_sharded(
     )
     setup = jax.lax.optimization_barrier(setup)
     table = jax.lax.optimization_barrier(
-        build_shade_table(setup, scene, inst_matrix)
+        build_shade_table_pallas(setup, scene, inst_matrix, interpret=interpret)
     )
 
     # Pad triangles to a gp multiple (padded rows have valid=False).
