@@ -98,3 +98,50 @@ def test_pallas_rejects_unaligned_chunk(scene_setup):
     setup, config = scene_setup
     with pytest.raises(ValueError, match="multiple of 128"):
         rasterize_pallas(setup, 128, 256, tile_shape=(32, 128), chunk=64)
+
+
+def test_setup_cm_matches_vertex_route(scene_setup, tmp_path_factory):
+    """triangle_setup_cm (pallas path: corner tables + (T,16) matrix rows)
+    must agree with the per-vertex triangle_setup route to FMA-contraction
+    ULPs, and exactly on the integer/bool outputs."""
+    import jax.numpy as jnp
+    from vktf_tpu.models.gltf_writer import GltfWriter
+    from vktf_tpu.models.primitives import box_mesh, uv_sphere_mesh
+    from vktf_tpu.ops.pipeline import prepare_frame
+    from vktf_tpu.mathx import ViewFrustumParams
+
+    from helpers import build_scene
+
+    tmp_path = tmp_path_factory.mktemp("cm")
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.5, 0.5, 0.5, 1.0))
+    child = w.add_node(mesh=w.add_mesh(box_mesh(0.3), material=mat),
+                       translation=(0.2, 0.5, 0.0))
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat),
+                   rotation=(0, 0.2588, 0, 0.9659), children=[child]),
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.45, rings=9, sectors=17),
+                                   material=mat), translation=(0.6, 0.1, 0.4)),
+        w.add_node(light=w.add_light(type="directional")),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "cm.gltf"))
+    config = RenderConfig(width=256, height=128, msaa_samples=1)
+    camera = Camera((0.0, 0.6, 2.4), (0.0, -0.2, -1.0),
+                    ViewFrustumParams(np.radians(45.0), 2.0, 0.1, 100.0))
+    vp, cp = camera.view_projection_transform, camera.position
+
+    a = jax.jit(lambda s, v, c: prepare_frame(
+        s, v, c, meta=meta, config=config.replace(backend="dense"))[0]
+    )(scene, vp, cp)
+    b = jax.jit(lambda s, v, c: prepare_frame(
+        s, v, c, meta=meta, config=config.replace(backend="pallas"))[0]
+    )(scene, vp, cp)
+
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    # bboxes may differ by 1 pixel where a projected coordinate rounds
+    # across floor/ceil under ULP input differences (conservative either way)
+    assert np.abs(np.asarray(a["bbox"]) - np.asarray(b["bbox"])).max() <= 1
+    for key in ("edge", "zw"):
+        av, bv = np.asarray(a[key]), np.asarray(b[key])
+        scale = np.abs(av).max(axis=0, keepdims=True) + 1e-6
+        assert (np.abs(av - bv) <= scale * 5e-5 + 1e-4).all(), key

@@ -60,7 +60,7 @@ if __name__ == "__main__":
     from vktf_tpu.runtime.cache import enable_persistent_cache
     from vktf_tpu.ops.pipeline import prepare_frame, render_frame
     from vktf_tpu.ops.raster_pallas import rasterize_pallas, morton_order, pack_tri_data
-    from vktf_tpu.ops.shade_table import build_shade_table, shade_table_samples
+    from vktf_tpu.ops.shade_table import build_shade_table, build_shade_table_pallas, shade_table_samples
 
     enable_persistent_cache()
 
@@ -99,7 +99,8 @@ if __name__ == "__main__":
     # stage 3: shade table build
     inst_fn = jax.jit(lambda s, v, c: prepare_frame(s, v, c, meta=meta, config=config)[4])
     inst_matrix = block(inst_fn(scene, vp, cam_pos))
-    tbl = jax.jit(lambda su, sc, im: build_shade_table(su, sc, im))
+    tbl = jax.jit(lambda su, sc, im: build_shade_table_pallas(
+        su, sc, im, interpret=platform != "tpu"))
     t, table = timeit(tbl, setup, scene, inst_matrix, n=args.frames)
     results["table_ms"] = t * 1e3
 

@@ -40,6 +40,7 @@ from vktf_tpu.ops.vertex import (
     clip_transform,
     propagate_transforms,
     triangle_setup,
+    triangle_setup_cm,
     vertex_world_transform,
 )
 from vktf_tpu.scene.flatten import RenderScene, SceneMeta
@@ -79,7 +80,10 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
 
     Returns (setup, bins, lights, world, inst_matrix) where world =
     (pos, normal, tangent) per-vertex arrays and inst_matrix is the (I,4,4)
-    per-instance world transform (consumed by the shade-table build).
+    per-instance world transform (consumed by the shade-table build). On the
+    pallas backend, world is None (nothing downstream needs per-vertex
+    arrays) and setup carries "mrows", the (T,16) per-triangle instance
+    matrix rows shared by the shade-table build.
     """
     node_global = propagate_transforms(
         scene.node_local, scene.node_parent, meta.level_slices
@@ -89,17 +93,32 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
     )
 
     inst_matrix = node_global[scene.inst_node]  # (I,4,4)
-    vert_matrix = inst_matrix[scene.vertex_instance]  # (V,4,4)
-    world_pos, world_normal, world_tangent = vertex_world_transform(
-        scene.positions, scene.normals, scene.tangents, vert_matrix
-    )
-    clip = clip_transform(world_pos, view_projection)
     # Viewport transform uses the LOGICAL width/height: the padded
     # framebuffer region beyond (width, height) is extra raster area that is
     # cropped away, NOT part of the projection. (Passing padded dims here
     # stretched every frame whose size wasn't a tile multiple — e.g. 1080p
     # rendered with a 0.7% vertical stretch against the 1088-row pad.)
-    setup = dict(triangle_setup(clip, scene.indices, config.width, config.height))
+    if config.resolved_backend() == "pallas":
+        # component-major geometry path: no per-vertex stage at all — one
+        # (T,16) instance-matrix row gather (reused by the shade-table
+        # build) + flat (T,) corner math (triangle_setup_cm docstring)
+        mrows = inst_matrix.reshape(-1, 16)[scene.tri_instance]
+        setup = dict(triangle_setup_cm(
+            scene.tri_corner, mrows, view_projection,
+            config.width, config.height,
+        ))
+        setup["mrows"] = mrows
+        world = None
+    else:
+        vert_matrix = inst_matrix[scene.vertex_instance]  # (V,4,4)
+        world_pos, world_normal, world_tangent = vertex_world_transform(
+            scene.positions, scene.normals, scene.tangents, vert_matrix
+        )
+        clip = clip_transform(world_pos, view_projection)
+        world = (world_pos, world_normal, world_tangent)
+        setup = dict(
+            triangle_setup(clip, scene.indices, config.width, config.height)
+        )
 
     # frustum culling (per instance = per primitive-draw)
     planes = frustum_planes(view_projection)
@@ -119,7 +138,7 @@ def prepare_frame(scene: RenderScene, view_projection, camera_position,
             k_pairs=config.k_pairs,
             large_capacity=config.large_capacity,
         )
-    return setup, bins, lights, (world_pos, world_normal, world_tangent), inst_matrix
+    return setup, bins, lights, world, inst_matrix
 
 
 def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,

@@ -210,7 +210,12 @@ def build_shade_table_pallas(setup, scene, inst_matrix, *, interpret=False,
     tc = pad(scene.tri_corner)
     stat = pad(scene.tri_static_cols)
     anc = pad(setup["anchor"].T)
-    mrows = pad(inst_matrix.reshape(-1, 16)[scene.tri_instance].T)  # (16,t_pad)
+    # reuse the pipeline's (T,16) instance-matrix rows when prepare_frame
+    # already gathered them (pallas path); gather otherwise
+    mrows16 = setup.get("mrows") if isinstance(setup, dict) else None
+    if mrows16 is None:
+        mrows16 = inst_matrix.reshape(-1, 16)[scene.tri_instance]
+    mrows = pad(mrows16.T)  # (16,t_pad)
     static_rows = scene.tri_static_cols.shape[0]
 
     grid = (t_pad // block,)

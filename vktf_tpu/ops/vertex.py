@@ -69,6 +69,49 @@ def clip_transform(world_pos, view_projection):
     )
 
 
+def triangle_setup_cm(tri_corner, mrows, view_projection, width: int, height: int):
+    """triangle_setup from flatten-time per-triangle corner tables.
+
+    Component-major variant for the pallas path: instead of the per-VERTEX
+    route (a (V,16) matrix gather + (V,3,3) einsums + a (T,3,4) corner
+    gather — ~9 ms of narrow gathers and lane-padded small-trailing-dim
+    intermediates at 262k tris), it consumes scene.tri_corner's pre-gathered
+    object-space corners ((36,T), rows 6..14 = position channels) and the
+    (T,16) per-triangle instance-matrix rows (shared with the shade-table
+    build), and keeps every intermediate a flat (T,) vector.
+
+    Same outputs/conventions as triangle_setup (same expression structure,
+    so results agree to FMA-contraction ULPs).
+    """
+    m = [[mrows[:, r * 4 + c] for c in range(4)] for r in range(4)]
+    vp = view_projection  # (4,4), traced scalars via indexing
+
+    # world corners per channel c, corner i (rotate+translate; tri_corner
+    # layout matches build_shade_table's world_corner(6, translate=True))
+    wc = [
+        [
+            m[c][0] * tri_corner[6 + 0 + i]
+            + m[c][1] * tri_corner[6 + 3 + i]
+            + m[c][2] * tri_corner[6 + 6 + i]
+            + m[c][3]
+            for i in range(3)
+        ]
+        for c in range(3)
+    ]
+    # clip = VP @ (world, 1) per corner (clip_transform, vertex.glsl:34)
+    def clip_row(k, i):
+        return (
+            vp[k, 0] * wc[0][i] + vp[k, 1] * wc[1][i] + vp[k, 2] * wc[2][i]
+            + vp[k, 3]
+        )
+
+    x = [clip_row(0, i) for i in range(3)]
+    y = [clip_row(1, i) for i in range(3)]
+    z = [clip_row(2, i) for i in range(3)]
+    w = [clip_row(3, i) for i in range(3)]
+    return _setup_from_corners(x, y, z, w, width, height)
+
+
 def triangle_setup(clip, indices, width: int, height: int):
     """Per-triangle homogeneous raster setup, ANCHORED at the bbox corner.
 
@@ -100,20 +143,43 @@ def triangle_setup(clip, indices, width: int, height: int):
     """
     tri = clip[indices]  # (T,3,4)
     x, y, z, w = tri[..., 0], tri[..., 1], tri[..., 2], tri[..., 3]
-    # Homogeneous pixel-space coords: x'/w = (x/w+1)/2*W  =>  x' linear in clip.
-    xs = (x + w) * (0.5 * width)
-    ys = (y + w) * (0.5 * height)
-    rows = jnp.stack([xs, ys, w], axis=-1)  # (T,3,3): rows r_i per vertex
+    return _setup_from_corners(
+        [x[:, i] for i in range(3)],
+        [y[:, i] for i in range(3)],
+        [z[:, i] for i in range(3)],
+        [w[:, i] for i in range(3)],
+        width,
+        height,
+    )
 
-    r0, r1, r2 = rows[:, 0], rows[:, 1], rows[:, 2]
+
+def _setup_from_corners(x, y, z, w, width: int, height: int):
+    """Shared triangle-setup core on per-corner component vectors.
+
+    x/y/z/w: lists of 3 flat (T,) clip components (corner 0..2). Every
+    intermediate stays (T,) — TPU tiles pad the last two dims to (8,128), so
+    (T,3)/(T,3,3) intermediates waste 42-57x lanes (README performance rule
+    1); only the returned dict stacks into the documented shapes.
+    """
+    # Homogeneous pixel-space coords: x'/w = (x/w+1)/2*W  =>  x' linear in clip.
+    xs = [(x[i] + w[i]) * (0.5 * width) for i in range(3)]
+    ys = [(y[i] + w[i]) * (0.5 * height) for i in range(3)]
+
+    def cross(i, j):  # cross of rows r_i x r_j, r = (xs, ys, w)
+        return (
+            ys[i] * w[j] - w[i] * ys[j],
+            w[i] * xs[j] - xs[i] * w[j],
+            xs[i] * ys[j] - ys[i] * xs[j],
+        )
+
     # Sign convention: with the Vulkan y-flip projection and y-down pixel
     # coords, CCW-wound front faces produce a negative homogeneous
     # determinant; negate cofactors+det so front faces have det > 0 and
     # interior pixels satisfy e_i >= 0.
-    cof0 = jnp.cross(r2, r1)  # e_0 coefficients (opposite vertex 0)
-    cof1 = jnp.cross(r0, r2)
-    cof2 = jnp.cross(r1, r0)
-    det = jnp.einsum("ti,ti->t", r0, cof0)
+    cof0 = cross(2, 1)  # e_0 coefficients (opposite vertex 0)
+    cof1 = cross(0, 2)
+    cof2 = cross(1, 0)
+    det = xs[0] * cof0[0] + ys[0] * cof0[1] + w[0] * cof0[2]
 
     # Front faces have det > 0 in this convention (validated by golden tests
     # against CCW winding + the Vulkan y-flip projection). Triangles with all
@@ -122,40 +188,47 @@ def triangle_setup(clip, indices, width: int, height: int):
     # rasterizer, where their conservative full-screen bboxes would otherwise
     # poison every chunk they sit in (measured 2x frame time at Sponza scale
     # with a camera inside the scene).
-    valid = (det > 1e-12) & ~jnp.all(w <= 1e-12, axis=-1)
+    behind = [w[i] <= 1e-12 for i in range(3)]
+    all_behind = behind[0] & behind[1] & behind[2]
+    any_behind = behind[0] | behind[1] | behind[2]
+    valid = (det > 1e-12) & ~all_behind
     inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
 
     # Conservative screen bbox (pixel units). Triangles with any w <= 0
     # project unboundedly: give them the full screen.
-    safe_w = jnp.maximum(w, 1e-12)
-    px = xs / safe_w
-    py = ys / safe_w
-    any_behind = jnp.any(w <= 1e-12, axis=-1)
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(px.min(axis=-1)))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(py.min(axis=-1)))
-    x1 = jnp.where(any_behind, float(width), jnp.ceil(px.max(axis=-1)) + 1.0)
-    y1 = jnp.where(any_behind, float(height), jnp.ceil(py.max(axis=-1)) + 1.0)
-    bbox = jnp.stack(
-        [
-            jnp.clip(x0, 0, width),
-            jnp.clip(y0, 0, height),
-            jnp.clip(x1, 0, width),
-            jnp.clip(y1, 0, height),
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
+    safe_w = [jnp.maximum(w[i], 1e-12) for i in range(3)]
+    px = [xs[i] / safe_w[i] for i in range(3)]
+    py = [ys[i] / safe_w[i] for i in range(3)]
+    pxmin = jnp.minimum(jnp.minimum(px[0], px[1]), px[2])
+    pymin = jnp.minimum(jnp.minimum(py[0], py[1]), py[2])
+    pxmax = jnp.maximum(jnp.maximum(px[0], px[1]), px[2])
+    pymax = jnp.maximum(jnp.maximum(py[0], py[1]), py[2])
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(pxmin))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(pymin))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(pxmax) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(pymax) + 1.0)
+    zeros_i = jnp.zeros_like(det, dtype=jnp.int32)
+    bbox_cols = [
+        jnp.clip(x0, 0, width),
+        jnp.clip(y0, 0, height),
+        jnp.clip(x1, 0, width),
+        jnp.clip(y1, 0, height),
+    ]
     # Degenerate/back-facing triangles get empty bboxes so binning drops them.
-    bbox = jnp.where(valid[:, None], bbox, jnp.zeros_like(bbox))
+    bbox_cols = [
+        jnp.where(valid, c.astype(jnp.int32), zeros_i) for c in bbox_cols
+    ]
+    bbox = jnp.stack(bbox_cols, axis=-1)
 
     # ---- anchored plane constants ------------------------------------------
-    anchor = bbox[:, :2].astype(jnp.float32)  # (T,2): (ax, ay)
+    ax = bbox_cols[0].astype(jnp.float32)
+    ay = bbox_cols[1].astype(jnp.float32)
+    anchor = jnp.stack([ax, ay], axis=-1)  # (T,2)
     # vertex-0 screen position + the function values there (w_0 > 0 for all
     # valid triangles that aren't near-plane crossers)
-    sx0 = px[:, 0]
-    sy0 = py[:, 0]
-    det_w0 = det / safe_w[:, 0]  # e_0(s_0) = w_recip(s_0)
-    dx0 = anchor[:, 0] - sx0  # <= bbox extent for non-crossing triangles
-    dy0 = anchor[:, 1] - sy0
+    det_w0 = det / safe_w[0]  # e_0(s_0) = w_recip(s_0)
+    dx0 = ax - px[0]  # <= bbox extent for non-crossing triangles
+    dy0 = ay - py[0]
 
     def anchored(a, b, c_raw, value_at_v0):
         """(a, b, f(anchor)): via vertex 0 normally; via the raw constant
@@ -169,23 +242,23 @@ def triangle_setup(clip, indices, width: int, height: int):
     zero = jnp.zeros_like(det)
     edge = jnp.stack(
         [
-            anchored(cof0[:, 0], cof0[:, 1], cof0[:, 2], det_w0),
-            anchored(cof1[:, 0], cof1[:, 1], cof1[:, 2], zero),
-            anchored(cof2[:, 0], cof2[:, 1], cof2[:, 2], zero),
+            anchored(cof0[0], cof0[1], cof0[2], det_w0),
+            anchored(cof1[0], cof1[1], cof1[2], zero),
+            anchored(cof2[0], cof2[1], cof2[2], zero),
         ],
         axis=1,
     )  # (T,3,3)
 
     # depth plane (inv_det folded): depth(s_0) = z_ndc_0 exactly
-    z_ndc0 = z[:, 0] / safe_w[:, 0]
-    za = (cof0[:, 0] * z[:, 0] + cof1[:, 0] * z[:, 1] + cof2[:, 0] * z[:, 2]) * inv_det
-    zb = (cof0[:, 1] * z[:, 0] + cof1[:, 1] * z[:, 1] + cof2[:, 1] * z[:, 2]) * inv_det
-    zc = (cof0[:, 2] * z[:, 0] + cof1[:, 2] * z[:, 1] + cof2[:, 2] * z[:, 2]) * inv_det
+    z_ndc0 = z[0] / safe_w[0]
+    za = (cof0[0] * z[0] + cof1[0] * z[1] + cof2[0] * z[2]) * inv_det
+    zb = (cof0[1] * z[0] + cof1[1] * z[1] + cof2[1] * z[2]) * inv_det
+    zc = (cof0[2] * z[0] + cof1[2] * z[1] + cof2[2] * z[2]) * inv_det
     zplane = anchored(za, zb, zc, z_ndc0)
     # w_recip plane: w_recip(s_0) = det/w_0
-    wa = cof0[:, 0] + cof1[:, 0] + cof2[:, 0]
-    wb = cof0[:, 1] + cof1[:, 1] + cof2[:, 1]
-    wc = cof0[:, 2] + cof1[:, 2] + cof2[:, 2]
+    wa = cof0[0] + cof1[0] + cof2[0]
+    wb = cof0[1] + cof1[1] + cof2[1]
+    wc = cof0[2] + cof1[2] + cof2[2]
     wplane = anchored(wa, wb, wc, det_w0)
     zw = jnp.stack([zplane, wplane], axis=1)
 

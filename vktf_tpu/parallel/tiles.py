@@ -101,15 +101,17 @@ def render_frame_sharded(
     # cheap next to raster/shade; they run replicated under jit/SPMD.
     setup, _, lights, _world, inst_matrix = prepare_frame(
         scene, view_projection, camera_position,
-        meta=meta, config=config.replace(backend="dense"),  # skip XLA binning
+        meta=meta, config=config.replace(backend="pallas"),
     )
     setup = jax.lax.optimization_barrier(setup)
     table = jax.lax.optimization_barrier(
         build_shade_table_pallas(setup, scene, inst_matrix, interpret=interpret)
     )
 
-    # Pad triangles to a gp multiple (padded rows have valid=False).
-    setup = dict(setup)
+    # Pad triangles to a gp multiple (padded rows have valid=False); keep
+    # only the raster keys (mrows was for the shade-table build above).
+    setup = {k: setup[k]
+             for k in ("edge", "zw", "anchor", "inv_det", "valid", "bbox")}
     for key in ("edge", "zw", "anchor", "inv_det", "valid", "bbox"):
         setup[key] = _pad_axis0(setup[key], gp)
     t_local = setup["valid"].shape[0] // gp
