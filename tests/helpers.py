@@ -79,7 +79,7 @@ def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled",
         backend=backend, pallas_chunk=128, shading_rate=shading_rate,
     )
     frame_fn = make_frame_fn(meta, config)
-    produced = np.moveaxis(  # device output is planar (4, H, W)
+    produced = np.moveaxis(  # device output is planar (3, H, W) RGB
         np.asarray(frame_fn(scene, camera.view_projection_transform, camera.position)),
         0,
         -1,
@@ -97,7 +97,9 @@ def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled",
 
 
 def assert_images_close(produced, expected, max_mean=2.0, max_outlier_frac=0.015, tol=8):
-    diff = np.abs(produced.astype(np.int32) - expected.astype(np.int32))[..., :3]
+    diff = np.abs(
+        produced[..., :3].astype(np.int32) - expected[..., :3].astype(np.int32)
+    )
     mean = diff.mean()
     outliers = (diff.max(axis=-1) > tol).mean()
     assert mean <= max_mean, f"mean abs diff {mean:.3f} > {max_mean}"

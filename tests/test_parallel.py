@@ -61,7 +61,7 @@ def test_sharded_matches_single_chip(small_scene, gp):
     camera = default_camera(aspect=96 / 64)
     single = _render_single(scene, meta, config, camera)
     sharded = _render_sharded(scene, meta, config, camera, gp)
-    assert single.shape == sharded.shape == (4, 64, 96)
+    assert single.shape == sharded.shape == (3, 64, 96)
     np.testing.assert_array_equal(single, sharded)
 
 

@@ -18,9 +18,11 @@ Being pure and jitted, frames pipeline through XLA async dispatch with no
 host round-trips — the analogue of the reference's 2-frames-in-flight
 fence/semaphore machinery (engine.cppm:40,505-562).
 
-The output is PLANAR (4, H, W) uint8 — channel-last (H, W, 4) would pad the
-trailing 4 to 128 lanes on TPU (32x memory). Hosts interleave with
-np.moveaxis (see Window.present).
+The output is PLANAR (3, H, W) uint8 RGB — channel-last (H, W, C) would pad
+the trailing channel dim to 128 lanes on TPU (32x memory), and the alpha
+plane is always 255, so it is synthesized host-side instead of paying 25%
+more device->host transfer per frame. Hosts interleave with np.moveaxis
+(see Window.present).
 """
 
 from __future__ import annotations
@@ -177,7 +179,7 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
     matching per-sample depths when pixel-rate shading should pick the
     depth-winning sample's triangle (None -> max-id fallback). Layers
     composite front-to-back with glTF alphaMode semantics
-    (OPAQUE/MASK/BLEND) over the clear color. Returns planar (4, h, w) uint8.
+    (OPAQUE/MASK/BLEND) over the clear color. Returns planar (3, h, w) uint8.
     """
     from vktf_tpu.ops.shade_table import shade_table_layer
 
@@ -265,14 +267,12 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
         )
         comp = composite(rgbs, alphas)
         resolved = jnp.mean(comp.reshape(3, S, h, w), axis=1)
-    rgb_u8 = linear_to_srgb_u8(resolved)
-    alpha_u8 = jnp.full((1, h, w), 255, jnp.uint8)
-    return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
+    return linear_to_srgb_u8(resolved)
 
 
 def make_tile_render(scene, setup, bins, lights, camera_position, world,
                      *, config: RenderConfig):
-    """Build tile_render(tile_idx) -> (4, th, tw) uint8: fused raster + shade
+    """Build tile_render(tile_idx) -> (3, th, tw) uint8: fused raster + shade
     + MSAA resolve + sRGB encode for one framebuffer tile."""
     th, tw = config.tile_shape
     S = len(SAMPLE_OFFSETS[config.msaa_samples])
@@ -305,9 +305,7 @@ def make_tile_render(scene, setup, bins, lights, camera_position, world,
             camera_position, background,
         )  # (4, n)
         resolved = jnp.mean(rgba.reshape(4, S, th * tw), axis=1)  # (4, th*tw)
-        out = linear_to_srgb_u8(resolved[:3])
-        alpha = jnp.full((1, th * tw), 255, jnp.uint8)
-        return jnp.concatenate([out, alpha], axis=0).reshape(4, th, tw)
+        return linear_to_srgb_u8(resolved[:3]).reshape(3, th, tw)
 
     return tile_render
 
@@ -320,7 +318,7 @@ def render_frame(
     meta: SceneMeta,
     config: RenderConfig,
 ) -> jnp.ndarray:
-    """Render one frame; returns PLANAR (4, H, W) uint8 (sRGB, alpha=255)."""
+    """Render one frame; returns PLANAR (3, H, W) uint8 RGB (sRGB)."""
     height, width = config.height, config.width
     ph, pw = config.padded_height, config.padded_width
 
@@ -382,9 +380,7 @@ def render_frame(
             world, lights, camera_position, background,
         )  # (4, n)
         resolved = jnp.mean(rgba.reshape(4, S, ph, pw), axis=1)
-        rgb_u8 = linear_to_srgb_u8(resolved[:3, :height, :width])
-        alpha_u8 = jnp.full((1, height, width), 255, jnp.uint8)
-        return jnp.concatenate([rgb_u8, alpha_u8], axis=0)
+        return linear_to_srgb_u8(resolved[:3, :height, :width])
 
     tile_render = make_tile_render(
         scene, setup, bins, lights, camera_position, world, config=config
@@ -393,13 +389,13 @@ def render_frame(
         tile_render,
         jnp.arange(config.num_tiles, dtype=jnp.int32),
         batch_size=config.tile_batch,
-    )  # (num_tiles, 4, th, tw)
+    )  # (num_tiles, 3, th, tw)
 
     th, tw = config.tile_shape
     image = (
-        tiles.reshape(config.tiles_y, config.tiles_x, 4, th, tw)
+        tiles.reshape(config.tiles_y, config.tiles_x, 3, th, tw)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(4, ph, pw)
+        .reshape(3, ph, pw)
     )
     return image[:, :height, :width]
 

@@ -77,7 +77,7 @@ def render_frame_sharded(
     config: RenderConfig,
     mesh: Mesh,
 ) -> jnp.ndarray:
-    """One frame over the (gp, sp) mesh; returns planar (4, H, W) uint8."""
+    """One frame over the (gp, sp) mesh; returns planar (3, H, W) uint8 RGB."""
     gp = mesh.shape["gp"]
     sp = mesh.shape["sp"]
     th, tw = config.tile_shape
@@ -188,13 +188,13 @@ def render_frame_sharded(
         rgba_slice = pallas_shade_resolve(
             slicer(win_id), scene, table, lights, camera_position,
             config=config, y0=band_y0 + rows0, depth=slicer(win_depth),
-        )  # (4, rh, pw) u8
+        )  # (3, rh, pw) u8
         rgba = jax.lax.all_gather(
             rgba_slice, "gp", axis=1, tiled=True
-        )  # (4, band_h, pw)
+        )  # (3, band_h, pw)
         return rgba
 
-    image = device_frame(setup)  # (4, ph, pw)
+    image = device_frame(setup)  # (3, ph, pw)
     return image[:, : config.height, : config.width]
 
 

@@ -130,12 +130,18 @@ class Window:
     def present(self, frame: np.ndarray) -> None:
         """Consume a rendered uint8 frame (the swapchain present).
 
-        Accepts planar (4, H, W) — the device output layout, chosen because
-        channel-last trailing dims pad ~32x on TPU (ops.pipeline docstring) —
-        or interleaved (H, W, 4); stores/saves interleaved.
+        Accepts planar (3, H, W) RGB or (4, H, W) RGBA — the device output
+        layout, chosen because channel-last trailing dims pad ~32x on TPU
+        (ops.pipeline docstring; the render path ships RGB and the constant
+        alpha=255 is synthesized here) — or interleaved (H, W, C);
+        stores/saves interleaved RGBA.
         """
-        if frame.ndim == 3 and frame.shape[0] == 4 and frame.shape[-1] != 4:
+        if frame.ndim == 3 and frame.shape[0] in (3, 4) and frame.shape[-1] not in (3, 4):
             frame = np.ascontiguousarray(np.moveaxis(frame, 0, -1))
+        if frame.ndim == 3 and frame.shape[-1] == 3:
+            frame = np.concatenate(
+                [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=-1
+            )
         self.last_frame = frame
         if self._frame_dir is not None:
             from PIL import Image
