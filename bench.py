@@ -47,10 +47,10 @@ CAMERAS = {
 
 def run_bench(preset: str, width: int, height: int, msaa: int,
               frames: int, warmup: int, animate: bool = True,
-              backend: str | None = None):
+              backend: str | None = None, depth: int = 4):
     import jax
 
-    from vktf_tpu.config import MAX_RENDER_FRAMES, RenderConfig
+    from vktf_tpu.config import RenderConfig
     from vktf_tpu.mathx import Camera, ViewFrustumParams
     from vktf_tpu.models.scenes import build_preset
     from vktf_tpu.runtime import enable_persistent_cache
@@ -80,12 +80,16 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     compile_s = time.time() - t0
 
     def loop(n: int) -> float:
-        """Steady-state loop, MAX_RENDER_FRAMES deep like Engine.render:
-        dispatch frame i+1 (with an async host copy) before materializing
-        frame i, so transfer and dispatch overlap device compute. Reports the
-        MEDIAN present-to-present interval — the shared/tunneled TPU shows
-        transient multi-hundred-ms stalls that a mean would absorb into the
-        steady-state number."""
+        """Steady-state loop, `depth` frames in flight: dispatch frame i+k
+        (with an async host copy) before materializing frame i, so transfer,
+        dispatch AND the tunnel's RPC round trips (~30 ms each on this
+        machine — swept depth 2..8: 4 is the knee, 153 -> 138 ms median at
+        sponza 1080p) overlap device compute. The interactive engine keeps
+        the reference's 2 frames in flight for input latency
+        (engine.cppm:40); the bench measures throughput like a
+        mailbox-present swapchain. Reports the MEDIAN present-to-present
+        interval — the shared/tunneled TPU shows transient multi-hundred-ms
+        stalls that a mean would absorb into the steady-state number."""
         in_flight = []
         presents = []
         for _ in range(n):
@@ -96,7 +100,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
             frame = scene.render_async()
             frame.copy_to_host_async()
             in_flight.append(frame)
-            if len(in_flight) >= MAX_RENDER_FRAMES:
+            if len(in_flight) >= depth:
                 np.asarray(in_flight.pop(0))
                 presents.append(time.time())
         for frame in in_flight:
@@ -128,6 +132,8 @@ def main() -> int:
     parser.add_argument("--msaa", type=int, default=None)
     parser.add_argument("--frames", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--depth", type=int, default=4,
+                        help="frames in flight (throughput pipelining)")
     parser.add_argument("--backend", default=None,
                         choices=["pallas", "tiled", "dense"],
                         help="raster backend (default: pallas on TPU, tiled elsewhere)")
@@ -144,7 +150,8 @@ def main() -> int:
         height = args.height or height
         msaa = args.msaa or msaa
         try:
-            stats = run_bench(preset, width, height, msaa, args.frames, args.warmup, backend=args.backend)
+            stats = run_bench(preset, width, height, msaa, args.frames,
+                              args.warmup, backend=args.backend, depth=args.depth)
         except Exception as exc:  # pragma: no cover - bench robustness
             print(json.dumps({
                 "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",

@@ -145,3 +145,59 @@ def test_setup_cm_matches_vertex_route(scene_setup, tmp_path_factory):
         av, bv = np.asarray(a[key]), np.asarray(b[key])
         scale = np.abs(av).max(axis=0, keepdims=True) + 1e-6
         assert (np.abs(av - bv) <= scale * 5e-5 + 1e-4).all(), key
+
+
+def test_near_crosser_clipped_bbox(tmp_path):
+    """Triangles crossing the near plane must still rasterize exactly.
+
+    Their conservative bbox is now the projection of the triangle clipped
+    by 0 <= z <= w (was: full screen — 22 ms of a 64 ms raster stage at
+    1080p Sponza). rasterize_dense ignores bboxes entirely, so comparing
+    ids against it catches any over-tight clip.
+    """
+    from vktf_tpu.models.gltf_writer import GltfWriter
+    from vktf_tpu.models.primitives import box_mesh, plane_mesh
+    from vktf_tpu.mathx import ViewFrustumParams
+    from vktf_tpu.ops.raster_xla import rasterize_dense
+
+    from helpers import build_scene
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.6, 0.6, 0.6, 1.0))
+    w.add_scene([
+        # huge floor passing under+behind the camera -> near crossers
+        w.add_node(mesh=w.add_mesh(plane_mesh(size=40.0), material=mat),
+                   translation=(0.0, -0.4, 0.0)),
+        # wall extending behind the camera
+        w.add_node(mesh=w.add_mesh(box_mesh(0.5), material=mat),
+                   translation=(1.2, 0.3, 1.0), scale=(1.0, 2.0, 30.0)),
+        w.add_node(mesh=w.add_mesh(box_mesh(0.4), material=mat),
+                   translation=(0.0, 0.2, -2.0)),
+        w.add_node(light=w.add_light(type="directional")),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "crossers.gltf"))
+    config = RenderConfig(width=256, height=128, msaa_samples=1,
+                          tile_shape=(32, 128))
+    # camera INSIDE the scene looking along -z: floor + wall cross w=0
+    camera = Camera((0.3, 0.4, 0.5), (-0.1, -0.25, -1.0),
+                    ViewFrustumParams(np.radians(60.0), 2.0, 0.1, 50.0))
+    setup = jax.jit(lambda s, v, c: prepare_frame(
+        s, v, c, meta=meta, config=config.replace(backend="pallas"))[0]
+    )(scene, camera.view_projection_transform, camera.position)
+
+    bbox = np.asarray(setup["bbox"])
+    area = (bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
+    assert (area > 0).sum() > 4  # scene is visible
+    # the clip must have produced at least one PARTIAL (non-full-screen,
+    # non-empty) crosser bbox, or this test exercises nothing
+    full = (area == 256 * 128).sum()
+    partial = ((area > 0) & (area < 256 * 128)).sum()
+    assert partial > 0
+
+    ids_d, _ = jax.jit(lambda s: rasterize_dense(
+        s, 128, 256, msaa_samples=1, chunk=8))(setup)
+    ids_p, _ = jax.jit(lambda s: rasterize_pallas(
+        s, 128, 256, tile_shape=(32, 128), msaa_samples=1, chunk=128,
+        interpret=True))(setup)
+    np.testing.assert_array_equal(np.asarray(ids_d), np.asarray(ids_p))
+    assert (np.asarray(ids_d) >= 0).sum() > 2000

@@ -39,7 +39,7 @@ def test_warmup_compiles_and_renders(tmp_path):
             scene, camera.view_projection_transform, camera.position
         )
     )
-    assert out.shape == (4, 32, 64)
+    assert out.shape == (3, 32, 64)
 
 
 def test_persistent_cache_dir_created(tmp_path):

@@ -194,8 +194,7 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     valid = (det > 1e-12) & ~all_behind
     inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
 
-    # Conservative screen bbox (pixel units). Triangles with any w <= 0
-    # project unboundedly: give them the full screen.
+    # Conservative screen bbox (pixel units).
     safe_w = [jnp.maximum(w[i], 1e-12) for i in range(3)]
     px = [xs[i] / safe_w[i] for i in range(3)]
     py = [ys[i] / safe_w[i] for i in range(3)]
@@ -203,10 +202,66 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     pymin = jnp.minimum(jnp.minimum(py[0], py[1]), py[2])
     pxmax = jnp.maximum(jnp.maximum(px[0], px[1]), px[2])
     pymax = jnp.maximum(jnp.maximum(py[0], py[1]), py[2])
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(pxmin))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(pymin))
-    x1 = jnp.where(any_behind, float(width), jnp.ceil(pxmax) + 1.0)
-    y1 = jnp.where(any_behind, float(height), jnp.ceil(pymax) + 1.0)
+
+    # Near-plane crossers (some w <= 0) project unboundedly, but the region
+    # that can PASS the kernel's per-sample tests is only
+    # {0 <= depth <= 1} = the triangle clipped by z >= 0 and z <= w — a
+    # convex region whose projected extremes are (a) vertices satisfying
+    # both, (b) edge intersections with z = 0 that satisfy z <= w, and
+    # (c) edge intersections with z = w that satisfy z >= 0. (The z=0 and
+    # w=0 lines cannot meet inside a triangle of w_obj=1 geometry: z - A·w
+    # is the constant P[2,3] != 0 there.) Round 1 gave crossers full-screen
+    # bboxes; at 1080p Sponza the ~300 crossers' groups then visited every
+    # tile — 22 ms of a 64 ms raster stage. The clipped bbox is exact
+    # culling-wise and costs a few (T,) ops.
+    inf = jnp.float32(3e38)
+    cand_x = []
+    cand_y = []
+    for i in range(3):
+        ok = (z[i] >= 0.0) & (z[i] <= w[i])
+        cand_x.append(jnp.where(ok, px[i], inf))
+        cand_y.append(jnp.where(ok, py[i], inf))
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        for plane in ("near", "far"):
+            if plane == "near":
+                fi, fj = z[i], z[j]
+            else:
+                fi, fj = w[i] - z[i], w[j] - z[j]
+            crossing = (fi > 0.0) != (fj > 0.0)
+            denom = fi - fj
+            t = fi / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            xt = xs[i] + t * (xs[j] - xs[i])
+            yt = ys[i] + t * (ys[j] - ys[i])
+            zt = z[i] + t * (z[j] - z[i])
+            wt = w[i] + t * (w[j] - w[i])
+            other = (zt <= wt) if plane == "near" else (zt >= 0.0)
+            ok = crossing & other & (wt > 1e-12)
+            wt = jnp.maximum(wt, 1e-12)
+            cand_x.append(jnp.where(ok, xt / wt, inf))
+            cand_y.append(jnp.where(ok, yt / wt, inf))
+
+    def vmin(vs):
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = jnp.minimum(acc, v)
+        return acc
+
+    cxmin = vmin(cand_x)
+    cymin = vmin(cand_y)
+    cxmax = vmin([jnp.where(v >= inf, inf, -v) for v in cand_x])
+    cymax = vmin([jnp.where(v >= inf, inf, -v) for v in cand_y])
+    has_cand = cxmin < inf
+    # inflate 1px against f32 rounding of the intersection points; empty
+    # pass regions (all candidates rejected) collapse to an empty bbox
+    cx0 = jnp.where(has_cand, jnp.floor(cxmin) - 1.0, 0.0)
+    cy0 = jnp.where(has_cand, jnp.floor(cymin) - 1.0, 0.0)
+    cx1 = jnp.where(has_cand, jnp.ceil(-cxmax) + 2.0, 0.0)
+    cy1 = jnp.where(has_cand, jnp.ceil(-cymax) + 2.0, 0.0)
+
+    x0 = jnp.where(any_behind, cx0, jnp.floor(pxmin))
+    y0 = jnp.where(any_behind, cy0, jnp.floor(pymin))
+    x1 = jnp.where(any_behind, cx1, jnp.ceil(pxmax) + 1.0)
+    y1 = jnp.where(any_behind, cy1, jnp.ceil(pymax) + 1.0)
     zeros_i = jnp.zeros_like(det, dtype=jnp.int32)
     bbox_cols = [
         jnp.clip(x0, 0, width),
@@ -232,10 +287,16 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
 
     def anchored(a, b, c_raw, value_at_v0):
         """(a, b, f(anchor)): via vertex 0 normally; via the raw constant
-        for near-plane crossers (their anchor is (0,0), where c_raw is
-        exact by definition, so no precision is lost there)."""
+        stepped to the clipped-bbox corner for near-plane crossers (their
+        vertex 0 may be behind the eye; the raw-constant route has the
+        absolute-coordinate cancellation the docstring describes, but
+        crossers are huge triangles whose edge magnitudes dwarf it — and it
+        is exactly what their old (0,0)-anchored evaluation paid per
+        sample)."""
         f_anchor = jnp.where(
-            any_behind, c_raw, value_at_v0 + a * dx0 + b * dy0
+            any_behind,
+            c_raw + a * ax + b * ay,
+            value_at_v0 + a * dx0 + b * dy0,
         )
         return jnp.stack([a, b, f_anchor], axis=-1)
 
