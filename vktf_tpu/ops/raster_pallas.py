@@ -43,7 +43,14 @@ from vktf_tpu.ops.raster_xla import BACKGROUND, SAMPLE_OFFSETS
 #   9..11 depth plane (a, b, depth(anchor))  [inv_det folded]
 #  12..14 w-recip plane (a, b, w_recip(anchor))  [positive inside w > 0]
 #  15     original triangle id (f32-exact for T < 2^24), -1 for invalid
-TRI_ROWS = 16
+#  16..18 top/left fill thresholds per edge as f32 -1.0 (tl) or 0.0,
+#         int-converted in-kernel (scalar f32<->i32 BITCASTS are illegal in
+#         Mosaic; converts are fine). Precomputed because deriving the flag
+#         in-kernel cost ~6 scalar-unit ops per (edge, triangle, window) —
+#         measured HALF the kernel time (the scalar unit, not the VPU, was
+#         the bottleneck).
+#  19..23 zero padding (HBM->SMEM DMA slices need 8-aligned row counts)
+TRI_ROWS = 24
 
 
 def pack_tri_data(setup, perm=None, id_base=0):
@@ -66,11 +73,31 @@ def pack_tri_data(setup, perm=None, id_base=0):
     # all plane rows are ANCHORED at the bbox corner (triangle_setup): the
     # kernel evaluates with (s - bbox_corner) deltas, reading the anchor from
     # the bbox stream rows 0/1
-    rows = [edge[:, i, c] for i in range(3) for c in range(3)]
-    rows += [zw[:, 0, c] for c in range(3)]
-    rows += [zw[:, 1, c] for c in range(3)]
+    def no_negzero(c):
+        # Force exact-zero plane constants to +0.0: the kernel tests the
+        # evaluated planes with integer-bitcast compares (raster docstring),
+        # which order -0.0 below +0.0. With all constants +0, an exactly-zero
+        # plane evaluation is always +0 (IEEE round-to-nearest sums of
+        # cancelling terms yield +0), keeping the int compares equivalent to
+        # the float fill rule.
+        return jnp.where(c == 0.0, jnp.float32(0.0), c)
+
+    rows = [
+        no_negzero(edge[:, i, c]) if c == 2 else edge[:, i, c]
+        for i in range(3)
+        for c in range(3)
+    ]
+    rows += [no_negzero(zw[:, 0, c]) if c == 2 else zw[:, 0, c] for c in range(3)]
+    rows += [no_negzero(zw[:, 1, c]) if c == 2 else zw[:, 1, c] for c in range(3)]
     rows += [jnp.where(valid, tri_ids, -1.0)]
-    tri_data = jnp.stack(rows, axis=0)  # (16, T)
+    for i in range(3):  # rows 16..18: edge fill thresholds as -1.0 / 0.0
+        a, b = edge[:, i, 0], edge[:, i, 1]
+        tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+        rows.append(jnp.where(tl, -1.0, 0.0))
+    zero = jnp.zeros_like(rows[0])
+    while len(rows) < TRI_ROWS:
+        rows.append(zero)
+    tri_data = jnp.stack(rows, axis=0)  # (TRI_ROWS, T)
     if perm is not None:
         tri_data = tri_data[:, perm]
     return tri_data
@@ -268,6 +295,34 @@ def _raster_kernel(
                 r_end = (y1c + 1) << log2s
                 nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
 
+                # Hoist all window-invariant per-triangle scalars (SMEM
+                # reads + the x/validity half of the bbox test) out of the
+                # window loop — the scalar unit, not the VPU, bounds this
+                # kernel, and these replayed per (triangle, window).
+                tris = []
+                for k in range(16):
+                    kk = k0 + k
+                    tx0 = bbox_smem[slot, 0, kk]
+                    tx1 = bbox_smem[slot, 2, kk]
+                    ty0 = bbox_smem[slot, 1, kk]
+                    ty1 = bbox_smem[slot, 3, kk]
+                    xhit = (
+                        (tx0 < tile_x1)
+                        & (tx1 > tile_x0)
+                        & (data_smem[slot, 15, kk] >= 0.0)
+                    )
+                    consts = (
+                        tx0, ty0, ty1, xhit,
+                        [data_smem[slot, r, kk] for r in range(9)],
+                        [data_smem[slot, r, kk] for r in range(9, 15)],
+                        data_smem[slot, 15, kk].astype(jnp.int32),
+                        [
+                            data_smem[slot, r, kk].astype(jnp.int32)
+                            for r in range(16, 19)
+                        ],
+                    )
+                    tris.append(consts)
+
                 def window(w, _):
                     rs = jnp.minimum(r0 + w * win, rows - win)
                     rs = pl.multiple_of(rs, 8)
@@ -287,18 +342,9 @@ def _raster_kernel(
                     # lax.cond) defeat Mosaic's software pipelining and cost
                     # more than the vector math they skip; instead the bbox
                     # miss folds into the coverage mask (a scalar bool AND).
-                    for k in range(16):
-                        kk = k0 + k
-                        tx0 = bbox_smem[slot, 0, kk]
-                        tx1 = bbox_smem[slot, 2, kk]
-                        ty0 = bbox_smem[slot, 1, kk]
-                        ty1 = bbox_smem[slot, 3, kk]
+                    for tx0, ty0, ty1, xhit, ed, zw_c, tri_id, thrs in tris:
                         hit = (  # all-scalar: free next to the vector math
-                            (tx0 < tile_x1)
-                            & (tx1 > tile_x0)
-                            & (ty0 < win_y1)
-                            & (ty1 > y_base)
-                            & (data_smem[slot, 15, kk] >= 0.0)
+                            xhit & (ty0 < win_y1) & (ty1 > y_base)
                         )
                         # plane rows are anchored at the bbox corner
                         # (tx0, ty0) — evaluate with deltas, which keeps f32
@@ -306,41 +352,31 @@ def _raster_kernel(
                         dxx = sxx - tx0
                         dyy = syy - ty0
 
-                        a0 = data_smem[slot, 0, kk]
-                        b0 = data_smem[slot, 1, kk]
-                        c0 = data_smem[slot, 2, kk]
-                        a1 = data_smem[slot, 3, kk]
-                        b1 = data_smem[slot, 4, kk]
-                        c1 = data_smem[slot, 5, kk]
-                        a2 = data_smem[slot, 6, kk]
-                        b2 = data_smem[slot, 7, kk]
-                        c2 = data_smem[slot, 8, kk]
-                        tri_id = data_smem[slot, 15, kk].astype(jnp.int32)
-
-                        def edge_pass(a, b, cc):
-                            # fill rule: e > 0, or e == 0 on a top/left edge.
-                            # The top/left flag (a > 0) | (a == 0 & b > 0) is
-                            # scalar, so the rule is two vector compares and
-                            # two vector bool ops (Mosaic can't select i1
-                            # vectors, so no jnp.where here).
+                        def edge_pass(a, b, cc, thr):
+                            # fill rule: e > 0, or e == 0 on a top/left
+                            # edge — ONE integer compare: non-NaN f32 order
+                            # matches int32 order for values > -0.0, exact
+                            # zeros are always +0 (constants normalized in
+                            # pack_tri_data), and the top/left rule is the
+                            # PRECOMPUTED scalar threshold of stream rows
+                            # 16..18 (int(e) > -1 means e >= +0).
                             e = a * dxx + b * dyy + cc
-                            tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-                            return (e > 0.0) | (tl & (e == 0.0))
+                            e_i = jax.lax.bitcast_convert_type(e, jnp.int32)
+                            return e_i > thr
 
                         inside = (
-                            edge_pass(a0, b0, c0)
-                            & edge_pass(a1, b1, c1)
-                            & edge_pass(a2, b2, c2)
+                            edge_pass(ed[0], ed[1], ed[2], thrs[0])
+                            & edge_pass(ed[3], ed[4], ed[5], thrs[1])
+                            & edge_pass(ed[6], ed[7], ed[8], thrs[2])
                         )
-                        depth = (
-                            data_smem[slot, 9, kk] * dxx
-                            + data_smem[slot, 10, kk] * dyy
-                            + data_smem[slot, 11, kk]
-                        )
-                        w_recip = (
-                            data_smem[slot, 12, kk] * dxx
-                            + data_smem[slot, 13, kk] * dyy
-                            + data_smem[slot, 14, kk]
+                        depth = zw_c[0] * dxx + zw_c[1] * dyy + zw_c[2]
+                        w_recip = zw_c[3] * dxx + zw_c[4] * dyy + zw_c[5]
+                        # 0 <= depth <= 1 as ONE unsigned compare: negative
+                        # f32 bitcasts above 0x8000_0000, so u32(depth) <=
+                        # u32(1.0f) is exactly the float range test (exact
+                        # zeros are +0 per pack_tri_data normalization).
+                        depth_u = jax.lax.bitcast_convert_type(
+                            depth, jnp.uint32
                         )
                         # lexicographic (depth, draw-order id): the stream
                         # is Morton-reordered, so strict-less alone would
@@ -349,8 +385,7 @@ def _raster_kernel(
                             hit
                             & inside
                             & (w_recip > 0.0)
-                            & (depth >= 0.0)
-                            & (depth <= 1.0)
+                            & (depth_u <= jnp.uint32(0x3F800000))
                         )
 
                         def lex_less(d, i):
