@@ -169,6 +169,88 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
     )
 
 
+def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
+                               camera_position, *, config: RenderConfig):
+    """Tile-layout shade + MSAA resolve + sRGB encode (single-chip path).
+
+    Consumes the rasterizer's RAW per-tile blocks (num_tiles, S*th, tw)
+    (row = y*S + s) — or (L, ...) peel layers — so the per-pixel
+    winner/coverage reductions are pure reshapes and the two 33 MB
+    id/depth assemble transposes disappear; only the final (3, H, W) u8
+    image (6 MB) is assembled. Pixel-rate only (the production default);
+    sample-rate uses the assembled path.
+    """
+    from vktf_tpu.ops.shade_table import shade_table_layer
+
+    ids = tri_id if tri_id.ndim == 4 else tri_id[None]
+    deps = depth if depth.ndim == 4 else depth[None]
+    layers, num_tiles, rows, tw = ids.shape
+    th, tw_c = config.tile_shape
+    assert tw == tw_c
+    S = rows // th
+    tiles_y, tiles_x = config.tiles_y, config.tiles_x
+    background = jnp.asarray(config.clear_color, jnp.float32)
+
+    # per-pixel winner (depth-winning sample's triangle) + coverage — all
+    # reshapes, no transposes: row = y*S + s
+    idp = ids.reshape(layers, num_tiles, th, S, tw)
+    dep = deps.reshape(layers, num_tiles, th, S, tw)
+    imax = jnp.int32(2**31 - 1)
+    d_min = jnp.min(dep, axis=3, keepdims=True)
+    cand = jnp.where((dep == d_min) & (idp >= 0), idp, imax)
+    id_px = jnp.min(cand, axis=3)  # (L, num_tiles, th, tw)
+    id_px = jnp.where(id_px == imax, -1, id_px)
+    frac = jnp.mean((idp[0] >= 0).astype(jnp.float32), axis=2)  # (nt, th, tw)
+
+    # pixel-center coordinates per tile block
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    oy = ((tile_ids // tiles_x) * th)[:, None, None]
+    ox = ((tile_ids % tiles_x) * tw)[:, None, None]
+    ry = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 1)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 2)
+    sx = (ox + rx).astype(jnp.float32) + 0.5
+    sy = (oy + ry).astype(jnp.float32) + 0.5
+
+    n_px = num_tiles * th * tw
+    shade_chunk = min(config.shade_chunk, n_px)
+    n_pad = -(-n_px // shade_chunk) * shade_chunk
+    pad = n_pad - n_px
+
+    def flat_pad(x):
+        x = x.reshape(-1)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // shade_chunk, shade_chunk)
+
+    def shade_one(args):
+        tri_c, sx_c, sy_c = args
+        rgb, a, _covered = shade_table_layer(
+            tri_c, sx_c, sy_c, table, scene.quad_pool,
+            camera_position, lights, max_anisotropy=config.max_anisotropy,
+        )
+        return rgb, a
+
+    sxp, syp = flat_pad(sx), flat_pad(sy)
+    rgbs, alphas = [], []
+    for l in range(layers):
+        rgb, a = jax.lax.map(shade_one, (flat_pad(id_px[l]), sxp, syp))
+        rgbs.append(rgb.transpose(1, 0, 2).reshape(3, n_pad)[:, :n_px])
+        alphas.append(a.reshape(n_pad)[:n_px])
+
+    comp = jnp.broadcast_to(background[:3, None], rgbs[0].shape)
+    for l in reversed(range(layers)):
+        comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
+    frac_f = frac.reshape(1, n_px)
+    resolved = comp * frac_f + background[:3, None] * (1.0 - frac_f)
+    rgb_u8 = linear_to_srgb_u8(resolved).reshape(3, num_tiles, th, tw)
+    # assemble the final u8 image (6 MB) — the only transpose left
+    return (
+        rgb_u8.reshape(3, tiles_y, tiles_x, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, tiles_y * th, tiles_x * tw)
+    )
+
+
 def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
                          *, config: RenderConfig, y0=0, depth=None):
     """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
@@ -341,11 +423,13 @@ def render_frame(
         # into the raster/shade consumers blows up compile time (measured
         # minutes -> hours at 1080p); barriers keep stages separate.
         setup = jax.lax.optimization_barrier(setup)
+        tiled_resolve = config.shading_rate == "pixel" and config.msaa_samples > 1
         with jax.named_scope("vktf.raster"):
             tri_id, depth = rasterize_pallas(
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="morton", layers=meta.peel_layers,
+                assemble=not tiled_resolve,
             )
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
         with jax.named_scope("vktf.shade_table"):
@@ -354,10 +438,16 @@ def render_frame(
                                          interpret=interpret)
             )
         with jax.named_scope("vktf.shade_resolve"):
-            rgba = pallas_shade_resolve(
-                tri_id, scene, table, lights, camera_position, config=config,
-                depth=depth,
-            )
+            if tiled_resolve:
+                rgba = pallas_shade_resolve_tiled(
+                    tri_id, depth, scene, table, lights, camera_position,
+                    config=config,
+                )
+            else:
+                rgba = pallas_shade_resolve(
+                    tri_id, scene, table, lights, camera_position,
+                    config=config, depth=depth,
+                )
         return rgba[:, :height, :width]
 
     if backend in ("dense", "xla"):

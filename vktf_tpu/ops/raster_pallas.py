@@ -439,6 +439,7 @@ def rasterize_pallas(
     id_base=0,
     layers: int = 1,
     window_rows: int | None = None,
+    assemble: bool = True,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -620,7 +621,16 @@ def rasterize_pallas(
         interpret=interpret,
     )(hit_counts, y_off.reshape(1), hit_list, tri_data, tri_bbox)
 
-    def assemble(tiles):  # (num_tiles, th*S, tw), row = y*S + s -> (S, H, W)
+    if not assemble:
+        # raw per-tile blocks (num_tiles, S*th, tw), row = y*S + s — the
+        # tile-layout shade/resolve path consumes these directly, skipping
+        # two 33 MB assemble transposes per frame
+        if layers == 1:
+            return outs[0], outs[1]
+        return (jnp.stack([outs[2 * l] for l in range(layers)]),
+                jnp.stack([outs[2 * l + 1] for l in range(layers)]))
+
+    def assemble_fn(tiles):  # (num_tiles, th*S, tw), row = y*S+s -> (S, H, W)
         return (
             tiles.reshape(tiles_y, tiles_x, th, S, tw)
             .transpose(3, 0, 2, 1, 4)
@@ -628,7 +638,7 @@ def rasterize_pallas(
         )
 
     if layers == 1:
-        return assemble(outs[0]), assemble(outs[1])
-    tri_id = jnp.stack([assemble(outs[2 * l]) for l in range(layers)])
-    depth = jnp.stack([assemble(outs[2 * l + 1]) for l in range(layers)])
+        return assemble_fn(outs[0]), assemble_fn(outs[1])
+    tri_id = jnp.stack([assemble_fn(outs[2 * l]) for l in range(layers)])
+    depth = jnp.stack([assemble_fn(outs[2 * l + 1]) for l in range(layers)])
     return tri_id, depth
