@@ -62,8 +62,10 @@ class RenderConfig:
     pallas_chunk: int = 256
     # Force Pallas interpreter mode (None = auto: interpret off-TPU).
     pallas_interpret: Optional[bool] = None
-    # Samples shaded per chunk (bounds the lane-padded gather intermediates).
-    shade_chunk: int = 1 << 20
+    # Samples shaded per chunk (bounds the lane-padded gather
+    # intermediates). Swept on v5e at 1080p: 2^19 and 2^20 equal within
+    # noise, 2^21+ collapses 3x (intermediates overflow VMEM into spills).
+    shade_chunk: int = 1 << 19
     # Fragment shading rate (pallas backend): "pixel" shades once per pixel
     # at the center and resolves by coverage fraction — Vulkan's actual
     # non-sampleShading behavior (and 4x cheaper at 4x MSAA); "sample"
