@@ -171,16 +171,13 @@ def _raster_kernel(
     row window. Each triangle then only evaluates WINDOW_ROWS-row slices
     covering its bbox instead of the whole (S*th, tw) tile — the dominant
     round-1 cost (a ~10px triangle paid 128 rows of edge evaluation; now it
-    pays 32). Windows are 8-row aligned for sublane-aligned dynamic slices;
-    re-evaluating an overlap row is safe because the depth-test update is
-    idempotent for a fixed triangle.
-
-    window_rows is sweepable and all sizes are bit-identical in interpret
-    mode (tests/test_raster_pallas.py pins this) — but on real v5e hardware
-    only the default 32 is validated end-to-end: 16/8/64 showed a ~1e-4
-    fraction of missing coverage at 1080p (suspected Mosaic issue with the
-    resulting data-dependent fori_loop trip counts; 32 is also the fastest
-    by 1.7x+, so the other sizes are debug configs).
+    pays 32). Windows are aligned to the window stride so successive
+    windows of one group are DISJOINT ref slices: Mosaic pipelines the
+    window fori_loop and cannot prove dynamic accumulator slices alias, so
+    any overlap (the old clamped last window) raced the previous
+    iteration's write — wrong samples on real hardware, clean in interpret
+    mode. With disjoint windows every window_rows size is bit-identical on
+    hardware too.
 
     With layers=2 the kernel depth-peels: it keeps the TWO lexicographically
     nearest (depth, draw-order) fragments per sample, which alpha MASK/BLEND
@@ -291,7 +288,16 @@ def _raster_kernel(
                     jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i,
                     tile_h - 1,
                 )
-                r0 = (y0c << log2s) & ~7
+                # r0 aligns DOWN to the window stride so successive windows
+                # are DISJOINT slices [r0 + w*win, r0 + (w+1)*win) that never
+                # need end-clamping (win divides rows). The previous 8-row
+                # alignment let the last window clamp back over its
+                # predecessor's rows; Mosaic pipelines the fori_loop and
+                # cannot see that the dynamic accumulator slices alias, so
+                # the overlapped read raced the prior write — ~28 wrong
+                # samples per 1080p frame in both directions, worse at
+                # smaller windows (more overlap pairs).
+                r0 = (y0c << log2s) & ~(win - 1)
                 r_end = (y1c + 1) << log2s
                 nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
 
@@ -324,8 +330,8 @@ def _raster_kernel(
                     tris.append(consts)
 
                 def window(w, _):
-                    rs = jnp.minimum(r0 + w * win, rows - win)
-                    rs = pl.multiple_of(rs, 8)
+                    rs = r0 + w * win  # disjoint; r0 win-aligned, r_end<=rows
+                    rs = pl.multiple_of(rs, win)
                     y_base = tile_y0 + (rs >> log2s).astype(jnp.float32)
                     syy = y_base + syy_pat  # (win, tw)
                     win_y1 = y_base + float(win >> log2s)
@@ -465,8 +471,11 @@ def rasterize_pallas(
         raise ValueError(f"chunk must be a multiple of 128 (DMA tiling), got {chunk}")
     if window_rows is None:
         window_rows = WINDOW_ROWS
-    if window_rows % 8 != 0:
-        raise ValueError(f"window_rows must be 8-row aligned, got {window_rows}")
+    if window_rows % 8 != 0 or window_rows & (window_rows - 1):
+        raise ValueError(
+            f"window_rows must be a power of two >= 8 (disjoint-window "
+            f"alignment), got {window_rows}"
+        )
     win = min(window_rows, th * msaa_samples)
     if (th * msaa_samples) % win != 0:
         raise ValueError(
