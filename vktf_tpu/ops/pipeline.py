@@ -179,6 +179,12 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     id/depth assemble transposes disappear; only the final (3, H, W) u8
     image (6 MB) is assembled. Pixel-rate only (the production default);
     sample-rate uses the assembled path.
+
+    Shading stays the chunked XLA form (gathers fused WITH the arithmetic):
+    a Pallas split (XLA gathers -> VMEM shade kernels, tried and reverted)
+    measured 10 ms SLOWER at 1080p — phase-splitting serializes the gather
+    latency against the VPU math that the fused chunk map overlaps, and
+    materializes the 536 MB of gathered table rows in HBM.
     """
     from vktf_tpu.ops.shade_table import shade_table_layer
 

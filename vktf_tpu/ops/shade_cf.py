@@ -77,11 +77,14 @@ def shade_lights_cf(world_pos, normal, view_dir, base_rgb, metallic, roughness, 
     """Σ radiance·brdf·cosθ over a static light array (fragment.glsl:137-145).
 
     world_pos/normal/view_dir: 3-tuples of (N,); lights: (L,8) numpy-style
-    device array, unrolled at trace time (the light-count specialization
-    constant analogue, graphics_pipeline.cppm:148-155).
+    device array — or a list of 8-tuples of scalars (the Pallas shade
+    kernel's form, ops.shade_pallas) — unrolled at trace time (the
+    light-count specialization constant analogue,
+    graphics_pipeline.cppm:148-155).
     """
     r = [jnp.zeros_like(world_pos[0]) for _ in range(3)]
-    for i in range(lights.shape[0]):
+    count = lights.shape[0] if hasattr(lights, "shape") else len(lights)
+    for i in range(count):
         light = lights[i]
         has_position = jnp.where(light[3] != 0.0, 1.0, 0.0)
         lvx = light[0] - has_position * world_pos[0]

@@ -276,41 +276,121 @@ def _wrap_coord(i, size, mode):
     )
 
 
-def _sample_material_level(quad_pool, base_row, w0_i, level_i, u, v,
-                           wrap_u, wrap_v, nearest):
-    """One bilinear tap of all 3 material textures at an integer mip level.
+def _anchored_attrs(col, sx, sy):
+    """Anchored plane evaluation helpers from a table-row accessor.
 
-    Returns ((base rgba), (mr rgba), (normal rgba)) tuples of (N,) floats,
-    base NOT yet sRGB-decoded.
-    """
+    col(c) returns the c-th table column as a vector of ANY shape — (N,) in
+    the XLA path, (1, block) inside the Pallas shade kernels — so every
+    shading expression below is single-source across both paths (identical
+    f32 results)."""
+    sxa = sx - col(_C_AX)
+    sya = sy - col(_C_AY)
+    w = col(0) * sxa + col(1) * sya + col(2)
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
+
+    def attr(c0):
+        return (col(c0) * sxa + col(c0 + 1) * sya + col(c0 + 2)) * inv_w
+
+    return inv_w, attr
+
+
+def _texture_params(col, sx, sy, max_anisotropy):
+    """uv + mip-selection parameters (the sampler's LOD stage)."""
+    inv_w, attr = _anchored_attrs(col, sx, sy)
+    u = attr(_C_UV)
+    v = attr(_C_UV + 3)
+    # analytic uv screen derivatives: dU/dx = (Pu_a - U * W_a) / W
+    du_dx = (col(_C_UV) - u * col(0)) * inv_w
+    du_dy = (col(_C_UV + 1) - u * col(1)) * inv_w
+    dv_dx = (col(_C_UV + 3) - v * col(0)) * inv_w
+    dv_dy = (col(_C_UV + 4) - v * col(1)) * inv_w
+
+    base_row_i = col(_C_MROW).astype(jnp.int32)
+    w0_i = col(_C_MW0).astype(jnp.int32)
+    max_level = col(_C_MLEVELS) - 1.0
+    w0f = col(_C_MW0)
+    ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
+    ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
+    rho_max2 = jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24)
+    if max_anisotropy > 1.0:
+        # Anisotropic filtering as LOD sharpening (single-tap approximation
+        # of the reference's sampler anisotropy, model.cppm:261-275): select
+        # the mip by the MINOR footprint axis, clamped so the major/minor
+        # ratio never exceeds max_anisotropy.
+        rho_min2 = jnp.maximum(jnp.minimum(ddx2, ddy2), 1e-24)
+        limit2 = rho_min2 * (max_anisotropy * max_anisotropy)
+        lod = 0.5 * jnp.log2(jnp.maximum(jnp.minimum(rho_max2, limit2), 1e-24))
+    else:
+        lod = 0.5 * jnp.log2(rho_max2)
+    lod = jnp.clip(lod, 0.0, max_level)
+    level0 = jnp.floor(lod)
+    lfrac = lod - level0
+    lfrac = jnp.where(col(_C_MIPN) != 0.0, (lfrac >= 0.5).astype(jnp.float32), lfrac)
+    # boolean algebra, not jnp.where: Mosaic cannot select i1 vectors
+    is_mag = lod <= 0.0
+    nearest = (is_mag & (col(_C_MAGN) != 0.0)) | (~is_mag & (col(_C_MINN) != 0.0))
+    l0 = level0.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
+    return {
+        "u": u, "v": v, "l0": l0, "l1": l1, "lfrac": lfrac,
+        "nearest": nearest, "base_row_i": base_row_i, "w0_i": w0_i,
+        "wrap_u": col(_C_WRAPU), "wrap_v": col(_C_WRAPV),
+    }
+
+
+def _level_addr(tp, level_i):
+    """Pool row index + bilinear fractions for one mip level."""
+    w0_i = tp["w0_i"]
     wl = jnp.maximum(w0_i >> level_i, 1)
     wlf = wl.astype(jnp.float32)
-    x = u * wlf - 0.5
-    y = v * wlf - 0.5
+    x = tp["u"] * wlf - 0.5
+    y = tp["v"] * wlf - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = x - x0f
     fy = y - y0f
+    nearest = tp["nearest"]
     fx = jnp.where(nearest, (fx >= 0.5).astype(jnp.float32), fx)
     fy = jnp.where(nearest, (fy >= 0.5).astype(jnp.float32), fy)
-    x0 = _wrap_coord(x0f.astype(jnp.int32), wl, wrap_u)
-    y0 = _wrap_coord(y0f.astype(jnp.int32), wl, wrap_v)
-
+    x0 = _wrap_coord(x0f.astype(jnp.int32), wl, tp["wrap_u"])
+    y0 = _wrap_coord(y0f.astype(jnp.int32), wl, tp["wrap_v"])
     # closed-form level offset for pow2-square chains (texture_pack.py)
     offset = 4 * (w0_i * w0_i - wl * wl) // 3
-    row = base_row + offset + y0 * wl + x0
-    quad = gather_rows(quad_pool, row)  # (N, 12) u32
+    row = tp["base_row_i"] + offset + y0 * wl + x0
+    return row, fx, fy
 
+
+def pool_row_indices(col, sx, sy, max_anisotropy):
+    """The two per-pixel quad-pool row indices (one per mip level)."""
+    tp = _texture_params(col, sx, sy, max_anisotropy)
+    r0, _fx, _fy = _level_addr(tp, tp["l0"])
+    r1, _fx, _fy = _level_addr(tp, tp["l1"])
+    return r0, r1
+
+
+def _filter_level(quad, fx, fy):
+    """One bilinear tap of all 3 material textures from a gathered quad row.
+
+    quad(k) returns u32 lane k (0..11) of the row; returns ((base rgba),
+    (mr rgba), (normal rgb)) tuples, base NOT yet sRGB-decoded... decoded
+    per texel before filtering below (Vulkan rules).
+    """
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = fx * (1.0 - fy)
     w01 = (1.0 - fx) * fy
     w11 = fx * fy
 
     def tex(slot, srgb):
-        taps = [quad[:, 4 * slot + k] for k in range(4)]
+        taps = [quad(4 * slot + k) for k in range(4)]
 
         def chan(shift, decode):
-            vals = [((tp >> shift) & 0xFF).astype(jnp.float32) / 255.0 for tp in taps]
+            # u8 channel -> f32 via int32 (values 0..255, exact either way;
+            # Mosaic has no u32->f32 cast)
+            vals = [
+                ((tp >> shift) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+                / 255.0
+                for tp in taps
+            ]
             if decode:  # sRGB decodes per texel BEFORE filtering (Vulkan rules)
                 vals = [_srgb_to_linear(vv) for vv in vals]
             return vals[0] * w00 + vals[1] * w10 + vals[2] * w01 + vals[3] * w11
@@ -318,6 +398,73 @@ def _sample_material_level(quad_pool, base_row, w0_i, level_i, u, v,
         return (chan(0, srgb), chan(8, srgb), chan(16, srgb), chan(24, False))
 
     return tex(0, True), tex(1, False), tex(2, False)
+
+
+def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
+                   covered):
+    """Everything after the table + pool gathers (the fragment shader body).
+
+    col/quad0/quad1 are accessors (see _anchored_attrs); cam3 is a 3-tuple
+    of camera-position scalars. Returns (rgb 3-tuple, alpha) of vectors
+    shaped like col's outputs. Single-source for the XLA path and the
+    Pallas shade kernel (ops.shade_pallas)."""
+    tp = _texture_params(col, sx, sy, max_anisotropy)
+    _r0, fx0, fy0 = _level_addr(tp, tp["l0"])
+    _r1, fx1, fy1 = _level_addr(tp, tp["l1"])
+    s0 = _filter_level(quad0, fx0, fy0)
+    s1 = _filter_level(quad1, fx1, fy1)
+    lfrac = tp["lfrac"]
+
+    def lerp_tex(i, c):
+        return s0[i][c] * (1.0 - lfrac) + s1[i][c] * lfrac
+
+    base_tex = tuple(lerp_tex(0, c) for c in range(4))
+    mr_tex = tuple(lerp_tex(1, c) for c in range(4))
+    nrm_tex = tuple(lerp_tex(2, c) for c in range(3))
+
+    base_rgba = tuple(col(_C_BASE + c) * base_tex[c] for c in range(4))
+    metallic = col(_C_MR) * mr_tex[2]
+    roughness = col(_C_MR + 1) * mr_tex[1]
+    normal_scale = col(_C_NSCALE)
+
+    _inv_w, attr = _anchored_attrs(col, sx, sy)
+    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
+    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
+    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
+
+    # ---- TBN + normal mapping (fragment.glsl:59-73) -------------------------
+    n = _rnorm(*nr)
+    tang = _rnorm(tg[0], tg[1], tg[2])
+    bx = n[1] * tang[2] - n[2] * tang[1]
+    by = n[2] * tang[0] - n[0] * tang[2]
+    bz = n[0] * tang[1] - n[1] * tang[0]
+    bxn, byn, bzn = _rnorm(bx, by, bz)
+    handed = tg[3]
+    bit = (bxn * handed, byn * handed, bzn * handed)
+    snx = (2.0 * nrm_tex[0] - 1.0) * normal_scale
+    sny = (2.0 * nrm_tex[1] - 1.0) * normal_scale
+    snz = 2.0 * nrm_tex[2] - 1.0
+    normal = _rnorm(
+        tang[0] * snx + bit[0] * sny + n[0] * snz,
+        tang[1] * snx + bit[1] * sny + n[1] * snz,
+        tang[2] * snx + bit[2] * sny + n[2] * snz,
+    )
+
+    view = _rnorm(cam3[0] - wp[0], cam3[1] - wp[1], cam3[2] - wp[2])
+    radiance = shade_lights_cf(wp, normal, view, base_rgba[:3], metallic,
+                               roughness, lights)
+
+    # effective alpha by glTF alphaMode: OPAQUE -> 1, MASK -> step(cutoff),
+    # BLEND -> textured alpha; uncovered samples contribute nothing
+    mode = col(_C_AMODE)
+    a = base_rgba[3]
+    alpha = jnp.where(
+        mode == 0.0,
+        1.0,
+        jnp.where(mode == 1.0, (a >= col(_C_ACUT)).astype(jnp.float32), a),
+    )
+    alpha = jnp.where(covered, alpha, jnp.zeros_like(alpha))
+    return radiance, alpha
 
 
 def shade_table_samples(
@@ -370,106 +517,12 @@ def shade_table_layer(
     def col(c):
         return row[:, c]
 
-    # plane constants are anchored at the triangle bbox corner: evaluate
-    # with deltas to keep f32 magnitudes small (triangle_setup docstring)
-    sx = sx - col(_C_AX)
-    sy = sy - col(_C_AY)
-
-    w = col(0) * sx + col(1) * sy + col(2)
-    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
-
-    def attr(c0):
-        return (col(c0) * sx + col(c0 + 1) * sy + col(c0 + 2)) * inv_w
-
-    u = attr(_C_UV)
-    v = attr(_C_UV + 3)
-    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
-    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
-    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
-
-    # analytic uv screen derivatives: dU/dx = (Pu_a - U * W_a) / W
-    du_dx = (col(_C_UV) - u * col(0)) * inv_w
-    du_dy = (col(_C_UV + 1) - u * col(1)) * inv_w
-    dv_dx = (col(_C_UV + 3) - v * col(0)) * inv_w
-    dv_dy = (col(_C_UV + 4) - v * col(1)) * inv_w
-
-    # ---- material texturing (2 row gathers: one per mip level) -------------
-    base_row_i = col(_C_MROW).astype(jnp.int32)
-    w0_i = col(_C_MW0).astype(jnp.int32)
-    max_level = col(_C_MLEVELS) - 1.0
-    wrap_u = col(_C_WRAPU)
-    wrap_v = col(_C_WRAPV)
-
-    w0f = col(_C_MW0)
-    ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
-    ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
-    rho_max2 = jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24)
-    if max_anisotropy > 1.0:
-        # Anisotropic filtering as LOD sharpening (single-tap approximation
-        # of the reference's sampler anisotropy, model.cppm:261-275): select
-        # the mip by the MINOR footprint axis, clamped so the major/minor
-        # ratio never exceeds max_anisotropy.
-        rho_min2 = jnp.maximum(jnp.minimum(ddx2, ddy2), 1e-24)
-        limit2 = rho_min2 * (max_anisotropy * max_anisotropy)
-        lod = 0.5 * jnp.log2(jnp.maximum(jnp.minimum(rho_max2, limit2), 1e-24))
-    else:
-        lod = 0.5 * jnp.log2(rho_max2)
-    lod = jnp.clip(lod, 0.0, max_level)
-    level0 = jnp.floor(lod)
-    lfrac = lod - level0
-    lfrac = jnp.where(col(_C_MIPN) != 0.0, (lfrac >= 0.5).astype(jnp.float32), lfrac)
-    nearest = jnp.where(lod <= 0.0, col(_C_MAGN) != 0.0, col(_C_MINN) != 0.0)
-
-    l0 = level0.astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
-    s0 = _sample_material_level(quad_pool, base_row_i, w0_i, l0, u, v, wrap_u, wrap_v, nearest)
-    s1 = _sample_material_level(quad_pool, base_row_i, w0_i, l1, u, v, wrap_u, wrap_v, nearest)
-
-    def lerp_tex(i, c):
-        return s0[i][c] * (1.0 - lfrac) + s1[i][c] * lfrac
-
-    base_tex = tuple(lerp_tex(0, c) for c in range(4))
-    mr_tex = tuple(lerp_tex(1, c) for c in range(4))
-    nrm_tex = tuple(lerp_tex(2, c) for c in range(3))
-
-    base_rgba = tuple(col(_C_BASE + c) * base_tex[c] for c in range(4))
-    metallic = col(_C_MR) * mr_tex[2]
-    roughness = col(_C_MR + 1) * mr_tex[1]
-    normal_scale = col(_C_NSCALE)
-
-    # ---- TBN + normal mapping (fragment.glsl:59-73) -------------------------
-    n = _rnorm(*nr)
-    tang = _rnorm(tg[0], tg[1], tg[2])
-    bx = n[1] * tang[2] - n[2] * tang[1]
-    by = n[2] * tang[0] - n[0] * tang[2]
-    bz = n[0] * tang[1] - n[1] * tang[0]
-    bxn, byn, bzn = _rnorm(bx, by, bz)
-    handed = tg[3]
-    bit = (bxn * handed, byn * handed, bzn * handed)
-    snx = (2.0 * nrm_tex[0] - 1.0) * normal_scale
-    sny = (2.0 * nrm_tex[1] - 1.0) * normal_scale
-    snz = 2.0 * nrm_tex[2] - 1.0
-    normal = _rnorm(
-        tang[0] * snx + bit[0] * sny + n[0] * snz,
-        tang[1] * snx + bit[1] * sny + n[1] * snz,
-        tang[2] * snx + bit[2] * sny + n[2] * snz,
+    r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy)
+    q0 = gather_rows(quad_pool, r0)  # (N, 12) u32
+    q1 = gather_rows(quad_pool, r1)
+    cam3 = (camera_position[0], camera_position[1], camera_position[2])
+    radiance, alpha = shade_gathered(
+        col, sx, sy, lambda k: q0[:, k], lambda k: q1[:, k], cam3, lights,
+        max_anisotropy, covered,
     )
-
-    view = _rnorm(
-        camera_position[0] - wp[0],
-        camera_position[1] - wp[1],
-        camera_position[2] - wp[2],
-    )
-    radiance = shade_lights_cf(wp, normal, view, base_rgba[:3], metallic, roughness, lights)
-
-    # effective alpha by glTF alphaMode: OPAQUE -> 1, MASK -> step(cutoff),
-    # BLEND -> textured alpha; uncovered samples contribute nothing
-    mode = col(_C_AMODE)
-    a = base_rgba[3]
-    alpha = jnp.where(
-        mode == 0.0,
-        1.0,
-        jnp.where(mode == 1.0, (a >= col(_C_ACUT)).astype(jnp.float32), a),
-    )
-    alpha = jnp.where(covered, alpha, 0.0)
     return jnp.stack(radiance, axis=0), alpha, covered
