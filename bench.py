@@ -79,7 +79,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     out = np.asarray(scene.render_async())
     compile_s = time.time() - t0
 
-    def loop(n: int) -> float:
+    def loop(n: int, depth: int = depth) -> float:
         """Steady-state loop, `depth` frames in flight: dispatch frame i+k
         (with an async host copy) before materializing frame i, so transfer,
         dispatch AND the tunnel's RPC round trips (~30 ms each on this
@@ -114,11 +114,17 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     # 254 ms present-to-present minutes apart); the better loop is the
     # closer estimate of the renderer's own steady state.
     dt = min(loop(frames), loop(frames))
+    # the INTERACTIVE figure: the engine's real MAX_RENDER_FRAMES=2
+    # configuration (config.py:22) — what a viewer user sees, vs the
+    # mailbox-style throughput number above (ADVICE r1 / VERDICT item 10)
+    dt2 = dt if depth == 2 else min(loop(frames, depth=2), loop(frames, depth=2))
 
     tris = scene.meta.num_triangles
     return {
         "fps": 1.0 / dt,
         "frame_ms": dt * 1e3,
+        "interactive_fps": 1.0 / dt2,
+        "interactive_frame_ms": dt2 * 1e3,
         "mtris_per_s": tris / dt / 1e6,
         "triangles": tris,
         "build_s": build_s,
@@ -173,6 +179,7 @@ def main() -> int:
             "unit": "fps",
             "vs_baseline": round(stats["fps"] / BASELINE_TARGET_FPS, 3),
             "frame_ms": round(stats["frame_ms"], 2),
+            "interactive_fps": round(stats["interactive_fps"], 2),
             "mtris_per_s": round(stats["mtris_per_s"], 1),
             "compile_s": round(stats["compile_s"], 1),
         }))

@@ -103,32 +103,37 @@ void vktf_generate_mips(const uint8_t* base, int32_t h, int32_t w,
 }
 
 // ---------------------------------------------------------------------------
-// Quad-pool packing (ops/texture_pack.py row layout)
+// Block-pool packing (ops/texture_pack.py row layout: stride-2 4x4 blocks)
 // ---------------------------------------------------------------------------
 
-static inline int32_t wrap_next(int32_t i, int32_t size, int32_t mode) {
-  const int32_t j = i + 1;
-  if (mode == 0) return j % size;                     // repeat
-  if (mode == 1) return std::min(j, size - 1);        // clamp
-  return (j >= size ? 2 * size - 1 - j : j) % size;   // mirrored repeat
+static inline int32_t wrap_index(int32_t i, int32_t size, int32_t mode) {
+  if (mode == 0) return i % size;                             // repeat
+  if (mode == 1) return std::min(std::max(i, 0), size - 1);   // clamp
+  const int32_t m = i % (2 * size);                           // mirrored
+  return m >= size ? 2 * size - 1 - m : m;
 }
 
-// base/mr/nrm: packed-u32 levels of size w*w; out: w*w rows of 12 u32.
-void vktf_pack_quads_level(const uint32_t* base, const uint32_t* mr,
-                           const uint32_t* nrm, int32_t w, int32_t wrap_u,
-                           int32_t wrap_v, uint32_t* out) {
+// base/mr/nrm: packed-u32 levels of size w*w; out: bw*bw rows of 64 u32
+// (bw = max(w/2, 1)), lane t*16 + i*4 + j = texture t texel
+// (wrap(2bx + j), wrap(2by + i)); lanes 48..63 zero.
+void vktf_pack_blocks_level(const uint32_t* base, const uint32_t* mr,
+                            const uint32_t* nrm, int32_t w, int32_t wrap_u,
+                            int32_t wrap_v, uint32_t* out) {
   const uint32_t* tex[3] = {base, mr, nrm};
-  for (int32_t y = 0; y < w; ++y) {
-    const int32_t y1 = wrap_next(y, w, wrap_v);
-    for (int32_t x = 0; x < w; ++x) {
-      const int32_t x1 = wrap_next(x, w, wrap_u);
-      uint32_t* row = out + ((int64_t)y * w + x) * 12;
-      for (int t = 0; t < 3; ++t) {
-        row[4 * t + 0] = tex[t][(int64_t)y * w + x];
-        row[4 * t + 1] = tex[t][(int64_t)y * w + x1];
-        row[4 * t + 2] = tex[t][(int64_t)y1 * w + x];
-        row[4 * t + 3] = tex[t][(int64_t)y1 * w + x1];
+  const int32_t bw = std::max(w >> 1, 1);
+  for (int32_t by = 0; by < bw; ++by) {
+    for (int32_t bx = 0; bx < bw; ++bx) {
+      uint32_t* row = out + ((int64_t)by * bw + bx) * 64;
+      for (int32_t i = 0; i < 4; ++i) {
+        const int32_t ty = wrap_index(2 * by + i, w, wrap_v);
+        for (int32_t j = 0; j < 4; ++j) {
+          const int32_t tx = wrap_index(2 * bx + j, w, wrap_u);
+          for (int t = 0; t < 3; ++t) {
+            row[t * 16 + i * 4 + j] = tex[t][(int64_t)ty * w + tx];
+          }
+        }
       }
+      for (int k = 48; k < 64; ++k) row[k] = 0;
     }
   }
 }

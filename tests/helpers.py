@@ -92,6 +92,7 @@ def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled",
         width,
         height,
         SAMPLE_OFFSETS[msaa],
+        max_anisotropy=config.max_anisotropy,
     )
     return produced, expected
 

@@ -33,23 +33,16 @@ def test_mip_sizes_follow_floor_rule():
     assert [l.shape[:2] for l in levels] == [(6, 3), (3, 1), (1, 1)]
 
 
-def test_quad_pack_matches_numpy():
+def test_block_pack_matches_numpy():
     from vktf_tpu.ops import texture_pack as tp
 
     rng = np.random.default_rng(5)
-    lvls = [rng.integers(0, 2**32, (16, 16), dtype=np.uint32) for _ in range(3)]
-    for wrap_u, wrap_v in [(0, 0), (1, 2), (2, 1)]:
-        got = native.pack_quads_level(*lvls, wrap_u, wrap_v)
-        xs = np.arange(16)
-        x1 = tp._neighbor(xs, 16, wrap_u)
-        y1 = tp._neighbor(xs, 16, wrap_v)
-        want = np.empty((16, 16, 12), np.uint32)
-        for t, lvl in enumerate(lvls):
-            want[:, :, 4 * t + 0] = lvl
-            want[:, :, 4 * t + 1] = lvl[:, x1]
-            want[:, :, 4 * t + 2] = lvl[y1, :]
-            want[:, :, 4 * t + 3] = lvl[y1][:, x1]
-        np.testing.assert_array_equal(got, want.reshape(-1, 12))
+    for w in (16, 2, 1):
+        lvls = [rng.integers(0, 2**32, (w, w), dtype=np.uint32) for _ in range(3)]
+        for wrap_u, wrap_v in [(0, 0), (1, 2), (2, 1)]:
+            got = native.pack_blocks_level(*lvls, wrap_u, wrap_v)
+            want = tp._pack_blocks_level_np(lvls, w, wrap_u, wrap_v)
+            np.testing.assert_array_equal(got, want)
 
 
 def test_accessor_unpack_normalized():

@@ -77,11 +77,18 @@ class RenderConfig:
     # non-sampleShading behavior (and 4x cheaper at 4x MSAA); "sample"
     # supersamples every MSAA sample (matches the numpy reference exactly).
     shading_rate: str = "pixel"
+    # Empty-chunk skipping in the deferred shade: None = auto (on for scenes
+    # under 32k triangles, off at Sponza scale where lax.cond collapses the
+    # cross-chunk gather pipelining — both measured); True/False forces it,
+    # e.g. off for a small scene that densely covers the screen (fullscreen
+    # quad / skybox), where the conds cost ~4.5x (ADVICE r1).
+    shade_skip_mode: Optional[bool] = None
     # Sampler anisotropy (pallas backend + numpy oracle), as single-tap LOD
     # sharpening: mips select by the minor footprint axis, ratio clamped to
-    # this value. 1.0 = isotropic (off). The reference enables sampler
-    # anisotropy up to the device max when available (model.cppm:261-275).
-    max_anisotropy: float = 1.0
+    # this value. 1.0 = isotropic (off). Default ON at 16x — the reference
+    # enables sampler anisotropy up to the device max whenever the device
+    # supports it (model.cppm:261-275), and 16 is the universal device max.
+    max_anisotropy: float = 16.0
 
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
@@ -96,6 +103,19 @@ class RenderConfig:
     # TPU and "tiled" (binned XLA) elsewhere; "dense" is the every-triangle
     # -vs-every-sample semantic reference. "xla" is an alias for "dense".
     backend: str = "auto"
+
+    # Split the pallas frame into per-stage jit programs (prepare / raster /
+    # shade-table / shade+resolve) instead of one fused program. XLA compile
+    # time is superlinear in program size — the fused 1080p frame cost 314 s
+    # cold on the driver bench (BENCH_r01) where the stages compile in a
+    # fraction of that, a source edit only recompiles the stage it touched,
+    # and the split enables cross-frame caching of the Morton stream sort.
+    split_stages: bool = True
+    # Relative view-projection change (Frobenius) above which the cached
+    # Morton stream permutation is recomputed (split-stage path). The sort
+    # affects only raster locality, never output, so staleness is exact;
+    # 0 re-sorts every frame.
+    resort_threshold: float = 0.03
 
     # Number of devices to shard framebuffer tiles across (1 = single chip).
     num_devices: int = 1

@@ -64,8 +64,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vktf_generate_mips.argtypes = [
         _u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p,
     ]
-    lib.vktf_pack_quads_level.restype = None
-    lib.vktf_pack_quads_level.argtypes = [
+    lib.vktf_pack_blocks_level.restype = None
+    lib.vktf_pack_blocks_level.argtypes = [
         _u32p, _u32p, _u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u32p,
     ]
     lib.vktf_unpack_accessor.restype = ctypes.c_int32
@@ -111,15 +111,17 @@ def generate_mips(base: np.ndarray, srgb: bool) -> Optional[list[np.ndarray]]:
     return levels
 
 
-def pack_quads_level(base: np.ndarray, mr: np.ndarray, nrm: np.ndarray,
-                     wrap_u: int, wrap_v: int) -> Optional[np.ndarray]:
-    """Native quad-pool rows for one pow2-square level; None if unavailable."""
+def pack_blocks_level(base: np.ndarray, mr: np.ndarray, nrm: np.ndarray,
+                      wrap_u: int, wrap_v: int) -> Optional[np.ndarray]:
+    """Native block-pool rows (bw*bw, 64) for one pow2-square level; None if
+    the library is unavailable (ops/texture_pack.py stride-2 4x4 layout)."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "vktf_pack_blocks_level"):
         return None
     w = int(base.shape[0])
-    out = np.empty((w * w, 12), np.uint32)
-    lib.vktf_pack_quads_level(
+    bw = max(w >> 1, 1)
+    out = np.zeros((bw * bw, 64), np.uint32)
+    lib.vktf_pack_blocks_level(
         np.ascontiguousarray(base.reshape(-1), np.uint32),
         np.ascontiguousarray(mr.reshape(-1), np.uint32),
         np.ascontiguousarray(nrm.reshape(-1), np.uint32),

@@ -228,7 +228,13 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     # covered frame measured 99 -> 449 ms with conds — so the mode is a
     # STATIC choice by scene size: a scene under 32k triangles cannot come
     # close to covering 2M pixels densely, a Sponza-scale one always does.
-    skip_mode = table.shape[0] <= 32768  # static scene size
+    if config.shade_skip_mode is not None:
+        # explicit override (ADVICE r1: a small scene that fully covers the
+        # screen — fullscreen quad, skybox — wants skip_mode off; the
+        # triangle-count proxy cannot see coverage)
+        skip_mode = config.shade_skip_mode
+    else:
+        skip_mode = table.shape[0] <= 32768  # static scene size
     if skip_mode:
         shade_chunk = min(max(th * tw * 4, 32768), n_px)
     else:
@@ -236,10 +242,12 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     n_pad = -(-n_px // shade_chunk) * shade_chunk
     pad = n_pad - n_px
 
-    def flat_pad(x):
+    def flat_pad(x, fill=0):
         x = x.reshape(-1)
         if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            x = jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)]
+            )
         return x.reshape(n_pad // shade_chunk, shade_chunk)
 
     def shade_one(args):
@@ -265,7 +273,10 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     sxp, syp = flat_pad(sx), flat_pad(sy)
     rgbs, alphas = [], []
     for l in range(layers):
-        rgb, a = jax.lax.map(shade_one, (flat_pad(id_px[l]), sxp, syp))
+        # pad ids with -1 (background): 0 is a real triangle id, and a
+        # 0-padded tail chunk always failed the skip test AND gathered real
+        # table/pool rows for lanes that are sliced off anyway (ADVICE r1)
+        rgb, a = jax.lax.map(shade_one, (flat_pad(id_px[l], fill=-1), sxp, syp))
         rgbs.append(rgb.transpose(1, 0, 2).reshape(3, n_pad)[:, :n_px])
         alphas.append(a.reshape(n_pad)[:n_px])
 
@@ -522,8 +533,120 @@ def render_frame(
     return image[:, :height, :width]
 
 
+class PallasFrameProgram:
+    """The pallas frame pipeline as per-stage jit programs.
+
+    Functionally identical to the fused render_frame (same stages, same
+    optimization-barrier boundaries — the barriers already prevented
+    cross-stage fusion inside the fused program), but compiled as four
+    programs instead of one:
+
+      * cold compile drops from minutes to the sum of much smaller stage
+        compiles (XLA compile time is superlinear in program size;
+        BENCH_r01 paid 314 s for the fused 1080p frame);
+      * a source edit invalidates only the stage it touched in the
+        persistent cache;
+      * the Morton stream permutation becomes a cached cross-frame input:
+        the ~9 ms/frame argsort reruns only when the camera has moved past
+        ``config.resort_threshold`` (sort order affects raster locality,
+        never output — lexicographic depth ties use original draw ids).
+
+    Frames still pipeline through XLA async dispatch: every stage call is
+    non-blocking, so N-deep frames-in-flight behaves exactly as with the
+    fused program.
+    """
+
+    def __init__(self, meta: SceneMeta, config: RenderConfig):
+        from vktf_tpu.ops.raster_pallas import rasterize_pallas, stream_perm
+        from vktf_tpu.ops.shade_table import build_shade_table_pallas
+
+        self.meta = meta
+        self.config = config
+        interpret = config.pallas_interpret
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        ph, pw = config.padded_height, config.padded_width
+        height, width = config.height, config.width
+        tiled_resolve = config.shading_rate == "pixel" and config.msaa_samples > 1
+
+        def prepare(scene, view_projection, camera_position):
+            setup, _bins, lights, _world, _inst = prepare_frame(
+                scene, view_projection, camera_position,
+                meta=meta, config=config,
+            )
+            return setup, lights
+
+        def perm_fn(setup):
+            return stream_perm(setup, chunk=config.pallas_chunk)
+
+        def raster(setup, perm):
+            return rasterize_pallas(
+                setup, ph, pw, tile_shape=config.tile_shape,
+                msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
+                interpret=interpret, sort="none", perm=perm,
+                layers=meta.peel_layers, assemble=not tiled_resolve,
+            )
+
+        def table_fn(setup, scene):
+            return build_shade_table_pallas(
+                setup, scene, None, interpret=interpret
+            )
+
+        def shade(tri_id, depth, table, scene, lights, camera_position):
+            if tiled_resolve:
+                rgba = pallas_shade_resolve_tiled(
+                    tri_id, depth, scene, table, lights, camera_position,
+                    config=config,
+                )
+            else:
+                rgba = pallas_shade_resolve(
+                    tri_id, scene, table, lights, camera_position,
+                    config=config, depth=depth,
+                )
+            return rgba[:, :height, :width]
+
+        self._prepare = jax.jit(prepare)
+        self._perm_fn = jax.jit(perm_fn)
+        self._raster = jax.jit(raster)
+        self._table = jax.jit(table_fn)
+        self._shade = jax.jit(shade)
+        self._perm = None
+        self._sort_vp = None
+
+    def _maybe_resort(self, setup, view_projection):
+        vp = np.asarray(view_projection, dtype=np.float64)
+        if self._perm is not None and self.config.resort_threshold > 0:
+            ref = self._sort_vp
+            if (np.linalg.norm(vp - ref)
+                    <= self.config.resort_threshold * np.linalg.norm(ref)):
+                return self._perm
+        self._perm = self._perm_fn(setup)
+        self._sort_vp = vp
+        return self._perm
+
+    def __call__(self, scene, view_projection, camera_position):
+        setup, lights = self._prepare(scene, view_projection, camera_position)
+        perm = self._maybe_resort(setup, view_projection)
+        tri_id, depth = self._raster(setup, perm)
+        table = self._table(setup, scene)
+        return self._shade(tri_id, depth, table, scene, lights,
+                           camera_position)
+
+    def warmup(self, scene, view_projection, camera_position):
+        """Compile every stage (AOT analogue); blocks until done."""
+        out = self(scene, view_projection, camera_position)
+        np.asarray(out)
+        return out
+
+
 def make_frame_fn(meta: SceneMeta, config: RenderConfig):
-    """Build the jitted frame function for a given static scene shape."""
+    """Build the frame function for a given static scene shape.
+
+    Returns a jitted function, or (pallas backend with split_stages, the
+    default) a PallasFrameProgram — same call signature, per-stage compiled.
+    """
+    if config.resolved_backend() == "pallas" and config.split_stages:
+        return PallasFrameProgram(meta, config)
 
     def frame(scene, view_projection, camera_position):
         return render_frame(

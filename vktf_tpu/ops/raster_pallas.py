@@ -137,6 +137,31 @@ def _pad_cols(x, multiple, fill=0.0):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=fill)
 
 
+def stream_perm(setup, chunk: int = 256, granularity: int = 16):
+    """The screen-Morton stream permutation as a standalone (t_pad,) array.
+
+    Exactly the permutation rasterize_pallas(sort="morton") computes
+    internally (invalid + padding keyed to INT_MAX -> stream tail), split
+    out so the split-stage frame program can CACHE it across frames: the
+    argsort costs ~9 ms/frame at 262k triangles, but the sort only affects
+    raster locality, never output (lexicographic depth ties use original
+    ids), so a slightly stale permutation — re-sorted only when the camera
+    moves past RenderConfig.resort_threshold — is exact.
+    """
+    bbox = setup["bbox"]
+    valid = setup["valid"]
+    t = valid.shape[0]
+    t_pad = -(-t // chunk) * chunk
+    g = granularity
+    cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) // (2 * g), 0, 1023)
+    cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) // (2 * g), 0, 1023)
+    key = _part1by1(cx) | (_part1by1(cy) << 1)
+    key = jnp.where(valid, key, jnp.int32(2**31 - 1))
+    if t_pad != t:
+        key = jnp.pad(key, (0, t_pad - t), constant_values=jnp.int32(2**31 - 1))
+    return jnp.argsort(key)
+
+
 WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 
 
@@ -446,6 +471,7 @@ def rasterize_pallas(
     layers: int = 1,
     window_rows: int | None = None,
     assemble: bool = True,
+    perm=None,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -520,7 +546,11 @@ def rasterize_pallas(
         axis=0,
     )  # (4, t_pad)
 
-    if sort == "morton":
+    if perm is not None:
+        # caller-provided (possibly cached cross-frame) stream permutation
+        tri_data = tri_data[:, perm]
+        bbox_rows = bbox_rows[:, perm]
+    elif sort == "morton":
         # screen Morton keys from the padded bbox rows (invalid -> INT_MAX,
         # so padding and rejected triangles sort to the stream tail).
         # (A group-granularity variant — argsort T/16 keys of the flatten-time

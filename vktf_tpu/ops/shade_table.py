@@ -308,6 +308,7 @@ def _texture_params(col, sx, sy, max_anisotropy):
     base_row_i = col(_C_MROW).astype(jnp.int32)
     w0_i = col(_C_MW0).astype(jnp.int32)
     max_level = col(_C_MLEVELS) - 1.0
+    max_level_i = max_level.astype(jnp.int32)
     w0f = col(_C_MW0)
     ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
     ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
@@ -334,12 +335,21 @@ def _texture_params(col, sx, sy, max_anisotropy):
     return {
         "u": u, "v": v, "l0": l0, "l1": l1, "lfrac": lfrac,
         "nearest": nearest, "base_row_i": base_row_i, "w0_i": w0_i,
+        "max_level_i": max_level_i,
         "wrap_u": col(_C_WRAPU), "wrap_v": col(_C_WRAPV),
     }
 
 
 def _level_addr(tp, level_i):
-    """Pool row index + bilinear fractions for one mip level."""
+    """Pool BLOCK-row index + bilinear fractions + in-block case for one mip
+    level (texture_pack.py stride-2 4x4 block layout).
+
+    The 2x2 footprint with wrapped corner (x0, y0) lies inside block
+    (x0>>1, y0>>1); (cx, cy) = (x0&1, y0&1) selects which 2x2 window of the
+    4x4 block holds the taps. Block rows keep the pool under the ~400k-row
+    TPU gather cliff (tools/microbench6) that the one-row-per-texel quad
+    layout blew past (13 ms -> 3.2 ms per 2M-index gather at Sponza scale).
+    """
     w0_i = tp["w0_i"]
     wl = jnp.maximum(w0_i >> level_i, 1)
     wlf = wl.astype(jnp.float32)
@@ -354,34 +364,56 @@ def _level_addr(tp, level_i):
     fy = jnp.where(nearest, (fy >= 0.5).astype(jnp.float32), fy)
     x0 = _wrap_coord(x0f.astype(jnp.int32), wl, tp["wrap_u"])
     y0 = _wrap_coord(y0f.astype(jnp.int32), wl, tp["wrap_v"])
-    # closed-form level offset for pow2-square chains (texture_pack.py)
-    offset = 4 * (w0_i * w0_i - wl * wl) // 3
-    row = tp["base_row_i"] + offset + y0 * wl + x0
-    return row, fx, fy
+    # closed-form BLOCK level offset for pow2-square chains
+    # (texture_pack.block_level_offset): geometric sum of max(w0>>(l+1),1)^2
+    # with a +1 for the final 1x1 level repeating a single-block grid
+    b0 = jnp.maximum(w0_i >> 1, 1)
+    bl = jnp.maximum(b0 >> level_i, 1)
+    n_last = tp["max_level_i"]
+    extra = ((level_i == n_last) & (n_last > 0)).astype(jnp.int32)
+    offset = 4 * (b0 * b0 - bl * bl) // 3 + extra
+    bw = jnp.maximum(w0_i >> (level_i + 1), 1)
+    row = tp["base_row_i"] + offset + (y0 >> 1) * bw + (x0 >> 1)
+    return row, fx, fy, x0 & 1, y0 & 1
 
 
 def pool_row_indices(col, sx, sy, max_anisotropy):
-    """The two per-pixel quad-pool row indices (one per mip level)."""
+    """The two per-pixel pool block-row indices (one per mip level)."""
     tp = _texture_params(col, sx, sy, max_anisotropy)
-    r0, _fx, _fy = _level_addr(tp, tp["l0"])
-    r1, _fx, _fy = _level_addr(tp, tp["l1"])
+    r0 = _level_addr(tp, tp["l0"])[0]
+    r1 = _level_addr(tp, tp["l1"])[0]
     return r0, r1
 
 
-def _filter_level(quad, fx, fy):
-    """One bilinear tap of all 3 material textures from a gathered quad row.
+def _filter_level(quad, fx, fy, cx, cy):
+    """One bilinear tap of all 3 material textures from a gathered block row.
 
-    quad(k) returns u32 lane k (0..11) of the row; returns ((base rgba),
-    (mr rgba), (normal rgb)) tuples, base NOT yet sRGB-decoded... decoded
-    per texel before filtering below (Vulkan rules).
+    quad(k) returns u32 lane k (0..47) of the row (lane t*16 + i*4 + j =
+    texture t, block texel (j, i)); (cx, cy) in {0,1} selects the 2x2 tap
+    window inside the 4x4 block. Returns ((base rgba), (mr rgba),
+    (normal rgb)) tuples; base sRGB-decoded per texel BEFORE filtering
+    (Vulkan rules).
     """
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = fx * (1.0 - fy)
     w01 = (1.0 - fx) * fy
     w11 = fx * fy
+    cxb = cx == 1
+    cyb = cy == 1
+
+    def tap(slot, dy, dx):
+        # the 4 possible lanes for this tap corner across the (cx, cy)
+        # cases, folded with vector selects — lane indices stay STATIC so
+        # the row gather stays a plain 2-D row gather
+        a = quad(slot * 16 + dy * 4 + dx)
+        b = quad(slot * 16 + dy * 4 + dx + 1)
+        c = quad(slot * 16 + (dy + 1) * 4 + dx)
+        d = quad(slot * 16 + (dy + 1) * 4 + dx + 1)
+        return jnp.where(cyb, jnp.where(cxb, d, c), jnp.where(cxb, b, a))
 
     def tex(slot, srgb):
-        taps = [quad(4 * slot + k) for k in range(4)]
+        taps = [tap(slot, 0, 0), tap(slot, 0, 1), tap(slot, 1, 0),
+                tap(slot, 1, 1)]
 
         def chan(shift, decode):
             # u8 channel -> f32 via int32 (values 0..255, exact either way;
@@ -409,10 +441,10 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
     shaped like col's outputs. Single-source for the XLA path and the
     Pallas shade kernel (ops.shade_pallas)."""
     tp = _texture_params(col, sx, sy, max_anisotropy)
-    _r0, fx0, fy0 = _level_addr(tp, tp["l0"])
-    _r1, fx1, fy1 = _level_addr(tp, tp["l1"])
-    s0 = _filter_level(quad0, fx0, fy0)
-    s1 = _filter_level(quad1, fx1, fy1)
+    _r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
+    _r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
+    s0 = _filter_level(quad0, fx0, fy0, cx0, cy0)
+    s1 = _filter_level(quad1, fx1, fy1, cx1, cy1)
     lfrac = tp["lfrac"]
 
     def lerp_tex(i, c):

@@ -1,29 +1,44 @@
-"""Material texel pool: quad-packed, material-combined texture storage.
+"""Material texel pool: block-packed, material-combined texture storage.
 
-TPU gathers cost ~9ns per INDEX, nearly independent of row width (measured);
-classic per-texel sampling (4 taps x 2 mips x 3 textures = 24 gathers/sample)
-is therefore ~24x more expensive than it needs to be. This pool restructures
-texture memory so one filtered trilinear sample of ALL THREE glTF material
-textures (base color, metallic-roughness, normal — the reference's material
-descriptor set, material.cppm:138-171) costs exactly TWO row gathers (one per
-mip level):
+TPU row-gather cost is dominated by a TABLE ROW-COUNT cliff (measured on
+v5e, tools/microbench5/6: 2M random row gathers cost ~3.2 ms from tables
+under ~400k rows, then jump 4-7x — 13 ms at 1.5M rows — regardless of index
+coherence). Classic per-texel sampling (4 taps x 2 mips x 3 textures = 24
+gathers/sample) is unaffordable; round 1's quad pool (one row per texel
+position holding the 2x2 footprint of all 3 textures = 12 u32) already got
+a trilinear sample of the whole material down to TWO row gathers, but its
+row count equals the texel count (1.5M at Sponza scale) — past the cliff,
+so each of those gathers paid ~13 ms.
+
+This pool packs 4x4-texel BLOCKS on a stride-2 anchor grid instead:
 
   * the three textures of a material are resampled to one power-of-two
     square chain (they already match in well-authored assets; resampling is
     logged per the skip-and-log ethos);
-  * each pool row holds the 2x2 bilinear footprint of all three textures at
-    one (level, x, y): [base q00,q10,q01,q11, mr q00..q11, normal q00..q11]
-    = 12 u32, with wrap-mode-correct neighbors baked in at build time;
-  * pow-of-two square chains make the per-level row offset a closed form
-    (offset(l) = 4*(w0^2 - (w0>>l)^2)/3), so no per-sample level-offset
-    lookup table is needed — everything a sample needs is computable from
-    scalars baked per-triangle into the shade table (ops.shade_table).
+  * each pool row holds a 4x4 texel block of all three textures anchored at
+    even coords (2bx, 2by): lane t*16 + i*4 + j = texture t at texel
+    (2bx + j, 2by + i), wrap-mode-correct out-of-range texels baked in at
+    build time. 48 u32 lanes used, padded to 64;
+  * ANY 2x2 bilinear footprint lies inside exactly one block: its corner
+    (x0, y0) maps to block (x0>>1, y0>>1) with in-block case (x0&1, y0&1),
+    so one filtered trilinear sample of ALL THREE glTF material textures
+    (base color, metallic-roughness, normal — the reference's material
+    descriptor set, material.cppm:138-171) still costs exactly TWO row
+    gathers (one per mip level), while the pool has texels/4 rows —
+    393k for Sponza's 1.57M texel positions, back under the cliff
+    (measured 3.2 ms vs 13 ms per gather);
+  * pow-of-two square chains make the per-level block-row offset a closed
+    form (offset(l) = 4*(b0^2 - max(b0>>l,1)^2)/3 + [l == last && last>0],
+    b0 = max(w0>>1, 1)), so no per-sample level-offset lookup table is
+    needed — everything a sample needs is computable from scalars baked
+    per-triangle into the shade table (ops.shade_table).
 
-Storage is a (P, 12) u32 array fetched with one vectorized 2-D row gather
-per mip level (measured the only fast gather form on TPU; the flat-array
-sliced-gather alternative lowers to a scalar loop ~150x slower). The minor
-dim pads to 128 lanes in HBM (~10x storage) — acceptable against 16G HBM,
-revisit if texture budgets grow.
+Storage is a (P, 64) u32 array fetched with one vectorized 2-D row gather
+per mip level (the only fast gather form on TPU; explicit lax.gather with
+slice_sizes lowers to a scalar loop ~150x slower). The minor dim pads to
+128 lanes in HBM (2x storage — 4x less than the quad pool's 12->128 pad);
+texel duplication is 4x (16 texels per 4 anchor positions), same as the
+quad pool's 4 copies per texel.
 """
 
 from __future__ import annotations
@@ -36,7 +51,8 @@ import jax.numpy as jnp
 from vktf_tpu.loaders.images import TextureData, default_texture_data
 from vktf_tpu.log import Log, default_log
 
-ROW_U32 = 12  # base quad (4) + mr quad (4) + normal quad (4)
+BLOCK_U32 = 48  # 3 textures x 16 texels
+ROW_U32 = 64  # padded row width (pow2)
 
 WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
 _WRAP_CODES = {"repeat": WRAP_REPEAT, "clamp_to_edge": WRAP_CLAMP, "mirrored_repeat": WRAP_MIRROR}
@@ -44,26 +60,26 @@ _WRAP_CODES = {"repeat": WRAP_REPEAT, "clamp_to_edge": WRAP_CLAMP, "mirrored_rep
 
 @dataclasses.dataclass
 class MaterialPool:
-    """Per-material quad-packed texel rows + per-material scalar metadata."""
+    """Per-material block-packed texel rows + per-material scalar metadata."""
 
     quads: jnp.ndarray  # (P, ROW_U32) uint32 — 2-D for fast row gathers
     # per-material scalars (baked into the shade table per triangle):
-    base_row: np.ndarray  # (M,) int64 — first row index of the chain
+    base_row: np.ndarray  # (M,) int64 — first BLOCK row index of the chain
     width0: np.ndarray  # (M,) int32 — level-0 width (= height; pow2 square)
     num_levels: np.ndarray  # (M,) int32
     wrap: np.ndarray  # (M, 2) int32
     filters: np.ndarray  # (M, 3) int32 (mag_nearest, min_nearest, mip_nearest)
 
 
-def _neighbor(i: np.ndarray, size: int, mode: int) -> np.ndarray:
-    """Index of texel i+1 under the wrap mode (vectorized)."""
-    j = i + 1
+def _wrap_index(i: np.ndarray, size: int, mode: int) -> np.ndarray:
+    """Wrap texel indices (possibly >= size) under the sampler mode."""
     if mode == WRAP_REPEAT:
-        return j % size
+        return i % size
     if mode == WRAP_CLAMP:
-        return np.minimum(j, size - 1)
+        return np.clip(i, 0, size - 1)
     # mirrored repeat: reflect at the boundary
-    return np.where(j >= size, 2 * size - 1 - j, j) % max(size, 1)
+    m = i % max(2 * size, 1)
+    return np.where(m >= size, 2 * size - 1 - m, m)
 
 
 def _pack_u32(level: np.ndarray) -> np.ndarray:
@@ -99,20 +115,43 @@ def _to_pow2_square_chain(tex: TextureData, size: int) -> list[np.ndarray]:
     return generate_mips(_resample_nearest(base, size), tex.srgb)
 
 
-def _chain_rows(size: int) -> int:
-    total, s = 0, size
-    while True:
-        total += s * s
-        if s == 1:
-            break
-        s >>= 1
-    return total
+def blocks_per_level(w0: int, level: int) -> int:
+    """Block-grid width of a mip level (stride-2 anchors)."""
+    return max(w0 >> (level + 1), 1)
 
 
-def level_row_offset(w0: int, level: int) -> int:
-    """Closed-form texel-row offset of a mip level in a pow2-square chain."""
-    wl = max(w0 >> level, 1)
-    return 4 * (w0 * w0 - wl * wl) // 3
+def block_level_offset(w0: int, level: int) -> int:
+    """Closed-form BLOCK-row offset of a mip level in a pow2-square chain.
+
+    For levels l of a width-w0 chain, the block grid is max(w0>>(l+1),1)
+    square; the geometric sum collapses except the final 1x1 level, which
+    repeats the previous level's single block (the +1 term).
+    """
+    b0 = max(w0 >> 1, 1)
+    bl = max(b0 >> level, 1)
+    n = int(np.log2(max(w0, 1)))  # last level index
+    extra = 1 if (level == n and n > 0) else 0
+    return 4 * (b0 * b0 - bl * bl) // 3 + extra
+
+
+def _chain_block_rows(size: int) -> int:
+    levels = int(np.log2(max(size, 1))) + 1
+    return block_level_offset(size, levels - 1) + blocks_per_level(size, levels - 1) ** 2
+
+
+def _pack_blocks_level_np(packed: list[np.ndarray], w: int, wrap_u: int,
+                          wrap_v: int) -> np.ndarray:
+    """(bw*bw, ROW_U32) block rows for one level (numpy fallback)."""
+    bw = max(w >> 1, 1)
+    out = np.zeros((bw, bw, ROW_U32), np.uint32)
+    ax = 2 * np.arange(bw)
+    for i in range(4):
+        ty = _wrap_index(ax + i, w, wrap_v)  # (bw,)
+        for j in range(4):
+            tx = _wrap_index(ax + j, w, wrap_u)
+            for t, lvl in enumerate(packed):
+                out[:, :, t * 16 + i * 4 + j] = lvl[ty][:, tx]
+    return out.reshape(-1, ROW_U32)
 
 
 def build_material_pool(
@@ -176,31 +215,28 @@ def build_material_pool(
         for l in range(levels):
             w = max(size >> l, 1)
             packed = [_pack_u32(chain[l]) for chain in chains]
-            rows_native = native.pack_quads_level(
+            rows_native = native.pack_blocks_level(
                 packed[0], packed[1], packed[2], wrap_u, wrap_v
             )
             if rows_native is not None:
                 blobs.append(rows_native)
             else:
-                xs = np.arange(w)
-                x1 = _neighbor(xs, w, wrap_u)
-                y1 = _neighbor(xs, w, wrap_v)
-                row_quads = np.empty((w, w, ROW_U32), np.uint32)
-                for t, lvl in enumerate(packed):
-                    row_quads[:, :, 4 * t + 0] = lvl
-                    row_quads[:, :, 4 * t + 1] = lvl[:, x1]
-                    row_quads[:, :, 4 * t + 2] = lvl[y1, :]
-                    row_quads[:, :, 4 * t + 3] = lvl[y1][:, x1]
-                blobs.append(row_quads.reshape(-1, ROW_U32))
-            row_cursor += w * w
+                blobs.append(_pack_blocks_level_np(packed, w, wrap_u, wrap_v))
+            row_cursor += max(w >> 1, 1) ** 2
 
     rows = np.concatenate(blobs) if blobs else np.zeros((1, ROW_U32), np.uint32)
     # pool row indices ride f32 shade-table columns; past 2^24 they stop
     # being exact and texel addressing silently corrupts
     if rows.shape[0] >= 1 << 24:
         raise ValueError(
-            f"material pool has {rows.shape[0]} quad rows (>= 2^24); texel "
+            f"material pool has {rows.shape[0]} block rows (>= 2^24); texel "
             "addresses would lose f32 exactness — reduce texture sizes"
+        )
+    if rows.shape[0] > 400_000:
+        log.error(
+            f"material pool has {rows.shape[0]} block rows — past the ~400k "
+            "TPU gather row-count cliff (tools/microbench6); texture "
+            "sampling will be gather-bound (~4x slower per mip gather)"
         )
     return MaterialPool(
         quads=jnp.asarray(rows),

@@ -215,12 +215,24 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     # tile — 22 ms of a 64 ms raster stage. The clipped bbox is exact
     # culling-wise and costs a few (T,) ops.
     inf = jnp.float32(3e38)
+    # Accepted candidates clamp to a generous screen-bounded range BEFORE the
+    # min/max reductions: the bbox is clipped to [0, width/height] anyway, so
+    # clamping loses nothing — while an unclamped candidate whose projected
+    # coordinate overflows toward +-inf/3e38 would collide with the
+    # 'rejected' sentinel and silently drop out of the max reduction
+    # (ADVICE r1), undersizing a near-crosser bbox.
+    lim_x = jnp.float32(2.0 * width + 16.0)
+    lim_y = jnp.float32(2.0 * height + 16.0)
+
+    def cand(v, lim, ok):
+        return jnp.where(ok, jnp.clip(v, -lim, lim), inf)
+
     cand_x = []
     cand_y = []
     for i in range(3):
         ok = (z[i] >= 0.0) & (z[i] <= w[i])
-        cand_x.append(jnp.where(ok, px[i], inf))
-        cand_y.append(jnp.where(ok, py[i], inf))
+        cand_x.append(cand(px[i], lim_x, ok))
+        cand_y.append(cand(py[i], lim_y, ok))
     for i, j in ((0, 1), (1, 2), (2, 0)):
         for plane in ("near", "far"):
             if plane == "near":
@@ -237,8 +249,8 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
             other = (zt <= wt) if plane == "near" else (zt >= 0.0)
             ok = crossing & other & (wt > 1e-12)
             wt = jnp.maximum(wt, 1e-12)
-            cand_x.append(jnp.where(ok, xt / wt, inf))
-            cand_y.append(jnp.where(ok, yt / wt, inf))
+            cand_x.append(cand(xt / wt, lim_x, ok))
+            cand_y.append(cand(yt / wt, lim_y, ok))
 
     def vmin(vs):
         acc = vs[0]

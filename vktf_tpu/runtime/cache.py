@@ -69,7 +69,10 @@ def warmup(scene, meta, config, view_projection, camera_position):
 
     fn = frame_program(meta, config)
     t0 = time.time()
-    fn.lower(scene, view_projection, camera_position).compile()
+    if hasattr(fn, "warmup"):  # split-stage program: run + block once
+        fn.warmup(scene, view_projection, camera_position)
+    else:
+        fn.lower(scene, view_projection, camera_position).compile()
     return time.time() - t0
 
 
