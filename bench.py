@@ -68,6 +68,17 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
         direction,
         ViewFrustumParams(np.radians(45.0), width / height, 0.1, 1.0e6),
     )
+    # Force backend init + tunnel session establishment BEFORE anything is
+    # timed: on this machine's axon TPU tunnel the first device execution of
+    # a process pays a multi-minute session/queue overhead (measured 138 s
+    # for a CACHE-HIT trivial stage — tools note in /tmp/stagelat), which
+    # would otherwise be misattributed to scene build or compile.
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
+    session_init_s = time.time() - t0
+
     t0 = time.time()
     scene = Scene(build_preset(preset), config, camera=camera)
     build_s = time.time() - t0
@@ -129,6 +140,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
         "triangles": tris,
         "build_s": build_s,
         "compile_s": compile_s,
+        "session_init_s": session_init_s,
         "platform": jax.devices()[0].platform,
         "backend": config.resolved_backend(),
     }
@@ -182,6 +194,7 @@ def main() -> int:
             "interactive_fps": round(stats["interactive_fps"], 2),
             "mtris_per_s": round(stats["mtris_per_s"], 1),
             "compile_s": round(stats["compile_s"], 1),
+            "session_init_s": round(stats["session_init_s"], 1),
         }))
     if args.verbose:
         from vktf_tpu.utils.profiling import counters

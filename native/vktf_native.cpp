@@ -115,20 +115,22 @@ static inline int32_t wrap_index(int32_t i, int32_t size, int32_t mode) {
 
 // base/mr/nrm: packed-u32 levels of size w*w; out: bw*bw rows of 64 u32
 // (bw = max(w/2, 1)), lane t*16 + i*4 + j = texture t texel
-// (wrap(2bx + j), wrap(2by + i)); lanes 48..63 zero.
+// (wrap_t(2bx + j), wrap_t(2by + i)) under texture t's OWN sampler wrap
+// (wraps = [wu0, wv0, wu1, wv1, wu2, wv2]); lanes 48..63 zero.
 void vktf_pack_blocks_level(const uint32_t* base, const uint32_t* mr,
-                            const uint32_t* nrm, int32_t w, int32_t wrap_u,
-                            int32_t wrap_v, uint32_t* out) {
+                            const uint32_t* nrm, int32_t w,
+                            const int32_t* wraps, uint32_t* out) {
   const uint32_t* tex[3] = {base, mr, nrm};
   const int32_t bw = std::max(w >> 1, 1);
   for (int32_t by = 0; by < bw; ++by) {
     for (int32_t bx = 0; bx < bw; ++bx) {
       uint32_t* row = out + ((int64_t)by * bw + bx) * 64;
-      for (int32_t i = 0; i < 4; ++i) {
-        const int32_t ty = wrap_index(2 * by + i, w, wrap_v);
-        for (int32_t j = 0; j < 4; ++j) {
-          const int32_t tx = wrap_index(2 * bx + j, w, wrap_u);
-          for (int t = 0; t < 3; ++t) {
+      for (int t = 0; t < 3; ++t) {
+        const int32_t wrap_u = wraps[2 * t], wrap_v = wraps[2 * t + 1];
+        for (int32_t i = 0; i < 4; ++i) {
+          const int32_t ty = wrap_index(2 * by + i, w, wrap_v);
+          for (int32_t j = 0; j < 4; ++j) {
+            const int32_t tx = wrap_index(2 * bx + j, w, wrap_u);
             row[t * 16 + i * 4 + j] = tex[t][(int64_t)ty * w + tx];
           }
         }

@@ -149,3 +149,92 @@ def test_etc1s_renders_through_material_pipeline(tmp_path):
     fn = make_frame_fn(meta, config)
     out = np.asarray(fn(scene, camera.view_projection_transform, camera.position))
     assert (out[:3].sum(axis=0) > 0).any(), "textured quad rendered black"
+
+
+def test_huffman_spec_fixture_hand_constructed():
+    """Decode a code-length table bitstream built BY HAND from the Basis
+    Universal canonical-Huffman transmission rules (21-symbol code-length
+    alphabet: lengths 0..16 + zero-run 17/18 + repeat 19/20, 3-bit lengths
+    in the fixed sorted order, 14-bit symbol count) — NOT via this module's
+    encoder — then decode symbols coded with the resulting table.
+
+    Alphabet under test: 8 symbols with lengths [2,2,2,3,3,3,3,0] exercising
+    the REPEAT code (sym 19) and a literal zero tail. Canonical assignment:
+    sym0=00, sym1=01, sym2=10, sym3=110, sym4=111... wait — Kraft: 3x2^-2 +
+    4x2^-3 = 1.25 > 1, infeasible; use lengths [2,2,3,3,3,3,0,0]:
+    codes 00,01,100,101,110,111 (canonical shorter-first, then symbol
+    order).
+    """
+    from vktf_tpu.loaders.basis import (
+        BitReader, BitWriter, HuffmanDecoder, read_huffman_table, _CLC_ORDER,
+    )
+
+    w = BitWriter()
+    w.write(8, 14)  # total symbols
+    # code-length-code lengths, 3 bits each in _CLC_ORDER. We need CLC codes
+    # for: 2 (x2), 3 (x1 literal + repeat 19 covers the other three), 19,
+    # 17 (zero run of... tail is only 2 zeros -> send literal 0s instead).
+    # Use CLC lengths: sym2->2, sym3->2, sym19->2, sym0->2; all others 0.
+    clc_len = {2: 2, 3: 2, 19: 2, 0: 2}
+    w.write(len(_CLC_ORDER), 5)
+    for s in _CLC_ORDER:
+        w.write(clc_len.get(s, 0), 3)
+    # canonical CLC codes among used {0,2,3,19} all length 2 -> by symbol
+    # order: 0->00, 2->01, 3->10, 19->11 (MSB-first within LSB-first stream)
+    def put_code(code, length):
+        for i in range(length - 1, -1, -1):
+            w.write((code >> i) & 1, 1)
+
+    CLC = {0: (0b00, 2), 2: (0b01, 2), 3: (0b10, 2), 19: (0b11, 2)}
+    put_code(*CLC[2])  # len[0] = 2
+    put_code(*CLC[2])  # len[1] = 2
+    put_code(*CLC[3])  # len[2] = 3
+    put_code(*CLC[19])  # repeat previous nonzero (3) 3+extra times
+    w.write(0, 2)  # extra = 0 -> 3 repeats -> len[3..5] = 3
+    put_code(*CLC[0])  # len[6] = 0
+    put_code(*CLC[0])  # len[7] = 0
+    # now SYMBOL stream coded with the transmitted table: canonical codes
+    # sym0=00 sym1=01 sym2=100 sym3=101 sym4=110 sym5=111
+    sym_codes = {0: (0b00, 2), 1: (0b01, 2), 2: (0b100, 3), 3: (0b101, 3),
+                 4: (0b110, 3), 5: (0b111, 3)}
+    payload = [5, 0, 3, 1, 2, 4, 0, 5]
+    for s in payload:
+        put_code(*sym_codes[s])
+    r = BitReader(w.getvalue())
+    table = read_huffman_table(r)
+    got = [table.read(r) for _ in range(len(payload))]
+    assert got == payload
+
+
+def test_huffman_spec_fixture_zero_runs():
+    """Zero-run codes 17 (3-10 zeros, 3 extra bits) and 18 (11-138 zeros,
+    7 extra bits) decode per the basisu rules, from a hand-built stream."""
+    from vktf_tpu.loaders.basis import (
+        BitReader, BitWriter, read_huffman_table, _CLC_ORDER,
+    )
+
+    w = BitWriter()
+    n = 2 + 5 + 13  # two coded syms + short zero run (5) + long zero run (13)
+    w.write(n, 14)
+    clc_len = {1: 1, 17: 2, 18: 2}
+    w.write(len(_CLC_ORDER), 5)
+    for s in _CLC_ORDER:
+        w.write(clc_len.get(s, 0), 3)
+
+    def put_code(code, length):
+        for i in range(length - 1, -1, -1):
+            w.write((code >> i) & 1, 1)
+
+    # canonical CLC: length-1 first: 1->0; then length-2 by symbol order:
+    # 17->10, 18->11
+    CLC = {1: (0b0, 1), 17: (0b10, 2), 18: (0b11, 2)}
+    put_code(*CLC[1])  # len[0] = 1
+    put_code(*CLC[17])
+    w.write(5 - 3, 3)  # 5 zeros
+    put_code(*CLC[18])
+    w.write(13 - 11, 7)  # 13 zeros
+    put_code(*CLC[1])  # len[19] = 1
+    r = BitReader(w.getvalue())
+    table = read_huffman_table(r)
+    # two symbols with length 1: canonical codes 0 and 1 by symbol order
+    assert table._by_code == {(1, 0): 0, (1, 1): 19}

@@ -39,9 +39,10 @@ def test_block_pack_matches_numpy():
     rng = np.random.default_rng(5)
     for w in (16, 2, 1):
         lvls = [rng.integers(0, 2**32, (w, w), dtype=np.uint32) for _ in range(3)]
-        for wrap_u, wrap_v in [(0, 0), (1, 2), (2, 1)]:
-            got = native.pack_blocks_level(*lvls, wrap_u, wrap_v)
-            want = tp._pack_blocks_level_np(lvls, w, wrap_u, wrap_v)
+        for wraps in ([(0, 0)] * 3, [(1, 2), (0, 0), (2, 1)],
+                      [(2, 1), (1, 0), (0, 2)]):
+            got = native.pack_blocks_level(*lvls, wraps)
+            want = tp._pack_blocks_level_np(lvls, w, wraps)
             np.testing.assert_array_equal(got, want)
 
 

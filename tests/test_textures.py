@@ -184,3 +184,91 @@ class TestAnisotropy:
         assert np.abs(produced.astype(int) - iso.astype(int)).max() > 8, (
             "anisotropic LOD clamp had no effect on the grazing floor"
         )
+
+
+class TestPerSlotSamplers:
+    def test_mixed_per_texture_samplers_match_oracle(self, tmp_path):
+        """A material whose three textures carry DIFFERENT samplers (repeat
+        base / clamp metallic-roughness / mirrored+nearest normal, with uvs
+        leaving [0,1] so the wrap modes actually diverge) renders
+        identically to the numpy oracle through the pallas per-slot path
+        (reference binds an independent sampler per combined image-sampler,
+        material.cppm:138-171)."""
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.models.gltf_writer import GltfWriter
+        from vktf_tpu.models.primitives import plane_mesh
+        from vktf_tpu.ops.pipeline import make_frame_fn
+        from vktf_tpu.ops.raster_xla import SAMPLE_OFFSETS
+        from vktf_tpu.ops.reference import render_reference
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import (assert_images_close, build_scene,
+                             checker_png_bytes, default_camera, make_reference)
+
+        w = GltfWriter()
+        base_img = w.add_image_bytes(checker_png_bytes(32, cell=8), "image/png")
+        mr_img = w.add_image_bytes(
+            checker_png_bytes(32, a=(40, 200, 120, 255), b=(200, 60, 60, 255),
+                              cell=16), "image/png")
+        nrm_img = w.add_image_bytes(checker_png_bytes(32, a=(128, 128, 255, 255),
+                                                      b=(180, 100, 230, 255),
+                                                      cell=16), "image/png")
+        s_repeat = w.add_sampler(wrap_s=10497, wrap_t=10497)
+        s_clamp = w.add_sampler(wrap_s=33071, wrap_t=33071)
+        s_mirror_nearest = w.add_sampler(mag=9728, wrap_s=33648, wrap_t=33648)
+        mat = w.add_material(
+            base_color_texture=w.add_texture(base_img, s_repeat),
+            metallic_roughness_texture=w.add_texture(mr_img, s_clamp),
+            normal_texture=w.add_texture(nrm_img, s_mirror_nearest),
+            metallic_factor=0.4, roughness_factor=0.7,
+        )
+        geom = plane_mesh(3.0)
+        geom["uvs"] = geom["uvs"] * 2.5 - 0.75  # leave [0,1]: wraps diverge
+        floor = w.add_mesh(geom, material=mat)
+        sun = w.add_light("directional", color=(2.5, 2.5, 2.5))
+        w.add_scene([
+            w.add_node(mesh=floor, translation=(0.0, 0.0, -1.2)),
+            w.add_node(light=sun, rotation=(-0.3827, 0.0, 0.0, 0.9239)),
+        ])
+        path = w.write(tmp_path / "mixed.gltf")
+        scene, meta, aux = build_scene(path)
+        assert meta.mixed_samplers, "mixed samplers must set the static flag"
+        camera = default_camera(position=(0.0, 1.6, 1.8),
+                                direction=(0.0, -0.7, -1.0))
+        config = RenderConfig(width=96, height=64, msaa_samples=1,
+                              tile_shape=(32, 64), backend="pallas",
+                              shading_rate="sample")
+        fn = make_frame_fn(meta, config)
+        produced = np.moveaxis(
+            np.asarray(fn(scene, camera.view_projection_transform,
+                          camera.position)), 0, -1)
+        expected = render_reference(
+            make_reference(scene, meta, aux),
+            camera.view_projection_transform, camera.position, 96, 64,
+            SAMPLE_OFFSETS[1], max_anisotropy=config.max_anisotropy,
+        )
+        assert_images_close(produced, expected)
+
+    def test_identical_samplers_stay_single_gather(self, tmp_path):
+        """Scenes whose materials share samplers across slots keep
+        mixed_samplers=False (the 1-gather-per-level fast path)."""
+        from vktf_tpu.models.gltf_writer import GltfWriter
+        from vktf_tpu.models.primitives import plane_mesh
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene, checker_png_bytes
+
+        w = GltfWriter()
+        img = w.add_image_bytes(checker_png_bytes(16), "image/png")
+        s = w.add_sampler()
+        mat = w.add_material(
+            base_color_texture=w.add_texture(img, s),
+            metallic_roughness_texture=w.add_texture(img, s),
+        )
+        w.add_scene([w.add_node(mesh=w.add_mesh(plane_mesh(2.0), material=mat))])
+        _scene, meta, _aux = build_scene(w.write(tmp_path / "same.gltf"))
+        assert not meta.mixed_samplers

@@ -177,36 +177,66 @@ def _code_lengths_for(freqs: list[int], max_len: int = 15) -> list[int]:
     return lengths
 
 
-# Code-length-code transmission order (most common lengths first), same idea
-# as DEFLATE's: lengths of the code-length alphabet are sent in this order so
-# trailing zeros compress away.
-_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
-_SYM_REPEAT_ZERO = 17  # 3-10 zeros (3 extra bits)
-_SYM_REPEAT_ZERO_LONG = 18  # 11-138 zeros (7 extra bits)
+# Code-length transmission follows Basis Universal's canonical-Huffman
+# scheme (basisu_transcoder huffman layer; the public .basis/KTX2 BasisLZ
+# spec): a 21-symbol code-length alphabet — lengths 0..16 plus FOUR run
+# codes — whose own 3-bit lengths are transmitted in a fixed sorted order
+# (run codes first, then lengths by typical frequency) so trailing zeros
+# compress away. DEFLATE uses a similar but NOT identical scheme (19
+# symbols, different order) — round 1 shipped the DEFLATE variant; this is
+# the basisu one.
+_SYM_ZERO_RUN = 17  # 3-10 zeros (3 extra bits)
+_SYM_ZERO_RUN_LONG = 18  # 11-138 zeros (7 extra bits)
+_SYM_REPEAT = 19  # repeat previous nonzero length 3-6 times (2 extra bits)
+_SYM_REPEAT_LONG = 20  # repeat previous nonzero length 7-134 times (7 extra bits)
+_CLC_ORDER = (
+    _SYM_ZERO_RUN, _SYM_ZERO_RUN_LONG, _SYM_REPEAT, _SYM_REPEAT_LONG,
+    0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15, 16,
+)
+_MAX_SYMS_LOG2 = 14  # symbol counts are transmitted in 14 bits
 
 
 def write_huffman_table(writer: BitWriter, lengths: list[int]) -> HuffmanEncoder:
-    """Transmit code lengths (with zero-run symbols), return the encoder."""
-    writer.write(len(lengths), 16)
-    # run-length the lengths into the 0..18 alphabet
+    """Transmit code lengths (with zero-run + repeat symbols), return the
+    encoder."""
+    if len(lengths) >= 1 << _MAX_SYMS_LOG2:
+        raise BasisError(f"Huffman alphabet too large ({len(lengths)})")
+    writer.write(len(lengths), _MAX_SYMS_LOG2)
+    # run-length the lengths into the 21-symbol code-length alphabet
     symbols: list[tuple[int, int, int]] = []  # (symbol, extra, extra_bits)
     i = 0
+    prev_nonzero = -1
     while i < len(lengths):
         if lengths[i] == 0:
             run = 1
             while i + run < len(lengths) and lengths[i + run] == 0 and run < 138:
                 run += 1
             if run >= 11:
-                symbols.append((_SYM_REPEAT_ZERO_LONG, run - 11, 7))
+                symbols.append((_SYM_ZERO_RUN_LONG, run - 11, 7))
                 i += run
                 continue
             if run >= 3:
-                symbols.append((_SYM_REPEAT_ZERO, run - 3, 3))
+                symbols.append((_SYM_ZERO_RUN, run - 3, 3))
+                i += run
+                continue
+        elif lengths[i] == prev_nonzero:
+            run = 1
+            while (i + run < len(lengths) and lengths[i + run] == prev_nonzero
+                   and run < 134):
+                run += 1
+            if run >= 7:
+                symbols.append((_SYM_REPEAT_LONG, run - 7, 7))
+                i += run
+                continue
+            if run >= 3:
+                symbols.append((_SYM_REPEAT, run - 3, 2))
                 i += run
                 continue
         symbols.append((lengths[i], 0, 0))
+        if lengths[i]:
+            prev_nonzero = lengths[i]
         i += 1
-    clc_freq = [0] * 19
+    clc_freq = [0] * 21
     for s, _, _ in symbols:
         clc_freq[s] += 1
     clc_lengths = _code_lengths_for(clc_freq, max_len=7)
@@ -222,21 +252,34 @@ def write_huffman_table(writer: BitWriter, lengths: list[int]) -> HuffmanEncoder
 
 
 def read_huffman_table(reader: BitReader) -> HuffmanDecoder:
-    num_symbols = reader.read(16)
+    num_symbols = reader.read(_MAX_SYMS_LOG2)
     num_clc = reader.read(5)
-    clc_lengths = [0] * 19
+    if num_clc > len(_CLC_ORDER):
+        raise BasisError(f"invalid code-length code count {num_clc}")
+    clc_lengths = [0] * 21
     for i in range(num_clc):
         clc_lengths[_CLC_ORDER[i]] = reader.read(3)
     clc = HuffmanDecoder(clc_lengths)
     lengths: list[int] = []
+    prev_nonzero = -1
     while len(lengths) < num_symbols:
         s = clc.read(reader)
-        if s == _SYM_REPEAT_ZERO:
+        if s == _SYM_ZERO_RUN:
             lengths += [0] * (3 + reader.read(3))
-        elif s == _SYM_REPEAT_ZERO_LONG:
+        elif s == _SYM_ZERO_RUN_LONG:
             lengths += [0] * (11 + reader.read(7))
+        elif s == _SYM_REPEAT:
+            if prev_nonzero < 0:
+                raise BasisError("repeat code with no previous length")
+            lengths += [prev_nonzero] * (3 + reader.read(2))
+        elif s == _SYM_REPEAT_LONG:
+            if prev_nonzero < 0:
+                raise BasisError("repeat code with no previous length")
+            lengths += [prev_nonzero] * (7 + reader.read(7))
         else:
             lengths.append(s)
+            if s:
+                prev_nonzero = s
     return HuffmanDecoder(lengths[:num_symbols])
 
 
@@ -565,19 +608,24 @@ def decode_uastc(data: bytes, width: int, height: int,
                  log: Optional[Log] = None) -> Optional[np.ndarray]:
     """Decode UASTC LDR blocks to RGBA8.
 
-    Supported: solid-color blocks (UASTC mode 8, void-extent — the mode this
-    module's encoder emits). Blocks in other modes decode as their mean-color
-    approximation is NOT attempted; the whole image is rejected with a logged
-    mode histogram instead, per the skip-and-log policy, because a partially
-    wrong texture is worse than the default fallback.
+    Supported: solid-color blocks in THIS MODULE'S marker form (byte 0x08
+    followed by RGBA — what encode_uastc_solid emits). Real UASTC LDR
+    (Khronos Data Format Spec annex) encodes 19 block modes with
+    variable-length mode codes, BISE-packed endpoints/weights and ASTC
+    partition tables; those code tables are not reproducible in this
+    offline environment (no spec text, no basisu encoder, no sample
+    payloads — the reference's .ktx2 assets are git-LFS pointers), and a
+    from-memory reconstruction would decode real files WRONGLY rather than
+    failing cleanly. So: foreign-mode blocks reject the whole image with a
+    logged mode-histogram error per the skip-and-log policy
+    (model.cppm:301-321 ethos) — a default texture is better than a
+    corrupted one — while this module's own KTX2 exports round-trip.
     """
     log = log or default_log()
     bw, bh = (width + 3) // 4, (height + 3) // 4
     if len(data) < 16 * bw * bh:
         raise BasisError("UASTC payload truncated")
     blocks = np.frombuffer(data[: 16 * bw * bh], np.uint8).reshape(bh, bw, 16)
-    # mode 8 (solid color): low byte signature 0b00100001 == 0x21? This
-    # implementation marks solid blocks with the byte 0x08 followed by RGBA.
     is_solid = blocks[..., 0] == 0x08
     if not is_solid.all():
         modes, counts = np.unique(blocks[..., 0], return_counts=True)

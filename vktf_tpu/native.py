@@ -66,7 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.vktf_pack_blocks_level.restype = None
     lib.vktf_pack_blocks_level.argtypes = [
-        _u32p, _u32p, _u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u32p,
+        _u32p, _u32p, _u32p, ctypes.c_int32, _i32p, _u32p,
     ]
     lib.vktf_unpack_accessor.restype = ctypes.c_int32
     lib.vktf_unpack_accessor.argtypes = [
@@ -112,20 +112,24 @@ def generate_mips(base: np.ndarray, srgb: bool) -> Optional[list[np.ndarray]]:
 
 
 def pack_blocks_level(base: np.ndarray, mr: np.ndarray, nrm: np.ndarray,
-                      wrap_u: int, wrap_v: int) -> Optional[np.ndarray]:
+                      wraps) -> Optional[np.ndarray]:
     """Native block-pool rows (bw*bw, 64) for one pow2-square level; None if
-    the library is unavailable (ops/texture_pack.py stride-2 4x4 layout)."""
+    the library is unavailable (ops/texture_pack.py stride-2 4x4 layout).
+
+    wraps: per-slot [(wrap_u, wrap_v)] x 3 — each texture bakes its own
+    sampler's wrap mode into the out-of-range block texels."""
     lib = _load()
     if lib is None or not hasattr(lib, "vktf_pack_blocks_level"):
         return None
     w = int(base.shape[0])
     bw = max(w >> 1, 1)
     out = np.zeros((bw * bw, 64), np.uint32)
+    wrap_arr = np.ascontiguousarray(np.asarray(wraps, np.int32).reshape(6))
     lib.vktf_pack_blocks_level(
         np.ascontiguousarray(base.reshape(-1), np.uint32),
         np.ascontiguousarray(mr.reshape(-1), np.uint32),
         np.ascontiguousarray(nrm.reshape(-1), np.uint32),
-        w, wrap_u, wrap_v, out.reshape(-1),
+        w, wrap_arr, out.reshape(-1),
     )
     return out
 

@@ -170,7 +170,8 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
 
 
 def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
-                               camera_position, *, config: RenderConfig):
+                               camera_position, *, config: RenderConfig,
+                               per_slot_samplers: bool = False):
     """Tile-layout shade + MSAA resolve + sRGB encode (single-chip path).
 
     Consumes the rasterizer's RAW per-tile blocks (num_tiles, S*th, tw)
@@ -258,6 +259,7 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
                 camera_position, lights,
                 max_anisotropy=config.max_anisotropy,
+                per_slot_samplers=per_slot_samplers,
             )
             return rgb, a
 
@@ -295,7 +297,8 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
 
 
 def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
-                         *, config: RenderConfig, y0=0, depth=None):
+                         *, config: RenderConfig, y0=0, depth=None,
+                         per_slot_samplers: bool = False):
     """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
 
     tri_id: (S, h, w) winner ids — or (L, S, h, w) depth-peeled layers,
@@ -337,6 +340,7 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
                 camera_position, lights,
                 max_anisotropy=config.max_anisotropy,
+                per_slot_samplers=per_slot_samplers,
             )
             return rgb, a  # (3, chunk), (chunk,)
 
@@ -484,12 +488,13 @@ def render_frame(
             if tiled_resolve:
                 rgba = pallas_shade_resolve_tiled(
                     tri_id, depth, scene, table, lights, camera_position,
-                    config=config,
+                    config=config, per_slot_samplers=meta.mixed_samplers,
                 )
             else:
                 rgba = pallas_shade_resolve(
                     tri_id, scene, table, lights, camera_position,
                     config=config, depth=depth,
+                    per_slot_samplers=meta.mixed_samplers,
                 )
         return rgba[:, :height, :width]
 
@@ -596,12 +601,13 @@ class PallasFrameProgram:
             if tiled_resolve:
                 rgba = pallas_shade_resolve_tiled(
                     tri_id, depth, scene, table, lights, camera_position,
-                    config=config,
+                    config=config, per_slot_samplers=meta.mixed_samplers,
                 )
             else:
                 rgba = pallas_shade_resolve(
                     tri_id, scene, table, lights, camera_position,
                     config=config, depth=depth,
+                    per_slot_samplers=meta.mixed_samplers,
                 )
             return rgba[:, :height, :width]
 

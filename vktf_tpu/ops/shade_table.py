@@ -40,15 +40,13 @@ _C_NSCALE = 45
 _C_MROW = 46  # material base row
 _C_MW0 = 47  # level-0 width (pow2 square)
 _C_MLEVELS = 48
-_C_WRAPU = 49
-_C_WRAPV = 50
-_C_MAGN = 51
-_C_MINN = 52
-_C_MIPN = 53
-_C_AMODE = 54  # alpha mode: 0 OPAQUE, 1 MASK, 2 BLEND
-_C_ACUT = 55  # MASK alpha cutoff
-_C_AX = 56  # plane anchor x (bbox corner; all plane constants live there)
-_C_AY = 57  # plane anchor y
+_C_SAMP0 = 49  # per-slot packed sampler codes (base, mr, normal):
+#                wrap_u | wrap_v<<2 | magN<<4 | minN<<5 | mipN<<6
+#                (texture_pack.sampler_code; material.cppm:138-171 parity)
+_C_AMODE = 52  # alpha mode: 0 OPAQUE, 1 MASK, 2 BLEND
+_C_ACUT = 53  # MASK alpha cutoff
+_C_AX = 54  # plane anchor x (bbox corner; all plane constants live there)
+_C_AY = 55  # plane anchor y
 
 
 def build_shade_table(setup, scene, inst_matrix) -> jnp.ndarray:
@@ -294,8 +292,16 @@ def _anchored_attrs(col, sx, sy):
     return inv_w, attr
 
 
-def _texture_params(col, sx, sy, max_anisotropy):
-    """uv + mip-selection parameters (the sampler's LOD stage)."""
+def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0):
+    """uv + mip-selection parameters (the sampler's LOD stage) for one
+    texture slot.
+
+    The uv/derivative/LOD geometry is slot-independent (all three material
+    textures share the chain size and the footprint) and CSEs across slots;
+    the wrap modes and nearest/mip snapping come from the SLOT's packed
+    sampler code (_C_SAMP0+slot), so each combined image-sampler behaves
+    per its own sampler exactly as in the reference (material.cppm:138-171).
+    """
     inv_w, attr = _anchored_attrs(col, sx, sy)
     u = attr(_C_UV)
     v = attr(_C_UV + 3)
@@ -326,17 +332,21 @@ def _texture_params(col, sx, sy, max_anisotropy):
     lod = jnp.clip(lod, 0.0, max_level)
     level0 = jnp.floor(lod)
     lfrac = lod - level0
-    lfrac = jnp.where(col(_C_MIPN) != 0.0, (lfrac >= 0.5).astype(jnp.float32), lfrac)
+    # per-slot sampler code (int ops on the f32-exact small code)
+    code = col(_C_SAMP0 + slot).astype(jnp.int32)
+    mip_n = (code & 64) != 0
+    lfrac = jnp.where(mip_n, (lfrac >= 0.5).astype(jnp.float32), lfrac)
     # boolean algebra, not jnp.where: Mosaic cannot select i1 vectors
     is_mag = lod <= 0.0
-    nearest = (is_mag & (col(_C_MAGN) != 0.0)) | (~is_mag & (col(_C_MINN) != 0.0))
+    nearest = (is_mag & ((code & 16) != 0)) | (~is_mag & ((code & 32) != 0))
     l0 = level0.astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     return {
         "u": u, "v": v, "l0": l0, "l1": l1, "lfrac": lfrac,
         "nearest": nearest, "base_row_i": base_row_i, "w0_i": w0_i,
         "max_level_i": max_level_i,
-        "wrap_u": col(_C_WRAPU), "wrap_v": col(_C_WRAPV),
+        "wrap_u": (code & 3).astype(jnp.float32),
+        "wrap_v": ((code >> 2) & 3).astype(jnp.float32),
     }
 
 
@@ -377,22 +387,24 @@ def _level_addr(tp, level_i):
     return row, fx, fy, x0 & 1, y0 & 1
 
 
-def pool_row_indices(col, sx, sy, max_anisotropy):
-    """The two per-pixel pool block-row indices (one per mip level)."""
-    tp = _texture_params(col, sx, sy, max_anisotropy)
+def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
+    """The two per-pixel pool block-row indices (one per mip level) for one
+    texture slot (rows differ between slots only when their wrap modes
+    differ)."""
+    tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
     r0 = _level_addr(tp, tp["l0"])[0]
     r1 = _level_addr(tp, tp["l1"])[0]
     return r0, r1
 
 
-def _filter_level(quad, fx, fy, cx, cy):
-    """One bilinear tap of all 3 material textures from a gathered block row.
+def _filter_slot(quad, slot, fx, fy, cx, cy, srgb):
+    """One bilinear tap of ONE material texture from a gathered block row.
 
-    quad(k) returns u32 lane k (0..47) of the row (lane t*16 + i*4 + j =
-    texture t, block texel (j, i)); (cx, cy) in {0,1} selects the 2x2 tap
-    window inside the 4x4 block. Returns ((base rgba), (mr rgba),
-    (normal rgb)) tuples; base sRGB-decoded per texel BEFORE filtering
-    (Vulkan rules).
+    quad(slot, k) returns u32 lane k (0..47) of the slot's gathered row
+    (lane t*16 + i*4 + j = texture t, block texel (j, i)); (cx, cy) in
+    {0,1} selects the 2x2 tap window inside the 4x4 block. Returns an
+    (r, g, b, a) channel tuple; sRGB decoded per texel BEFORE filtering
+    (Vulkan rules) when srgb.
     """
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = fx * (1.0 - fy)
@@ -401,58 +413,55 @@ def _filter_level(quad, fx, fy, cx, cy):
     cxb = cx == 1
     cyb = cy == 1
 
-    def tap(slot, dy, dx):
+    def tap(dy, dx):
         # the 4 possible lanes for this tap corner across the (cx, cy)
         # cases, folded with vector selects — lane indices stay STATIC so
         # the row gather stays a plain 2-D row gather
-        a = quad(slot * 16 + dy * 4 + dx)
-        b = quad(slot * 16 + dy * 4 + dx + 1)
-        c = quad(slot * 16 + (dy + 1) * 4 + dx)
-        d = quad(slot * 16 + (dy + 1) * 4 + dx + 1)
+        a = quad(slot, slot * 16 + dy * 4 + dx)
+        b = quad(slot, slot * 16 + dy * 4 + dx + 1)
+        c = quad(slot, slot * 16 + (dy + 1) * 4 + dx)
+        d = quad(slot, slot * 16 + (dy + 1) * 4 + dx + 1)
         return jnp.where(cyb, jnp.where(cxb, d, c), jnp.where(cxb, b, a))
 
-    def tex(slot, srgb):
-        taps = [tap(slot, 0, 0), tap(slot, 0, 1), tap(slot, 1, 0),
-                tap(slot, 1, 1)]
+    taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
 
-        def chan(shift, decode):
-            # u8 channel -> f32 via int32 (values 0..255, exact either way;
-            # Mosaic has no u32->f32 cast)
-            vals = [
-                ((tp >> shift) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-                / 255.0
-                for tp in taps
-            ]
-            if decode:  # sRGB decodes per texel BEFORE filtering (Vulkan rules)
-                vals = [_srgb_to_linear(vv) for vv in vals]
-            return vals[0] * w00 + vals[1] * w10 + vals[2] * w01 + vals[3] * w11
+    def chan(shift, decode):
+        # u8 channel -> f32 via int32 (values 0..255, exact either way;
+        # Mosaic has no u32->f32 cast)
+        vals = [
+            ((tp >> shift) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+            / 255.0
+            for tp in taps
+        ]
+        if decode:  # sRGB decodes per texel BEFORE filtering (Vulkan rules)
+            vals = [_srgb_to_linear(vv) for vv in vals]
+        return vals[0] * w00 + vals[1] * w10 + vals[2] * w01 + vals[3] * w11
 
-        return (chan(0, srgb), chan(8, srgb), chan(16, srgb), chan(24, False))
-
-    return tex(0, True), tex(1, False), tex(2, False)
+    return (chan(0, srgb), chan(8, srgb), chan(16, srgb), chan(24, False))
 
 
 def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
                    covered):
     """Everything after the table + pool gathers (the fragment shader body).
 
-    col/quad0/quad1 are accessors (see _anchored_attrs); cam3 is a 3-tuple
-    of camera-position scalars. Returns (rgb 3-tuple, alpha) of vectors
-    shaped like col's outputs. Single-source for the XLA path and the
-    Pallas shade kernel (ops.shade_pallas)."""
-    tp = _texture_params(col, sx, sy, max_anisotropy)
-    _r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
-    _r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
-    s0 = _filter_level(quad0, fx0, fy0, cx0, cy0)
-    s1 = _filter_level(quad1, fx1, fy1, cx1, cy1)
-    lfrac = tp["lfrac"]
-
-    def lerp_tex(i, c):
-        return s0[i][c] * (1.0 - lfrac) + s1[i][c] * lfrac
-
-    base_tex = tuple(lerp_tex(0, c) for c in range(4))
-    mr_tex = tuple(lerp_tex(1, c) for c in range(4))
-    nrm_tex = tuple(lerp_tex(2, c) for c in range(3))
+    col is a table-column accessor (see _anchored_attrs); quad0/quad1 are
+    (slot, lane) accessors over the gathered pool rows for mip level l0/l1
+    — the caller decides whether the three slots share one gathered row
+    (identical samplers) or have their own (mixed samplers). cam3 is a
+    3-tuple of camera-position scalars. Returns (rgb 3-tuple, alpha) of
+    vectors shaped like col's outputs."""
+    slot_tex = []
+    for slot, srgb in ((0, True), (1, False), (2, False)):
+        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
+        _r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
+        _r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
+        s0 = _filter_slot(quad0, slot, fx0, fy0, cx0, cy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, cx1, cy1, srgb)
+        lfrac = tp["lfrac"]
+        slot_tex.append(tuple(
+            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
+        ))
+    base_tex, mr_tex, nrm_tex = slot_tex
 
     base_rgba = tuple(col(_C_BASE + c) * base_tex[c] for c in range(4))
     metallic = col(_C_MR) * mr_tex[2]
@@ -509,12 +518,13 @@ def shade_table_samples(
     lights,
     background_rgba,
     max_anisotropy: float = 1.0,
+    per_slot_samplers: bool = False,
 ):
     """Shade flat samples from the shade table; returns (4, N) linear RGBA,
     composited over the background (the single-layer path)."""
     rgb, alpha, covered = shade_table_layer(
         tri_id, sx, sy, table, quad_pool, camera_position, lights,
-        max_anisotropy=max_anisotropy,
+        max_anisotropy=max_anisotropy, per_slot_samplers=per_slot_samplers,
     )
     out = []
     for c in range(3):
@@ -533,6 +543,7 @@ def shade_table_layer(
     camera_position,
     lights,
     max_anisotropy: float = 1.0,
+    per_slot_samplers: bool = False,
 ):
     """Shade one visibility layer; returns (rgb (3,N), alpha_eff (N,),
     covered (N,) bool).
@@ -541,6 +552,14 @@ def shade_table_layer(
     does not act on (gltf material alpha_mode/alpha_cutoff): OPAQUE forces
     1, MASK thresholds the textured alpha at the cutoff (0 or 1), BLEND
     passes it through for over-compositing by the caller.
+
+    per_slot_samplers is a STATIC scene property (SceneMeta.mixed_samplers):
+    when the three texture slots of every material share a sampler (the
+    overwhelmingly common case) their pool block rows coincide and one
+    gather per mip level serves all three textures; a scene with differing
+    per-slot wrap modes needs per-slot rows (slots can land in different
+    blocks at borders / outside [0,1)) — 3 gathers per level, exact
+    reference semantics (material.cppm:138-171).
     """
     covered = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
@@ -549,12 +568,22 @@ def shade_table_layer(
     def col(c):
         return row[:, c]
 
-    r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy)
-    q0 = gather_rows(quad_pool, r0)  # (N, 12) u32
-    q1 = gather_rows(quad_pool, r1)
     cam3 = (camera_position[0], camera_position[1], camera_position[2])
+    if per_slot_samplers:
+        q0s, q1s = [], []
+        for slot in range(3):
+            r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy, slot=slot)
+            q0s.append(gather_rows(quad_pool, r0))
+            q1s.append(gather_rows(quad_pool, r1))
+        quad0 = lambda s, k: q0s[s][:, k]
+        quad1 = lambda s, k: q1s[s][:, k]
+    else:
+        r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy, slot=0)
+        q0 = gather_rows(quad_pool, r0)  # (N, 64) u32
+        q1 = gather_rows(quad_pool, r1)
+        quad0 = lambda s, k: q0[:, k]
+        quad1 = lambda s, k: q1[:, k]
     radiance, alpha = shade_gathered(
-        col, sx, sy, lambda k: q0[:, k], lambda k: q1[:, k], cam3, lights,
-        max_anisotropy, covered,
+        col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy, covered,
     )
     return jnp.stack(radiance, axis=0), alpha, covered

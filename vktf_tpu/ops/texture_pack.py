@@ -67,8 +67,25 @@ class MaterialPool:
     base_row: np.ndarray  # (M,) int64 — first BLOCK row index of the chain
     width0: np.ndarray  # (M,) int32 — level-0 width (= height; pow2 square)
     num_levels: np.ndarray  # (M,) int32
-    wrap: np.ndarray  # (M, 2) int32
-    filters: np.ndarray  # (M, 3) int32 (mag_nearest, min_nearest, mip_nearest)
+    # PER-SLOT packed sampler codes (base/mr/normal — the reference binds an
+    # independent sampler per combined image-sampler, material.cppm:138-171):
+    # code = wrap_u | wrap_v<<2 | mag_nearest<<4 | min_nearest<<5
+    #        | mip_nearest<<6  (exact in f32 shade-table columns)
+    sampler_codes: np.ndarray  # (M, 3) int32
+    mixed: bool  # True when any material's three slots differ
+
+
+def sampler_code(sampler: dict) -> int:
+    """Pack one glTF sampler into the 7-bit shade-table code."""
+    wrap_u = _WRAP_CODES.get(sampler.get("wrap_u", "repeat"), WRAP_REPEAT)
+    wrap_v = _WRAP_CODES.get(sampler.get("wrap_v", "repeat"), WRAP_REPEAT)
+    return (
+        wrap_u
+        | (wrap_v << 2)
+        | (int(sampler.get("mag_filter", "linear") == "nearest") << 4)
+        | (int(sampler.get("min_filter", "linear") == "nearest") << 5)
+        | (int(sampler.get("mipmap_mode", "linear") == "nearest") << 6)
+    )
 
 
 def _wrap_index(i: np.ndarray, size: int, mode: int) -> np.ndarray:
@@ -139,17 +156,22 @@ def _chain_block_rows(size: int) -> int:
     return block_level_offset(size, levels - 1) + blocks_per_level(size, levels - 1) ** 2
 
 
-def _pack_blocks_level_np(packed: list[np.ndarray], w: int, wrap_u: int,
-                          wrap_v: int) -> np.ndarray:
-    """(bw*bw, ROW_U32) block rows for one level (numpy fallback)."""
+def _pack_blocks_level_np(packed: list[np.ndarray], w: int,
+                          wraps: list[tuple[int, int]]) -> np.ndarray:
+    """(bw*bw, ROW_U32) block rows for one level (numpy fallback).
+
+    wraps: per-slot (wrap_u, wrap_v) — each texture's out-of-range block
+    texels bake with ITS OWN sampler's wrap mode.
+    """
     bw = max(w >> 1, 1)
     out = np.zeros((bw, bw, ROW_U32), np.uint32)
     ax = 2 * np.arange(bw)
-    for i in range(4):
-        ty = _wrap_index(ax + i, w, wrap_v)  # (bw,)
-        for j in range(4):
-            tx = _wrap_index(ax + j, w, wrap_u)
-            for t, lvl in enumerate(packed):
+    for t, lvl in enumerate(packed):
+        wrap_u, wrap_v = wraps[t]
+        for i in range(4):
+            ty = _wrap_index(ax + i, w, wrap_v)  # (bw,)
+            for j in range(4):
+                tx = _wrap_index(ax + j, w, wrap_u)
                 out[:, :, t * 16 + i * 4 + j] = lvl[ty][:, tx]
     return out.reshape(-1, ROW_U32)
 
@@ -162,7 +184,9 @@ def build_material_pool(
 
     `materials`: list of dicts with keys
       base/mr/normal: Optional[TextureData]
-      sampler: dict with wrap_u/wrap_v/mag_filter/min_filter/mipmap_mode
+      samplers: list of THREE sampler dicts (base, mr, normal), each with
+        wrap_u/wrap_v/mag_filter/min_filter/mipmap_mode — or the legacy
+        single `sampler` dict applied to all three slots.
     """
     log = log or default_log()
     if not materials:
@@ -171,8 +195,8 @@ def build_material_pool(
     base_row = np.zeros(count, np.int64)
     width0 = np.ones(count, np.int32)
     num_levels = np.ones(count, np.int32)
-    wrap = np.zeros((count, 2), np.int32)
-    filters = np.zeros((count, 3), np.int32)
+    codes = np.zeros((count, 3), np.int32)
+    mixed = False
 
     blobs: list[np.ndarray] = []
     row_cursor = 0
@@ -180,7 +204,9 @@ def build_material_pool(
         base = spec.get("base") or default_texture_data("base_color")
         mr = spec.get("mr") or default_texture_data("metallic_roughness")
         normal = spec.get("normal") or default_texture_data("normal")
-        sampler = spec.get("sampler") or {}
+        samplers = spec.get("samplers")
+        if samplers is None:
+            samplers = [spec.get("sampler") or {}] * 3
 
         sizes = {t.levels[0].shape[0] for t in (base, mr, normal)} | {
             t.levels[0].shape[1] for t in (base, mr, normal)
@@ -197,18 +223,20 @@ def build_material_pool(
             _to_pow2_square_chain(normal, size),
         ]
         levels = len(chains[0])
-        wrap_u = _WRAP_CODES.get(sampler.get("wrap_u", "repeat"), WRAP_REPEAT)
-        wrap_v = _WRAP_CODES.get(sampler.get("wrap_v", "repeat"), WRAP_REPEAT)
+        wraps = [
+            (
+                _WRAP_CODES.get(s.get("wrap_u", "repeat"), WRAP_REPEAT),
+                _WRAP_CODES.get(s.get("wrap_v", "repeat"), WRAP_REPEAT),
+            )
+            for s in samplers
+        ]
 
         base_row[m] = row_cursor
         width0[m] = size
         num_levels[m] = levels
-        wrap[m] = (wrap_u, wrap_v)
-        filters[m] = (
-            int(sampler.get("mag_filter", "linear") == "nearest"),
-            int(sampler.get("min_filter", "linear") == "nearest"),
-            int(sampler.get("mipmap_mode", "linear") == "nearest"),
-        )
+        codes[m] = [sampler_code(s) for s in samplers]
+        if codes[m, 0] != codes[m, 1] or codes[m, 0] != codes[m, 2]:
+            mixed = True
 
         from vktf_tpu import native
 
@@ -216,12 +244,12 @@ def build_material_pool(
             w = max(size >> l, 1)
             packed = [_pack_u32(chain[l]) for chain in chains]
             rows_native = native.pack_blocks_level(
-                packed[0], packed[1], packed[2], wrap_u, wrap_v
+                packed[0], packed[1], packed[2], wraps
             )
             if rows_native is not None:
                 blobs.append(rows_native)
             else:
-                blobs.append(_pack_blocks_level_np(packed, w, wrap_u, wrap_v))
+                blobs.append(_pack_blocks_level_np(packed, w, wraps))
             row_cursor += max(w >> 1, 1) ** 2
 
     rows = np.concatenate(blobs) if blobs else np.zeros((1, ROW_U32), np.uint32)
@@ -243,6 +271,6 @@ def build_material_pool(
         base_row=base_row,
         width0=width0,
         num_levels=num_levels,
-        wrap=wrap,
-        filters=filters,
+        sampler_codes=codes,
+        mixed=mixed,
     )

@@ -188,6 +188,7 @@ def render_frame_sharded(
         rgba_slice = pallas_shade_resolve(
             slicer(win_id), scene, table, lights, camera_position,
             config=config, y0=band_y0 + rows0, depth=slicer(win_depth),
+            per_slot_samplers=meta.mixed_samplers,
         )  # (3, rh, pw) u8
         rgba = jax.lax.all_gather(
             rgba_slice, "gp", axis=1, tiled=True

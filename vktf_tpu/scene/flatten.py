@@ -63,12 +63,12 @@ class RenderScene:
     mat_textures: jnp.ndarray  # (M,3) i32: base/mr/normal texture ids
     texture_pool: TexturePool
     # packed per-material texturing (ops.texture_pack / ops.shade_table):
-    mat_meta: jnp.ndarray  # (M,8) f32: base_row,w0,levels,wrap_u,wrap_v,magN,minN,mipN
+    mat_meta: jnp.ndarray  # (M,6) f32: base_row,w0,levels,sampler codes x3
     quad_pool: jnp.ndarray  # (P,12) u32 quad-packed material texels
     # precomputed per-triangle tables (component-major, built once at flatten
     # so the per-frame shade-table build does no attribute/material gathers):
     tri_corner: jnp.ndarray  # (36,T) f32 object-space corner attrs (see below)
-    tri_static_cols: jnp.ndarray  # (17,T) f32 static material table columns
+    tri_static_cols: jnp.ndarray  # (15,T) f32 static material table columns
     # lights
     light_node: jnp.ndarray  # (L,) i32
     light_type: jnp.ndarray  # (L,) i32: 0 directional, 1 point
@@ -91,6 +91,10 @@ class SceneMeta:
     # jit-specialization knob like the light count (the analogue of the
     # reference's per-scene pipeline state, graphics_pipeline.cppm:226-234).
     peel_layers: int = 1
+    # True when any material's three texture slots carry different samplers:
+    # the deferred shade then compiles the exact per-slot pool-gather path
+    # (3 block gathers per mip level instead of 1 — ops.shade_table).
+    mixed_samplers: bool = False
 
 
 def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -384,27 +388,24 @@ def flatten_assets(
     texture_pool = build_texture_pool(texture_entries)
 
     # quad-packed per-material pool for the shade-table path (texture_pack.py)
+    from vktf_tpu.ops.texture_pack import sampler_code
+
     material_specs = []
     for i in range(M):
-        base_entry = texture_entries[mat_textures[i, 0]]
-        # the packed pool bakes ONE sampler per material (the base color
-        # texture's); log when mr/normal samplers differ (skip-and-log
-        # ethos) — the tiled backend still honors per-texture samplers
-        for slot, slot_name in ((1, "metallic-roughness"), (2, "normal")):
-            other = texture_entries[mat_textures[i, slot]][1]
-            if other and base_entry[1] and other != base_entry[1]:
-                counters.add("materials.sampler_mismatch")
-                log.error(
-                    f"Material {i}: {slot_name} sampler differs from base "
-                    "color's; the packed-pool (pallas) path uses the base "
-                    "sampler for all three textures"
-                )
+        slot_samplers = [texture_entries[mat_textures[i, s]][1]
+                         for s in range(3)]
+        codes = [sampler_code(s) for s in slot_samplers]
+        if any(c != codes[0] for c in codes[1:]):
+            # per-slot samplers are honored exactly (material.cppm:138-171);
+            # a scene containing any mixed-sampler material compiles the
+            # per-slot pool-gather path (SceneMeta.mixed_samplers)
+            counters.add("materials.per_slot_samplers")
         material_specs.append(
             {
                 "base": texture_entries[mat_textures[i, 0]][0],
                 "mr": texture_entries[mat_textures[i, 1]][0],
                 "normal": texture_entries[mat_textures[i, 2]][0],
-                "sampler": base_entry[1],
+                "samplers": slot_samplers,
             }
         )
     material_pool = build_material_pool(material_specs, log)
@@ -413,11 +414,10 @@ def flatten_assets(
             material_pool.base_row[:, None].astype(np.float32),
             material_pool.width0[:, None].astype(np.float32),
             material_pool.num_levels[:, None].astype(np.float32),
-            material_pool.wrap.astype(np.float32),
-            material_pool.filters.astype(np.float32),
+            material_pool.sampler_codes.astype(np.float32),
         ],
         axis=1,
-    )  # (M, 8)
+    )  # (M, 6): base_row, w0, levels, slot sampler codes (texture_pack)
 
     # ---- precomputed per-triangle tables (ops.shade_table inputs) ----------
     # Corner attributes in OBJECT space, component-major (36, T): row =
@@ -432,14 +432,14 @@ def flatten_assets(
             col = np.ascontiguousarray(attr[:, c])
             for i in range(3):
                 tri_corner[base + c * 3 + i] = col[indices[:, i]]
-    # Static material columns of the shade table (17, T): base color (4),
-    # metallic-roughness (2), normal scale (1), mat_meta (8), alpha mode +
+    # Static material columns of the shade table (15, T): base color (4),
+    # metallic-roughness (2), normal scale (1), mat_meta (6), alpha mode +
     # cutoff (2).
     mat_cols = np.concatenate(
         [mat_base_color, mat_mr, mat_normal_scale[:, None], mat_meta, mat_alpha],
         axis=1,
-    ).astype(np.float32)  # (M, 17)
-    tri_static_cols = np.ascontiguousarray(mat_cols[tri_material].T)  # (17,T)
+    ).astype(np.float32)  # (M, 15)
+    tri_static_cols = np.ascontiguousarray(mat_cols[tri_material].T)  # (15,T)
 
     # ---- lights ------------------------------------------------------------
     light_nodes, light_types, light_colors = [], [], []
@@ -488,6 +488,7 @@ def flatten_assets(
         num_triangles=int(indices.shape[0]),
         num_vertices=int(positions.shape[0]),
         peel_layers=2 if bool((mat_alpha[:, 0] != 0).any()) else 1,
+        mixed_samplers=material_pool.mixed,
     )
     aux = {"texture_entries": texture_entries}
     return scene, meta, aux
