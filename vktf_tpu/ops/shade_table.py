@@ -400,11 +400,14 @@ def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
 def _filter_slot(quad, slot, fx, fy, cx, cy, srgb):
     """One bilinear tap of ONE material texture from a gathered block row.
 
-    quad(slot, k) returns u32 lane k (0..47) of the slot's gathered row
-    (lane t*16 + i*4 + j = texture t, block texel (j, i)); (cx, cy) in
-    {0,1} selects the 2x2 tap window inside the 4x4 block. Returns an
-    (r, g, b, a) channel tuple; sRGB decoded per texel BEFORE filtering
-    (Vulkan rules) when srgb.
+    quad(slot, j) returns U16 lane j (0..127) of the slot's gathered pool
+    row — the pool stores each 4x4 block's 48 u32 texels as 96 u16 halves
+    (little-endian; texture_pack.build_material_pool: u32-width gathers
+    measured 6x slower than the identical bytes as u16). Texel t*16+i*4+j
+    lives in u16 lanes 2*(t*16+i*4+j) (RG bytes) and +1 (BA bytes);
+    (cx, cy) in {0,1} selects the 2x2 tap window inside the 4x4 block.
+    Returns an (r, g, b, a) channel tuple; sRGB decoded per texel BEFORE
+    filtering (Vulkan rules) when srgb.
     """
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = fx * (1.0 - fy)
@@ -413,23 +416,33 @@ def _filter_slot(quad, slot, fx, fy, cx, cy, srgb):
     cxb = cx == 1
     cyb = cy == 1
 
-    def tap(dy, dx):
+    def tap_half(half, dy, dx):
         # the 4 possible lanes for this tap corner across the (cx, cy)
         # cases, folded with vector selects — lane indices stay STATIC so
         # the row gather stays a plain 2-D row gather
-        a = quad(slot, slot * 16 + dy * 4 + dx)
-        b = quad(slot, slot * 16 + dy * 4 + dx + 1)
-        c = quad(slot, slot * 16 + (dy + 1) * 4 + dx)
-        d = quad(slot, slot * 16 + (dy + 1) * 4 + dx + 1)
+        def lane(ddy, ddx):
+            return quad(slot, 2 * (slot * 16 + ddy * 4 + ddx) + half)
+
+        a = lane(dy, dx)
+        b = lane(dy, dx + 1)
+        c = lane(dy + 1, dx)
+        d = lane(dy + 1, dx + 1)
         return jnp.where(cyb, jnp.where(cxb, d, c), jnp.where(cxb, b, a))
 
-    taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
+    taps_by_half = [
+        [tap_half(h, 0, 0), tap_half(h, 0, 1), tap_half(h, 1, 0),
+         tap_half(h, 1, 1)]
+        for h in range(2)
+    ]
 
     def chan(shift, decode):
         # u8 channel -> f32 via int32 (values 0..255, exact either way;
-        # Mosaic has no u32->f32 cast)
+        # Mosaic has no u32->f32 cast). Channels 0/8 live in the low u16
+        # half, 16/24 in the high.
+        taps = taps_by_half[shift // 16]
+        sh = shift % 16
         vals = [
-            ((tp >> shift) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+            ((tp >> sh) & 0xFF).astype(jnp.int32).astype(jnp.float32)
             / 255.0
             for tp in taps
         ]

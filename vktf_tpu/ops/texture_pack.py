@@ -266,8 +266,15 @@ def build_material_pool(
             "TPU gather row-count cliff (tools/microbench6); texture "
             "sampling will be gather-bound (~4x slower per mip gather)"
         )
+    # Store the pool as a u16 VIEW of the u32 lanes (little-endian: lane k
+    # = u16[2k] | u16[2k+1] << 16): identical bits, but TPU row gathers of
+    # u32-width-64 tables measured 6x SLOWER than the same bytes as
+    # u16-width-128 (24.8 vs 4.0 ms per 2M indices at this pool's row
+    # count — tools/ab2 on v5e). The shade reads 8-bit channels straight
+    # from the u16 halves.
+    rows_u16 = rows.view(np.uint16).reshape(rows.shape[0], 2 * ROW_U32)
     return MaterialPool(
-        quads=jnp.asarray(rows),
+        quads=jnp.asarray(rows_u16),
         base_row=base_row,
         width0=width0,
         num_levels=num_levels,
