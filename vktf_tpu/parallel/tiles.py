@@ -26,6 +26,14 @@ shading — not a debug backend):
   * shading splits each band's pixel rows over ``gp`` (all gp*sp devices
     shade disjoint rows of the composited visibility), reassembled with one
     ``all_gather`` — adding gp-devices speeds up both raster and shade.
+  * the per-TRIANGLE prep stages (triangle setup + the shade-table build)
+    shard over the WHOLE gp*sp mesh: every device computes a 1/(gp*sp)
+    micro-shard, then one sp-axis all_gather hands each gp rank its raster
+    shard and one (gp, sp) all_gather replicates the shade table (shading
+    gathers arbitrary triangle rows). Only O(nodes + instances) work
+    (transform propagation, frustum culling, light extraction) stays
+    replicated — round 1 ran setup + table build fully replicated, ~6 ms of
+    non-scaling work against a v5e-8's ~16 ms/frame budget (VERDICT r1 #4).
 
 Everything is expressed with shard_map over a Mesh; XLA inserts the ICI
 collectives (scaling-book recipe: mesh + shardings + collectives).
@@ -34,6 +42,7 @@ collectives (scaling-book recipe: mesh + shardings + collectives).
 from __future__ import annotations
 
 from functools import partial
+from types import SimpleNamespace
 
 import numpy as np
 import jax
@@ -41,10 +50,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vktf_tpu.config import RenderConfig
+from vktf_tpu.mathx.bounding_box import transform_aabbs
+from vktf_tpu.mathx.frustum import aabbs_intersect_frustum, frustum_planes
 from vktf_tpu.ops.raster_pallas import rasterize_pallas
 from vktf_tpu.ops.raster_xla import BACKGROUND
-from vktf_tpu.ops.pipeline import pallas_shade_resolve, prepare_frame
+from vktf_tpu.ops.pipeline import gather_world_lights, pallas_shade_resolve
 from vktf_tpu.ops.shade_table import build_shade_table_pallas
+from vktf_tpu.ops.vertex import propagate_transforms, triangle_setup_cm
 from vktf_tpu.scene.flatten import RenderScene, SceneMeta
 
 
@@ -66,6 +78,14 @@ def _pad_axis0(x, multiple):
         return x
     pad_block = jnp.zeros((pad,) + x.shape[1:], x.dtype)
     return jnp.concatenate([x, pad_block], axis=0)
+
+
+def _pad_axis1(x, multiple):
+    n = x.shape[1]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)))
 
 
 def render_frame_sharded(
@@ -97,41 +117,76 @@ def render_frame_sharded(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    # Stages 1-4 + the shade table are data-parallel einsums over V/T —
-    # cheap next to raster/shade; they run replicated under jit/SPMD.
-    setup, _, lights, _world, inst_matrix = prepare_frame(
-        scene, view_projection, camera_position,
-        meta=meta, config=config.replace(backend="pallas"),
+    # Replicated O(nodes + instances) prep only (SURVEY §2 Model::Update /
+    # Scene::Update analogues) — everything O(T) happens inside shard_map.
+    node_global = propagate_transforms(
+        scene.node_local, scene.node_parent, meta.level_slices
     )
-    setup = jax.lax.optimization_barrier(setup)
-    table = jax.lax.optimization_barrier(
-        build_shade_table_pallas(setup, scene, inst_matrix, interpret=interpret)
+    lights = gather_world_lights(
+        node_global, scene.light_node, scene.light_type, scene.light_color
     )
+    inst_matrix = node_global[scene.inst_node]  # (I,4,4)
+    planes = frustum_planes(view_projection)
+    world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
+    visible = aabbs_intersect_frustum(world_aabbs, planes)  # (I,) bool
 
-    # Pad triangles to a gp multiple (padded rows have valid=False); keep
-    # only the raster keys (mrows was for the shade-table build above).
-    setup = {k: setup[k]
-             for k in ("edge", "zw", "anchor", "inv_det", "valid", "bbox")}
-    for key in ("edge", "zw", "anchor", "inv_det", "valid", "bbox"):
-        setup[key] = _pad_axis0(setup[key], gp)
-    t_local = setup["valid"].shape[0] // gp
-    setup_specs = {
-        k: P("gp")
-        for k in ("edge", "zw", "anchor", "inv_det", "valid", "bbox")
-    }
+    # Pad triangle tables to a gp*sp multiple. Zero-padded corners are all
+    # w=0 => all_behind => valid=False with an empty bbox (triangle_setup
+    # rejection), so padded rows are inert in raster; their (finite) shade
+    # table rows are never gathered because padded ids never win a sample.
+    n_dev = gp * sp
+    tri_corner = _pad_axis1(scene.tri_corner, n_dev)  # (36, T_pad)
+    static_cols = _pad_axis1(scene.tri_static_cols, n_dev)
+    tri_instance = _pad_axis0(scene.tri_instance, n_dev)  # (T_pad,)
+    t_pad = tri_instance.shape[0]
+    t_local = t_pad // gp  # raster shard per gp rank (after sp all_gather)
+    mat16 = inst_matrix.reshape(-1, 16)
+
+    raster_keys = ("edge", "zw", "anchor", "inv_det", "valid", "bbox")
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(setup_specs,),
+        in_specs=(P(None, ("gp", "sp")), P(None, ("gp", "sp")),
+                  P(("gp", "sp"))),
         out_specs=P(None, "sp", None),
         check_vma=False,
     )
-    def device_frame(setup_local):
+    def device_frame(tc_micro, stat_micro, tin_micro):
         gp_rank = jax.lax.axis_index("gp")
         sp_rank = jax.lax.axis_index("sp")
         id_base = gp_rank.astype(jnp.int32) * t_local
         band_y0 = sp_rank.astype(jnp.int32) * band_h
+
+        # per-triangle prep on this device's 1/(gp*sp) micro-shard
+        mrows_micro = mat16[tin_micro]  # (t_micro, 16)
+        setup_micro = dict(triangle_setup_cm(
+            tc_micro, mrows_micro, view_projection,
+            config.width, config.height,
+        ))
+        setup_micro["valid"] = setup_micro["valid"] & visible[tin_micro]
+        setup_micro["mrows"] = mrows_micro
+        shard_scene = SimpleNamespace(
+            tri_corner=tc_micro, tri_static_cols=stat_micro,
+            tri_instance=tin_micro,
+        )
+        table_micro = build_shade_table_pallas(
+            setup_micro, shard_scene, None, interpret=interpret
+        )  # (t_micro, 2*ROW) u16
+        # shading gathers arbitrary rows -> full table on every device; the
+        # ("gp", "sp") gather order is gp-major = global block order
+        table = jax.lax.all_gather(
+            table_micro, ("gp", "sp"), axis=0, tiled=True
+        )  # (t_pad, 2*ROW)
+        # raster wants this gp rank's full contiguous shard: gather the sp
+        # micro-shards (blocks gp_rank*sp .. gp_rank*sp+sp-1)
+        setup_local = {
+            k: jax.lax.all_gather(setup_micro[k], "sp", axis=0, tiled=True)
+            for k in raster_keys
+        }
+        table, setup_local = jax.lax.optimization_barrier(
+            (table, setup_local)
+        )
 
         # sort-first: this device's band, sort-last: its triangle shard
         layers = meta.peel_layers
@@ -195,7 +250,7 @@ def render_frame_sharded(
         )  # (3, band_h, pw)
         return rgba
 
-    image = device_frame(setup)  # (3, ph, pw)
+    image = device_frame(tri_corner, static_cols, tri_instance)  # (3, ph, pw)
     return image[:, : config.height, : config.width]
 
 
