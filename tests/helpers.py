@@ -93,6 +93,7 @@ def render_both(path, width=64, height=64, msaa=1, camera=None, backend="tiled",
         height,
         SAMPLE_OFFSETS[msaa],
         max_anisotropy=config.max_anisotropy,
+        peel_layers=max(meta.peel_layers, 2),
     )
     return produced, expected
 

@@ -105,6 +105,66 @@ def test_blend_msaa_pixel_rate(tmp_path):
                         max_outlier_frac=0.06)
 
 
+def _stacked_blend_scene(tmp_path, name="stack.gltf"):
+    """THREE stacked BLEND quads in front of an opaque box — deeper than the
+    old fixed 2-layer peel could represent (VERDICT r1 #9)."""
+    w = GltfWriter()
+    back = w.add_material(base_color_factor=(0.15, 0.6, 0.2, 1.0),
+                          metallic_factor=0.0, roughness_factor=0.8)
+    quads = [
+        w.add_material(base_color_factor=c, metallic_factor=0.0,
+                       roughness_factor=0.5, alpha_mode="BLEND")
+        for c in ((0.9, 0.2, 0.2, 0.45), (0.2, 0.3, 0.9, 0.5),
+                  (0.9, 0.8, 0.2, 0.4))
+    ]
+    mbox = w.add_mesh(box_mesh(0.6), material=back)
+    meshes = [w.add_mesh(plane_mesh(0.9), material=m) for m in quads]
+    light = w.add_light("point", color=(6.0, 6.0, 6.0))
+    sun = w.add_light("directional", color=(0.6, 0.6, 0.6))
+    nodes = [
+        w.add_node(mesh=mbox, translation=(0.0, 0.3, -0.6)),
+        w.add_node(light=light, translation=(1.2, 1.5, 2.0)),
+        w.add_node(light=sun, rotation=(0.2, 0.1, 0.0, 0.97)),
+    ]
+    for i, mq in enumerate(meshes):
+        nodes.append(
+            w.add_node(mesh=mq, translation=(0.1 - 0.05 * i, 0.35, 0.45 - 0.2 * i),
+                       rotation=(0.7071068, 0.0, 0.0, 0.7071068))
+        )
+    w.add_scene(nodes)
+    return w.write(tmp_path / name)
+
+
+def test_three_deep_blend_stack(tmp_path):
+    """3 overlapping BLEND surfaces + the opaque behind them all composite
+    (scene-derived peel_layers=4), matching the K-layer oracle exactly."""
+    from helpers import build_scene
+
+    path = _stacked_blend_scene(tmp_path)
+    _scene, meta, _aux = build_scene(path)
+    assert meta.peel_layers == 4  # 3 overlapping alpha AABBs + 1
+    produced, expected = render_both(path, 96, 64, msaa=1, backend="pallas")
+    assert_images_close(produced, expected)
+
+
+def test_peel_layers_scene_derived(tmp_path):
+    """K follows the translucent-instance count: a free camera can align any
+    two translucent surfaces along a ray, so two spatially separated BLEND
+    quads still need 2 peel layers + 1 for the opaque behind them."""
+    from helpers import build_scene
+
+    w = GltfWriter()
+    blend = w.add_material(base_color_factor=(0.9, 0.2, 0.2, 0.5),
+                           alpha_mode="BLEND")
+    mq = w.add_mesh(plane_mesh(0.5), material=blend)
+    w.add_scene([
+        w.add_node(mesh=mq, translation=(-2.0, 0.0, 0.0)),
+        w.add_node(mesh=mq, translation=(2.0, 0.0, 0.0)),
+    ])
+    _scene, meta, _aux = build_scene(w.write(tmp_path / "sep.gltf"))
+    assert meta.peel_layers == 3
+
+
 def test_opaque_scene_single_layer(tmp_path):
     """All-opaque scenes keep the 1-layer fast path (peel_layers == 1)."""
     from helpers import build_scene

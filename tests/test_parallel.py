@@ -65,6 +65,52 @@ def test_sharded_matches_single_chip(small_scene, gp):
     np.testing.assert_array_equal(single, sharded)
 
 
+@pytest.fixture(scope="module")
+def blend_scene(tmp_path_factory):
+    """Three stacked BLEND quads over an opaque floor: peel_layers == 4,
+    exercising the sharded K-round head merge in render_frame_sharded."""
+    tmp_path = tmp_path_factory.mktemp("parallel_blend")
+    w = GltfWriter()
+    from vktf_tpu.models.primitives import plane_mesh
+
+    opaque = w.add_material(base_color_factor=(0.7, 0.7, 0.2, 1.0),
+                            roughness_factor=0.8)
+    glass = [
+        w.add_material(base_color_factor=c, alpha_mode="BLEND",
+                       roughness_factor=0.4)
+        for c in ((0.9, 0.2, 0.2, 0.45), (0.2, 0.9, 0.2, 0.5),
+                  (0.2, 0.2, 0.9, 0.55))
+    ]
+    face = (0.7071068, 0.0, 0.0, 0.7071068)  # plane +y normal -> +z
+    w.add_scene(
+        [
+            w.add_node(mesh=w.add_mesh(plane_mesh(0.9), material=glass[0]),
+                       translation=(0.0, 0.0, 0.6), rotation=face),
+            w.add_node(mesh=w.add_mesh(plane_mesh(0.9), material=glass[1]),
+                       translation=(0.1, 0.05, 0.3), rotation=face),
+            w.add_node(mesh=w.add_mesh(plane_mesh(0.9), material=glass[2]),
+                       translation=(-0.1, -0.05, 0.0), rotation=face),
+            w.add_node(mesh=w.add_mesh(box_mesh(0.5), material=opaque),
+                       translation=(0.0, 0.0, -0.6)),
+            w.add_node(light=w.add_light(type="point", color=(6.0, 6.0, 6.0)),
+                       translation=(0.5, 1.0, 2.0)),
+        ]
+    )
+    return build_scene(w.write(tmp_path / "blend.gltf"))
+
+
+@pytest.mark.parametrize("gp", [2, 4])
+def test_sharded_depth_peel_matches_single_chip(blend_scene, gp):
+    scene, meta, aux = blend_scene
+    assert meta.peel_layers == 4
+    config = RenderConfig(width=96, height=64, msaa_samples=2,
+                          tile_shape=(32, 64), backend="pallas")
+    camera = default_camera(aspect=96 / 64)
+    single = _render_single(scene, meta, config, camera)
+    sharded = _render_sharded(scene, meta, config, camera, gp)
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_sharded_msaa4_uneven_tiles(small_scene):
     """Tile count not divisible by sp (3x2=6 tiles over sp=4) + 4x MSAA."""
     scene, meta, aux = small_scene

@@ -204,11 +204,12 @@ def _raster_kernel(
     mode. With disjoint windows every window_rows size is bit-identical on
     hardware too.
 
-    With layers=2 the kernel depth-peels: it keeps the TWO lexicographically
-    nearest (depth, draw-order) fragments per sample, which alpha MASK/BLEND
-    compositing consumes downstream (the reference's fixed blend state,
+    With layers=K (2..4) the kernel depth-peels: it keeps the K
+    lexicographically nearest (depth, draw-order) fragments per sample via a
+    branchless sorted-list insertion, which alpha MASK/BLEND compositing
+    consumes downstream (the reference's fixed blend state,
     graphics_pipeline.cppm:226-234, resolved against the next-nearest
-    surface instead of draw-order framebuffer contents).
+    surfaces instead of draw-order framebuffer contents).
     """
     out_refs = outs_and_scratch[: 2 * layers]
     id_refs = [out_refs[2 * l] for l in range(layers)]
@@ -366,7 +367,6 @@ def _raster_kernel(
                          id_refs[l][0, pl.ds(rs, win)])
                         for l in range(layers)
                     ]
-                    acc_d, acc_i = accs[0]
 
                     # BRANCHLESS, unrolled straight-line block over the 16
                     # group triangles: per-triangle branches (pl.when /
@@ -419,28 +419,23 @@ def _raster_kernel(
                             & (depth_u <= jnp.uint32(0x3F800000))
                         )
 
-                        def lex_less(d, i):
-                            return (depth < d) | ((depth == d) & (tri_id < i))
-
-                        if layers == 1:
-                            ok = base_ok & lex_less(acc_d, acc_i)
-                            acc_d = jnp.where(ok, depth, acc_d)
-                            acc_i = jnp.where(ok, tri_id, acc_i)
-                        else:
-                            # depth peel: insert into the sorted 2-layer list
-                            d1, i1 = accs[1]
-                            ok0 = base_ok & lex_less(acc_d, acc_i)
-                            ok1 = base_ok & ~ok0 & lex_less(d1, i1)
-                            accs[1] = (
-                                jnp.where(ok0, acc_d,
-                                          jnp.where(ok1, depth, d1)),
-                                jnp.where(ok0, acc_i,
-                                          jnp.where(ok1, tri_id, i1)),
+                        # depth peel: branchless insertion into the sorted
+                        # K-layer list — bubble the candidate down, layers it
+                        # displaces continue down in its place (layers == 1
+                        # degenerates to the plain depth-test accumulator)
+                        cur_d, cur_i = depth, tri_id
+                        for l in range(layers):
+                            d_l, i_l = accs[l]
+                            swap = base_ok & (
+                                (cur_d < d_l)
+                                | ((cur_d == d_l) & (cur_i < i_l))
                             )
-                            acc_d = jnp.where(ok0, depth, acc_d)
-                            acc_i = jnp.where(ok0, tri_id, acc_i)
+                            accs[l] = (jnp.where(swap, cur_d, d_l),
+                                       jnp.where(swap, cur_i, i_l))
+                            if l + 1 < layers:
+                                cur_d = jnp.where(swap, d_l, cur_d)
+                                cur_i = jnp.where(swap, i_l, cur_i)
 
-                    accs[0] = (acc_d, acc_i)
                     for l in range(layers):
                         depth_refs[l][0, pl.ds(rs, win)] = accs[l][0]
                         id_refs[l][0, pl.ds(rs, win)] = accs[l][1]
@@ -611,8 +606,8 @@ def rasterize_pallas(
 
     hit_cols = hit_list.shape[1]
 
-    if layers not in (1, 2):
-        raise ValueError(f"layers must be 1 or 2, got {layers}")
+    if not 1 <= layers <= 4:
+        raise ValueError(f"layers must be in 1..4, got {layers}")
     kernel = functools.partial(
         _raster_kernel,
         tiles_x=tiles_x,

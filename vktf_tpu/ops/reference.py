@@ -159,6 +159,7 @@ def render_reference(
     sample_offsets,
     background=(0.0, 0.0, 0.0, 1.0),
     max_anisotropy: float = 1.0,
+    peel_layers: int = 2,
 ):
     """Render; returns (H, W, 4) uint8 sRGB, matching the production output."""
     vp = np.asarray(view_projection, np.float64)
@@ -188,13 +189,14 @@ def render_reference(
     accum = np.zeros((height, width, 3), np.float64)
     bg = np.asarray(background, np.float64)
 
+    K = peel_layers
     for (ox, oy) in sample_offsets:
-        # 2-layer depth peel: the two nearest fragments per sample, matching
+        # K-layer depth peel: the K nearest fragments per sample, matching
         # the production kernel's alpha MASK/BLEND semantics (ties keep the
         # earlier-drawn triangle, i.e. lexicographic (depth, draw order)).
-        depth_buf = np.ones((2, height, width), np.float64)
-        layer_rgb = np.zeros((2, height, width, 3), np.float64)
-        layer_a = np.zeros((2, height, width), np.float64)
+        depth_buf = np.ones((K, height, width), np.float64)
+        layer_rgb = np.zeros((K, height, width, 3), np.float64)
+        layer_a = np.zeros((K, height, width), np.float64)
         num_tris = ref.indices.shape[0]
         for t in range(num_tris):
             i0, i1, i2 = ref.indices[t]
@@ -234,9 +236,15 @@ def render_reference(
                         continue
                     lam_s = np.asarray([w0, w1, w2]) / area2
                     depth = float(lam_s @ ndc[:, 2])
-                    if depth < 0.0 or depth > 1.0 or depth >= depth_buf[1, py, px]:
+                    if depth < 0.0 or depth > 1.0:
                         continue
-                    layer = 0 if depth < depth_buf[0, py, px] else 1
+                    # insertion index into the sorted layer list; equal
+                    # depths go AFTER incumbents (earlier draw order wins)
+                    layer = int(np.searchsorted(
+                        depth_buf[:, py, px], depth, side="right"
+                    ))
+                    if layer >= K:
+                        continue
                     # perspective-correct barycentrics
                     lw = lam_s * inv_w
                     lam = lw / lw.sum()
@@ -305,20 +313,26 @@ def render_reference(
                         alpha = float(base[3])
                     else:
                         alpha = 1.0
-                    if layer == 0:  # push the incumbent nearest to layer 1
-                        depth_buf[1, py, px] = depth_buf[0, py, px]
-                        layer_rgb[1, py, px] = layer_rgb[0, py, px]
-                        layer_a[1, py, px] = layer_a[0, py, px]
+                    # shift deeper incumbents down one layer, insert
+                    depth_buf[layer + 1:, py, px] = (
+                        depth_buf[layer:-1, py, px].copy()
+                    )
+                    layer_rgb[layer + 1:, py, px] = (
+                        layer_rgb[layer:-1, py, px].copy()
+                    )
+                    layer_a[layer + 1:, py, px] = (
+                        layer_a[layer:-1, py, px].copy()
+                    )
                     depth_buf[layer, py, px] = depth
                     layer_rgb[layer, py, px] = radiance
                     layer_a[layer, py, px] = alpha
-        # front-to-back over() of the two layers onto the clear color
-        color_buf = (
-            layer_a[0, ..., None] * layer_rgb[0]
-            + (1.0 - layer_a[0, ..., None])
-            * (layer_a[1, ..., None] * layer_rgb[1]
-               + (1.0 - layer_a[1, ..., None]) * bg[:3])
-        )
+        # front-to-back over() of the K layers onto the clear color
+        color_buf = np.broadcast_to(bg[:3], (height, width, 3))
+        for l in reversed(range(K)):
+            color_buf = (
+                layer_a[l, ..., None] * layer_rgb[l]
+                + (1.0 - layer_a[l, ..., None]) * color_buf
+            )
         accum += color_buf
     accum /= S
     c = np.clip(accum, 0.0, 1.0)

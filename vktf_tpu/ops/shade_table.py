@@ -391,21 +391,42 @@ def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
     """The two per-pixel pool block-row indices (one per mip level) for one
     texture slot (rows differ between slots only when their wrap modes
     differ)."""
+    a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=slot)
+    return a0[0], a1[0]
+
+
+def pool_window_addr(col, sx, sy, max_anisotropy, slot: int = 0):
+    """Full 2x2-window addressing per mip level for one texture slot:
+    ((row, fx, fy, cx, cy) for l0, same for l1)."""
     tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
-    r0 = _level_addr(tp, tp["l0"])[0]
-    r1 = _level_addr(tp, tp["l1"])[0]
-    return r0, r1
+    return _level_addr(tp, tp["l0"]), _level_addr(tp, tp["l1"])
 
 
-def _filter_slot(quad, slot, fx, fy, cx, cy, srgb):
-    """One bilinear tap of ONE material texture from a gathered block row.
+def fold_window(q, cx, cy):
+    """Pre-shift a gathered 4x4-block pool row so the sample's 2x2 bilinear
+    window sits at the block origin.
+
+    TWO static lane rotates + TWO row-wide selects (x texel stride = 2 u16
+    lanes, y stride = 8) replace the per-tap 4-way lane folding that
+    selected among the (cx, cy) window cases inside _filter_slot — measured
+    3.4x of the whole deferred-shade stage at 1080p Sponza
+    (tools/microbench8: 197 -> 58 ms with static-lane taps). Rolled-in
+    lanes from beyond a slot's 32-lane group are never read (taps only
+    touch window lanes 0..11 of each group)."""
+    qx = jnp.where((cx == 1)[:, None], jnp.roll(q, -2, axis=1), q)
+    return jnp.where((cy == 1)[:, None], jnp.roll(qx, -8, axis=1), qx)
+
+
+def _filter_slot(quad, slot, fx, fy, srgb):
+    """One bilinear tap of ONE material texture from a FOLDED block row.
 
     quad(slot, j) returns U16 lane j (0..127) of the slot's gathered pool
     row — the pool stores each 4x4 block's 48 u32 texels as 96 u16 halves
     (little-endian; texture_pack.build_material_pool: u32-width gathers
     measured 6x slower than the identical bytes as u16). Texel t*16+i*4+j
-    lives in u16 lanes 2*(t*16+i*4+j) (RG bytes) and +1 (BA bytes);
-    (cx, cy) in {0,1} selects the 2x2 tap window inside the 4x4 block.
+    lives in u16 lanes 2*(t*16+i*4+j) (RG bytes) and +1 (BA bytes). The
+    caller has already rotated the row so the sample's 2x2 window sits at
+    (i, j) = (0, 0) (fold_window), so every tap is a STATIC lane read.
     Returns an (r, g, b, a) channel tuple; sRGB decoded per texel BEFORE
     filtering (Vulkan rules) when srgb.
     """
@@ -413,21 +434,9 @@ def _filter_slot(quad, slot, fx, fy, cx, cy, srgb):
     w10 = fx * (1.0 - fy)
     w01 = (1.0 - fx) * fy
     w11 = fx * fy
-    cxb = cx == 1
-    cyb = cy == 1
 
     def tap_half(half, dy, dx):
-        # the 4 possible lanes for this tap corner across the (cx, cy)
-        # cases, folded with vector selects — lane indices stay STATIC so
-        # the row gather stays a plain 2-D row gather
-        def lane(ddy, ddx):
-            return quad(slot, 2 * (slot * 16 + ddy * 4 + ddx) + half)
-
-        a = lane(dy, dx)
-        b = lane(dy, dx + 1)
-        c = lane(dy + 1, dx)
-        d = lane(dy + 1, dx + 1)
-        return jnp.where(cyb, jnp.where(cxb, d, c), jnp.where(cxb, b, a))
+        return quad(slot, 2 * (slot * 16 + dy * 4 + dx) + half)
 
     taps_by_half = [
         [tap_half(h, 0, 0), tap_half(h, 0, 1), tap_half(h, 1, 0),
@@ -458,18 +467,18 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
     """Everything after the table + pool gathers (the fragment shader body).
 
     col is a table-column accessor (see _anchored_attrs); quad0/quad1 are
-    (slot, lane) accessors over the gathered pool rows for mip level l0/l1
-    — the caller decides whether the three slots share one gathered row
-    (identical samplers) or have their own (mixed samplers). cam3 is a
-    3-tuple of camera-position scalars. Returns (rgb 3-tuple, alpha) of
-    vectors shaped like col's outputs."""
+    (slot, lane) accessors over the gathered AND fold_window-rotated pool
+    rows for mip level l0/l1 — the caller decides whether the three slots
+    share one gathered row (identical samplers) or have their own (mixed
+    samplers). cam3 is a 3-tuple of camera-position scalars. Returns
+    (rgb 3-tuple, alpha) of vectors shaped like col's outputs."""
     slot_tex = []
     for slot, srgb in ((0, True), (1, False), (2, False)):
         tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
-        _r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
-        _r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
-        s0 = _filter_slot(quad0, slot, fx0, fy0, cx0, cy0, srgb)
-        s1 = _filter_slot(quad1, slot, fx1, fy1, cx1, cy1, srgb)
+        _r0, fx0, fy0, _cx0, _cy0 = _level_addr(tp, tp["l0"])
+        _r1, fx1, fy1, _cx1, _cy1 = _level_addr(tp, tp["l1"])
+        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
         lfrac = tp["lfrac"]
         slot_tex.append(tuple(
             a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
@@ -585,15 +594,17 @@ def shade_table_layer(
     if per_slot_samplers:
         q0s, q1s = [], []
         for slot in range(3):
-            r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy, slot=slot)
-            q0s.append(gather_rows(quad_pool, r0))
-            q1s.append(gather_rows(quad_pool, r1))
+            a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=slot)
+            q0s.append(fold_window(gather_rows(quad_pool, a0[0]),
+                                   a0[3], a0[4]))
+            q1s.append(fold_window(gather_rows(quad_pool, a1[0]),
+                                   a1[3], a1[4]))
         quad0 = lambda s, k: q0s[s][:, k]
         quad1 = lambda s, k: q1s[s][:, k]
     else:
-        r0, r1 = pool_row_indices(col, sx, sy, max_anisotropy, slot=0)
-        q0 = gather_rows(quad_pool, r0)  # (N, 64) u32
-        q1 = gather_rows(quad_pool, r1)
+        a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=0)
+        q0 = fold_window(gather_rows(quad_pool, a0[0]), a0[3], a0[4])
+        q1 = fold_window(gather_rows(quad_pool, a1[0]), a1[3], a1[4])
         quad0 = lambda s, k: q0[:, k]
         quad1 = lambda s, k: q1[:, k]
     radiance, alpha = shade_gathered(

@@ -96,8 +96,14 @@ def render_frame_sharded(
     meta: SceneMeta,
     config: RenderConfig,
     mesh: Mesh,
+    debug_visibility: bool = False,
 ) -> jnp.ndarray:
-    """One frame over the (gp, sp) mesh; returns planar (3, H, W) uint8 RGB."""
+    """One frame over the (gp, sp) mesh; returns planar (3, H, W) uint8 RGB.
+
+    debug_visibility=True instead returns the post-composite
+    (win_id, win_depth) arrays shaped ([L,] S, ph, pw) — the sort-last
+    merge's output — for parity diagnostics against the single-chip raster.
+    """
     gp = mesh.shape["gp"]
     sp = mesh.shape["sp"]
     th, tw = config.tile_shape
@@ -130,26 +136,40 @@ def render_frame_sharded(
     world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
     visible = aabbs_intersect_frustum(world_aabbs, planes)  # (I,) bool
 
-    # Pad triangle tables to a gp*sp multiple. Zero-padded corners are all
-    # w=0 => all_behind => valid=False with an empty bbox (triangle_setup
-    # rejection), so padded rows are inert in raster; their (finite) shade
-    # table rows are never gathered because padded ids never win a sample.
+    # Pad triangle tables to a gp*sp multiple. Padded rows are masked out of
+    # `valid` EXPLICITLY by global row index below: zero-padded corners form
+    # a degenerate point-triangle whose setup arithmetic runs through
+    # inf/NaN, and whether that yields valid=False is a compiler decision —
+    # XLA folds it differently jitted vs eager (observed: padded rows
+    # rastered as real fragments at the projected world origin under jit).
+    # Their (finite or NaN) shade-table rows are never gathered because
+    # masked ids never win a sample.
     n_dev = gp * sp
     tri_corner = _pad_axis1(scene.tri_corner, n_dev)  # (36, T_pad)
     static_cols = _pad_axis1(scene.tri_static_cols, n_dev)
     tri_instance = _pad_axis0(scene.tri_instance, n_dev)  # (T_pad,)
     t_pad = tri_instance.shape[0]
     t_local = t_pad // gp  # raster shard per gp rank (after sp all_gather)
+    t_micro = t_pad // n_dev  # prep micro-shard per device
     mat16 = inst_matrix.reshape(-1, 16)
 
     raster_keys = ("edge", "zw", "anchor", "inv_det", "valid", "bbox")
+
+    if debug_visibility == "winner":
+        out_specs = (P(None, "sp", None), P(None, "sp", None), P(None, None))
+    elif debug_visibility:
+        vis_spec = (P(None, "sp", None) if meta.peel_layers == 1
+                    else P(None, None, "sp", None))
+        out_specs = (vis_spec, vis_spec, P(None, None))
+    else:
+        out_specs = P(None, "sp", None)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, ("gp", "sp")), P(None, ("gp", "sp")),
                   P(("gp", "sp"))),
-        out_specs=P(None, "sp", None),
+        out_specs=out_specs,
         check_vma=False,
     )
     def device_frame(tc_micro, stat_micro, tin_micro):
@@ -164,7 +184,14 @@ def render_frame_sharded(
             tc_micro, mrows_micro, view_projection,
             config.width, config.height,
         ))
-        setup_micro["valid"] = setup_micro["valid"] & visible[tin_micro]
+        micro_row0 = (gp_rank * sp + sp_rank).astype(jnp.int32) * t_micro
+        is_real = (
+            micro_row0 + jnp.arange(t_micro, dtype=jnp.int32)
+            < meta.num_triangles
+        )
+        setup_micro["valid"] = (
+            setup_micro["valid"] & visible[tin_micro] & is_real
+        )
         setup_micro["mrows"] = mrows_micro
         shard_scene = SimpleNamespace(
             tri_corner=tc_micro, tri_static_cols=stat_micro,
@@ -216,17 +243,41 @@ def render_frame_sharded(
         if layers == 1:
             win_depth, win_id = lexmin_gp(depth, tri_id)
         else:
-            # merge each rank's sorted 2-layer list into the global nearest
-            # two: layer0 = global lexmin of local layer0s; layer1 = lexmin
-            # over {rank's layer1 if its layer0 won, else its layer0}
-            g0d, g0i = lexmin_gp(depth[0], tri_id[0])
-            is_win = (depth[0] == g0d) & (tri_id[0] == g0i)
-            cand_d = jnp.where(is_win, depth[1], depth[0])
-            cand_i = jnp.where(is_win, tri_id[1], tri_id[0])
-            g1d, g1i = lexmin_gp(cand_d, cand_i)
-            win_id = jnp.stack([g0i, g1i])
-            win_depth = jnp.stack([g0d, g1d])
+            # merge each rank's sorted K-layer list into the global nearest
+            # K: K rounds of (lexmin over gp of every rank's current head;
+            # winning ranks advance their local pointer). Real-triangle
+            # heads are globally unique (block-sharded ids); background
+            # heads (clear depth, id -1) may win on several ranks at once,
+            # but every deeper background entry is identical, so the
+            # multi-advance is harmless.
+            ptr = jnp.zeros_like(tri_id[0])
+            out_d, out_i = [], []
+            for _k in range(layers):
+                head_d, head_i = depth[0], tri_id[0]
+                for l in range(1, layers):
+                    sel = ptr == l
+                    head_d = jnp.where(sel, depth[l], head_d)
+                    head_i = jnp.where(sel, tri_id[l], head_i)
+                gd, gi = lexmin_gp(head_d, head_i)
+                ptr = ptr + ((head_d == gd) & (head_i == gi)).astype(ptr.dtype)
+                out_d.append(gd)
+                out_i.append(gi)
+            win_depth = jnp.stack(out_d)
+            win_id = jnp.stack(out_i)
         win_id, win_depth = jax.lax.optimization_barrier((win_id, win_depth))
+        if debug_visibility == "winner":
+            # replicate pallas_shade_resolve's pixel-rate winner on the
+            # merged arrays (diagnostics): per layer, the depth-winning
+            # sample's triangle id
+            imax_w = jnp.int32(2**31 - 1)
+            d_min = jnp.min(win_depth, axis=1, keepdims=True)
+            cand = jnp.where((win_depth == d_min) & (win_id >= 0),
+                             win_id, imax_w)
+            id_px = jnp.min(cand, axis=1)
+            id_px = jnp.where(id_px == imax_w, -1, id_px)
+            return id_px, d_min[:, 0], table
+        if debug_visibility:
+            return win_id, win_depth, table
 
         # shade a disjoint row-slice of the band per gp rank
         rh = band_h // gp
@@ -250,8 +301,10 @@ def render_frame_sharded(
         )  # (3, band_h, pw)
         return rgba
 
-    image = device_frame(tri_corner, static_cols, tri_instance)  # (3, ph, pw)
-    return image[:, : config.height, : config.width]
+    out = device_frame(tri_corner, static_cols, tri_instance)
+    if debug_visibility:
+        return out  # (win_id, win_depth), bands concatenated over rows
+    return out[:, : config.height, : config.width]  # (3, ph, pw) -> (3, H, W)
 
 
 def make_sharded_frame_fn(meta: SceneMeta, config: RenderConfig, mesh: Mesh):

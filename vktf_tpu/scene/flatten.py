@@ -86,10 +86,12 @@ class SceneMeta:
     num_instances: int
     num_triangles: int
     num_vertices: int
-    # Depth-peel layer count: 2 when any material is alpha MASK/BLEND so the
-    # rasterizer keeps the two nearest fragments per sample, else 1. A static
-    # jit-specialization knob like the light count (the analogue of the
-    # reference's per-scene pipeline state, graphics_pipeline.cppm:226-234).
+    # Depth-peel layer count: 1 for all-opaque scenes; otherwise 1 + the
+    # translucent (MASK/BLEND) instance count clamped to 4
+    # (_estimate_peel_layers) — the raster kernel keeps that many nearest
+    # fragments per sample. A static jit-specialization knob like the light
+    # count (the analogue of the reference's per-scene pipeline state,
+    # graphics_pipeline.cppm:226-234).
     peel_layers: int = 1
     # True when any material's three texture slots carry different samplers:
     # the deferred shade then compiles the exact per-slot pool-gather path
@@ -109,6 +111,30 @@ def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.nd
     lengths = np.linalg.norm(out, axis=-1, keepdims=True)
     lengths[lengths == 0] = 1.0
     return (out / lengths).astype(np.float32)
+
+
+def _estimate_peel_layers(mat_alpha, tri_material, tri_instance) -> int:
+    """Scene-derived depth-peel count: 1 + the number of translucent
+    instances, clamped to 4.
+
+    The reference blends in submission order against the framebuffer
+    (graphics_pipeline.cppm:226-234) and so never needs a layer count; the
+    depth-peel formulation needs K = (deepest possible stack of MASK/BLEND
+    surfaces along a view ray) + 1 layer for the opaque surface behind them.
+    With a free camera ANY two translucent instances can align along some
+    ray (spatial-overlap tests like AABB intersection undercount the common
+    stacked-parallel-surfaces case), so the sound bound is the instance
+    count itself, capped at the raster kernel's 4-layer limit — beyond
+    that, compositing approximates with the nearest 4 fragments. Stacked
+    translucent geometry INSIDE one instance (a single primitive containing
+    several quads) is not visible to the count (documented limitation).
+    """
+    alpha_mask = mat_alpha[:, 0] != 0
+    if not bool(alpha_mask.any()):
+        return 1
+    tri_alpha = alpha_mask[tri_material]
+    n_alpha = int(np.unique(tri_instance[tri_alpha]).shape[0])
+    return min(1 + n_alpha, 4)
 
 
 def _material_key(material: Optional[Material]):
@@ -481,13 +507,14 @@ def flatten_assets(
             np.asarray(light_colors, np.float32).reshape(-1, 3)
         ),
     )
+    peel = _estimate_peel_layers(mat_alpha, tri_material, tri_instance)
     meta = SceneMeta(
         level_slices=tuple(level_bounds),
         num_lights=len(light_nodes),
         num_instances=len(inst_nodes),
         num_triangles=int(indices.shape[0]),
         num_vertices=int(positions.shape[0]),
-        peel_layers=2 if bool((mat_alpha[:, 0] != 0).any()) else 1,
+        peel_layers=peel,
         mixed_samplers=material_pool.mixed,
     )
     aux = {"texture_entries": texture_entries}
