@@ -90,6 +90,14 @@ class RenderConfig:
     # supports it (model.cppm:261-275), and 16 is the universal device max.
     max_anisotropy: float = 16.0
 
+    # Deferred-shade implementation: "kernel" = XLA row gathers feeding ONE
+    # Pallas kernel (ops.shade_kernel; measured 75 -> 48 ms at Sponza-scale
+    # 2^21 samples — the XLA form rematerializes (N,128) intermediates in
+    # HBM at every fusion boundary, the kernel keeps them in VMEM); "xla" =
+    # the pure-XLA fused chunk map. None = auto: "kernel", except
+    # mixed-sampler scenes (per-slot pool gathers) which use "xla".
+    shade_impl: Optional[str] = None
+
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     clear_depth: float = 1.0
@@ -129,6 +137,8 @@ class RenderConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.shading_rate not in ("pixel", "sample"):
             raise ValueError(f"unknown shading_rate {self.shading_rate!r}")
+        if self.shade_impl not in (None, "kernel", "xla"):
+            raise ValueError(f"unknown shade_impl {self.shade_impl!r}")
         if self.tile_shape is None:
             shape = (64, 128) if self.resolved_backend() == "pallas" else (32, 128)
             object.__setattr__(self, "tile_shape", shape)

@@ -169,6 +169,44 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
     )
 
 
+def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool):
+    """Resolve the deferred-shade implementation (config.shade_impl).
+
+    Returns fn(tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights)
+    -> (rgb (3, N), alpha (N,), covered (N,)). Default is the single-kernel
+    Pallas form; mixed-sampler scenes (3x pool gathers per mip) stay on the
+    XLA form, as does an explicit shade_impl="xla"."""
+    from vktf_tpu.ops.shade_table import shade_table_layer
+
+    impl = config.shade_impl
+    if impl is None:
+        impl = "xla" if per_slot_samplers else "kernel"
+    if impl == "kernel" and not per_slot_samplers:
+        from vktf_tpu.ops.shade_kernel import shade_table_layer_kernel
+
+        interpret = config.pallas_interpret
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+
+        def fn(tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights):
+            return shade_table_layer_kernel(
+                tri_c, sx_c, sy_c, table, quad_pool, camera_position,
+                lights, max_anisotropy=config.max_anisotropy,
+                interpret=interpret,
+            )
+
+        return fn
+
+    def fn(tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights):
+        return shade_table_layer(
+            tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights,
+            max_anisotropy=config.max_anisotropy,
+            per_slot_samplers=per_slot_samplers,
+        )
+
+    return fn
+
+
 def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
                                camera_position, *, config: RenderConfig,
                                per_slot_samplers: bool = False):
@@ -181,13 +219,13 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     image (6 MB) is assembled. Pixel-rate only (the production default);
     sample-rate uses the assembled path.
 
-    Shading stays the chunked XLA form (gathers fused WITH the arithmetic):
-    a Pallas split (XLA gathers -> VMEM shade kernels, tried and reverted)
-    measured 10 ms SLOWER at 1080p — phase-splitting serializes the gather
-    latency against the VPU math that the fused chunk map overlaps, and
-    materializes the 536 MB of gathered table rows in HBM.
+    Shading dispatches through _shade_layer_fn: by default the XLA row
+    gathers feed ONE Pallas kernel for everything after them
+    (ops.shade_kernel, measured 75 -> 48 ms at Sponza scale). Round 1's
+    reverted multi-kernel split — several kernels with gathers BETWEEN them
+    — measured 10 ms SLOWER; the single-kernel form has no phase boundary
+    to rematerialize.
     """
-    from vktf_tpu.ops.shade_table import shade_table_layer
 
     ids = tri_id if tri_id.ndim == 4 else tri_id[None]
     deps = depth if depth.ndim == 4 else depth[None]
@@ -251,15 +289,15 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
             )
         return x.reshape(n_pad // shade_chunk, shade_chunk)
 
+    shade_layer = _shade_layer_fn(config, per_slot_samplers)
+
     def shade_one(args):
         tri_c, sx_c, sy_c = args
 
         def do(_):
-            rgb, a, _covered = shade_table_layer(
+            rgb, a, _covered = shade_layer(
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
                 camera_position, lights,
-                max_anisotropy=config.max_anisotropy,
-                per_slot_samplers=per_slot_samplers,
             )
             return rgb, a
 
@@ -309,13 +347,12 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
     composite front-to-back with glTF alphaMode semantics
     (OPAQUE/MASK/BLEND) over the clear color. Returns planar (3, h, w) uint8.
     """
-    from vktf_tpu.ops.shade_table import shade_table_layer
-
     ids = tri_id if tri_id.ndim == 4 else tri_id[None]
     layers, S, h, w = ids.shape
     offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
     background = jnp.asarray(config.clear_color, jnp.float32)
     y_off = jnp.asarray(y0, jnp.float32)
+    shade_layer = _shade_layer_fn(config, per_slot_samplers)
 
     def shade_chunked(layer_ids, sx_flat, sy_flat):
         """Shade each layer of flat samples; returns (rgb (L,3,N), a (L,N)).
@@ -336,11 +373,9 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
 
         def shade_one(args):
             tri_c, sx_c, sy_c = args
-            rgb, a, _covered = shade_table_layer(
+            rgb, a, _covered = shade_layer(
                 tri_c, sx_c, sy_c, table, scene.quad_pool,
                 camera_position, lights,
-                max_anisotropy=config.max_anisotropy,
-                per_slot_samplers=per_slot_samplers,
             )
             return rgb, a  # (3, chunk), (chunk,)
 

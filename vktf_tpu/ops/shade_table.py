@@ -260,13 +260,18 @@ def _srgb_to_linear(c):
 
 
 def _wrap_coord(i, size, mode):
-    """Integer wrap; i/size int32 vectors, mode f32 code vector."""
+    """Integer wrap; i/size int32 vectors, mode f32 code vector.
+
+    size is ALWAYS a power of two (texture_pack pads chains to pow2 square),
+    so the mod-reductions are bit masks — identical to jnp.remainder for
+    every i incl. negatives (two's-complement AND == floor-mod for pow2),
+    and legal inside the Mosaic shade kernel (ops.shade_kernel), which has
+    no integer remainder."""
     size = jnp.maximum(size, 1)
-    repeat = jnp.remainder(i, size)
+    repeat = i & (size - 1)
     clamp = jnp.clip(i, 0, size - 1)
-    period = 2 * size
-    m = jnp.remainder(i, period)
-    mirror = jnp.where(m >= size, period - 1 - m, m)
+    m = i & (2 * size - 1)
+    mirror = jnp.where(m >= size, 2 * size - 1 - m, m)
     return jnp.where(
         mode == float(WRAP_REPEAT),
         repeat,
