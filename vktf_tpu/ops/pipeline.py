@@ -207,6 +207,165 @@ def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool):
     return fn
 
 
+def _tiled_winner(ids, deps, config: RenderConfig):
+    """Per-pixel depth-winning triangle + coverage from raw raster blocks.
+
+    ids/deps: (L, num_tiles, S*th, tw), row = y*S + s. Returns
+    (id_px (L, num_tiles, th, tw), frac (num_tiles, th, tw)) — all reshapes
+    + reductions, no transposes.
+    """
+    layers, num_tiles, rows, tw = ids.shape
+    th, tw_c = config.tile_shape
+    assert tw == tw_c
+    S = rows // th
+    idp = ids.reshape(layers, num_tiles, th, S, tw)
+    dep = deps.reshape(layers, num_tiles, th, S, tw)
+    imax = jnp.int32(2**31 - 1)
+    d_min = jnp.min(dep, axis=3, keepdims=True)
+    cand = jnp.where((dep == d_min) & (idp >= 0), idp, imax)
+    id_px = jnp.min(cand, axis=3)  # (L, num_tiles, th, tw)
+    id_px = jnp.where(id_px == imax, -1, id_px)
+    frac = jnp.mean((idp[0] >= 0).astype(jnp.float32), axis=2)  # (nt, th, tw)
+    return id_px, frac
+
+
+def _tiled_pixel_coords(config: RenderConfig, num_tiles: int):
+    """Pixel-center (sx, sy) per tile block: (num_tiles, th, tw) f32 each."""
+    th, tw = config.tile_shape
+    tiles_x = config.tiles_x
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    oy = ((tile_ids // tiles_x) * th)[:, None, None]
+    ox = ((tile_ids % tiles_x) * tw)[:, None, None]
+    ry = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 1)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 2)
+    sx = (ox + rx).astype(jnp.float32) + 0.5
+    sy = (oy + ry).astype(jnp.float32) + 0.5
+    return sx, sy
+
+
+# Two-phase shade chunk size: large (the chunks exist only to bound the
+# phase-boundary working set at 4K-scale); chunks are UNROLLED python
+# slices, not a lax.map — a while loop carrying the 500 MB phase-boundary
+# tensors defeats XLA's VMEM staging of the gather operands (measured: the
+# pool silently lost its S(1) residency inside the loop and the pool
+# gathers fell back to 6.6x-slower HBM rates).
+_TWO_PHASE_CHUNK = 1 << 21
+
+
+def _shade_chunks(n_px: int, config: RenderConfig):
+    shade_chunk = min(_TWO_PHASE_CHUNK, n_px)
+    n_pad = -(-n_px // shade_chunk) * shade_chunk
+    return shade_chunk, n_pad
+
+
+def _flat_pad_chunks(x, n_px, shade_chunk, n_pad, fill=0):
+    x = x.reshape(-1)
+    if n_pad - n_px:
+        x = jnp.concatenate(
+            [x, jnp.full((n_pad - n_px,), fill, x.dtype)]
+        )
+    return [x[c * shade_chunk:(c + 1) * shade_chunk]
+            for c in range(n_pad // shade_chunk)]
+
+
+def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
+    """Phase A of the two-program deferred shade (tile-layout, kernel impl).
+
+    Winner/coverage reduction + the shade-TABLE row gather + pool row
+    addressing, compiled as its own program so XLA stages the table into
+    VMEM (see ops.shade_kernel.shade_addr_chunk: the table and the texel
+    pool are both per-pixel gather operands but only one fits in VMEM at a
+    time; HBM row gathers measured 6.6x slower). Returns the phase-boundary
+    pytree consumed by pallas_shade_final_tiled.
+    """
+    from vktf_tpu.ops.shade_kernel import shade_addr_chunk
+
+    ids = tri_id if tri_id.ndim == 4 else tri_id[None]
+    deps = depth if depth.ndim == 4 else depth[None]
+    layers = ids.shape[0]
+    num_tiles = ids.shape[1]
+    th, tw = config.tile_shape
+    id_px, frac = _tiled_winner(ids, deps, config)
+    sx, sy = _tiled_pixel_coords(config, num_tiles)
+    n_px = num_tiles * th * tw
+    shade_chunk, n_pad = _shade_chunks(n_px, config)
+    sxp = _flat_pad_chunks(sx, n_px, shade_chunk, n_pad)
+    syp = _flat_pad_chunks(sy, n_px, shade_chunk, n_pad)
+
+    ids_p, trows, r0s, r1s = [], [], [], []
+    for l in range(layers):
+        idp = _flat_pad_chunks(id_px[l], n_px, shade_chunk, n_pad, fill=-1)
+        for tri_c, sx_c, sy_c in zip(idp, sxp, syp):
+            trow, r0, r1 = shade_addr_chunk(
+                tri_c, sx_c, sy_c, table,
+                max_anisotropy=config.max_anisotropy,
+            )
+            trows.append(trow)
+            r0s.append(r0)
+            r1s.append(r1)
+        ids_p.extend(idp)
+    return dict(
+        ids=tuple(ids_p),      # L*n_chunks x (chunk,) i32
+        trow=tuple(trows),     # L*n_chunks x (chunk, 2*ROW) u16
+        r0=tuple(r0s),         # L*n_chunks x (chunk,) i32
+        r1=tuple(r1s),
+        sx=tuple(sxp),         # n_chunks x (chunk,) f32
+        sy=tuple(syp),
+        frac=frac,             # (num_tiles, th, tw) f32
+    )
+
+
+def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
+                             config: RenderConfig):
+    """Phase B of the two-program deferred shade: pool gathers + kernel +
+    composite + resolve. Its only gather operand is the quad pool, which
+    XLA stages into VMEM. Bit-identical to pallas_shade_resolve_tiled's
+    kernel path (same math, same chunking)."""
+    from vktf_tpu.ops.shade_kernel import shade_final_chunk
+
+    interpret = config.pallas_interpret
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    frac = addr["frac"]
+    num_tiles, th, tw = frac.shape
+    tiles_y, tiles_x = config.tiles_y, config.tiles_x
+    n_px = num_tiles * th * tw
+    shade_chunk, n_pad = _shade_chunks(n_px, config)
+    n_chunks = n_pad // shade_chunk
+    layers = len(addr["ids"]) // n_chunks
+    background = jnp.asarray(config.clear_color, jnp.float32)
+
+    rgbs, alphas = [], []
+    for l in range(layers):
+        parts_rgb, parts_a = [], []
+        for c in range(n_chunks):
+            i = l * n_chunks + c
+            rgb, a, _covered = shade_final_chunk(
+                addr["trow"][i], addr["r0"][i], addr["r1"][i],
+                addr["ids"][i], addr["sx"][c], addr["sy"][c], quad_pool,
+                camera_position, lights,
+                max_anisotropy=config.max_anisotropy, interpret=interpret,
+            )
+            parts_rgb.append(rgb)
+            parts_a.append(a)
+        rgb = jnp.concatenate(parts_rgb, axis=1) if n_chunks > 1 else parts_rgb[0]
+        a = jnp.concatenate(parts_a) if n_chunks > 1 else parts_a[0]
+        rgbs.append(rgb[:, :n_px])
+        alphas.append(a[:n_px])
+
+    comp = jnp.broadcast_to(background[:3, None], rgbs[0].shape)
+    for l in reversed(range(layers)):
+        comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
+    frac_f = frac.reshape(1, n_px)
+    resolved = comp * frac_f + background[:3, None] * (1.0 - frac_f)
+    rgb_u8 = linear_to_srgb_u8(resolved).reshape(3, num_tiles, th, tw)
+    return (
+        rgb_u8.reshape(3, tiles_y, tiles_x, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, tiles_y * th, tiles_x * tw)
+    )
+
+
 def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
                                camera_position, *, config: RenderConfig,
                                per_slot_samplers: bool = False):
@@ -646,6 +805,35 @@ class PallasFrameProgram:
                 )
             return rgba[:, :height, :width]
 
+        # Two-program shade (phase A stages the shade TABLE in VMEM, phase B
+        # the texel POOL — they don't fit together; HBM row gathers measured
+        # 6.6x slower than VMEM ones). Applies to the production configuration
+        # only: tile-layout pixel-rate resolve, kernel impl, no chunk skipping
+        # (large scenes).
+        impl = config.shade_impl
+        if impl is None:
+            impl = "xla" if meta.mixed_samplers else "kernel"
+        skip_mode = config.shade_skip_mode
+        if skip_mode is None:
+            skip_mode = meta.num_triangles <= 32768
+        self._two_phase = (tiled_resolve and impl == "kernel"
+                           and not skip_mode)
+        if self._two_phase:
+            def shade_addr(tri_id, depth, table):
+                return pallas_shade_addr_tiled(
+                    tri_id, depth, table, config=config
+                )
+
+            def shade_final(addr, scene, lights, camera_position):
+                rgba = pallas_shade_final_tiled(
+                    addr, scene.quad_pool, lights, camera_position,
+                    config=config,
+                )
+                return rgba[:, :height, :width]
+
+            self._shade_addr = jax.jit(shade_addr)
+            self._shade_final = jax.jit(shade_final)
+
         self._prepare = jax.jit(prepare)
         self._perm_fn = jax.jit(perm_fn)
         self._raster = jax.jit(raster)
@@ -670,6 +858,9 @@ class PallasFrameProgram:
         perm = self._maybe_resort(setup, view_projection)
         tri_id, depth = self._raster(setup, perm)
         table = self._table(setup, scene)
+        if self._two_phase:
+            addr = self._shade_addr(tri_id, depth, table)
+            return self._shade_final(addr, scene, lights, camera_position)
         return self._shade(tri_id, depth, table, scene, lights,
                            camera_position)
 
