@@ -30,6 +30,7 @@ def main():
     p.add_argument("--msaa", type=int, default=4)
     p.add_argument("--frames", type=int, default=10)
     p.add_argument("--shade-chunk", type=int, default=None)
+    p.add_argument("--window-rows", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -52,6 +53,8 @@ def main():
     extra = {}
     if args.shade_chunk is not None:
         extra["shade_chunk"] = args.shade_chunk
+    if args.window_rows is not None:
+        extra["raster_window_rows"] = args.window_rows
     config = RenderConfig(width=args.width, height=args.height,
                           msaa_samples=args.msaa, backend="pallas",
                           pallas_interpret=args.cpu or None, **extra)

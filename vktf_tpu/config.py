@@ -66,6 +66,11 @@ class RenderConfig:
     tile_batch: int = 8
     # Triangles per streamed chunk in the Pallas kernel (multiple of 128).
     pallas_chunk: int = 256
+    # Sample rows rasterized per triangle window step in the Pallas kernel
+    # (pow2 >= 8; None = the kernel default, ops.raster_pallas.WINDOW_ROWS).
+    # Smaller windows waste less VPU work on short triangles but visit more
+    # windows per tall one — sweepable per scene/tile shape.
+    raster_window_rows: Optional[int] = None
     # Force Pallas interpreter mode (None = auto: interpret off-TPU).
     pallas_interpret: Optional[bool] = None
     # Samples shaded per chunk (bounds the lane-padded gather

@@ -670,6 +670,7 @@ def render_frame(
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="morton", layers=meta.peel_layers,
+                window_rows=config.raster_window_rows,
                 assemble=not tiled_resolve,
             )
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
@@ -783,7 +784,9 @@ class PallasFrameProgram:
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="none", perm=perm,
-                layers=meta.peel_layers, assemble=not tiled_resolve,
+                layers=meta.peel_layers,
+                window_rows=config.raster_window_rows,
+                assemble=not tiled_resolve,
             )
 
         def table_fn(setup, scene):
