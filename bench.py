@@ -47,7 +47,8 @@ CAMERAS = {
 
 def run_bench(preset: str, width: int, height: int, msaa: int,
               frames: int, warmup: int, animate: bool = True,
-              backend: str | None = None, depth: int = 4):
+              backend: str | None = None, depth: int = 4,
+              anisotropy: float = 16.0):
     import jax
 
     from vktf_tpu.config import RenderConfig
@@ -61,7 +62,8 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     enable_persistent_cache()
 
     config = RenderConfig(width=width, height=height, msaa_samples=msaa,
-                          backend=backend or "auto")
+                          backend=backend or "auto",
+                          max_anisotropy=anisotropy)
     position, direction = CAMERAS[preset]
     camera = Camera(
         position,
@@ -199,6 +201,8 @@ def main() -> int:
     parser.add_argument("--backend", default=None,
                         choices=["pallas", "tiled", "dense"],
                         help="raster backend (default: pallas on TPU, tiled elsewhere)")
+    parser.add_argument("--anisotropy", type=float, default=16.0,
+                        help="max sampler anisotropy (1 = off)")
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--verbose", action="store_true",
                         help="print observability counters to stderr")
@@ -213,7 +217,8 @@ def main() -> int:
         msaa = args.msaa or msaa
         try:
             stats = run_bench(preset, width, height, msaa, args.frames,
-                              args.warmup, backend=args.backend, depth=args.depth)
+                              args.warmup, backend=args.backend, depth=args.depth,
+                              anisotropy=args.anisotropy)
         except Exception as exc:  # pragma: no cover - bench robustness
             print(json.dumps({
                 "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",

@@ -143,10 +143,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         help="fly-through length in frames")
     parser.add_argument("--frame-dir", default=None,
                         help="dump presented frames as PNGs into this directory")
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "pallas", "tiled", "dense"],
+                        help="raster backend (default: pallas on TPU, tiled elsewhere)")
+    parser.add_argument("--anisotropy", type=float, default=16.0,
+                        help="max sampler anisotropy (1 = off; the reference "
+                             "enables device-max anisotropy when available, "
+                             "model.cppm:261-275)")
     args = parser.parse_args(list(sys.argv[1:] if argv is None else argv))
     try:
         config = RenderConfig(
-            width=args.width, height=args.height, msaa_samples=args.msaa
+            width=args.width, height=args.height, msaa_samples=args.msaa,
+            backend=args.backend, max_anisotropy=args.anisotropy,
         )
         start(
             args.assets,

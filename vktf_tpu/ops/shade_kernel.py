@@ -44,57 +44,56 @@ from vktf_tpu.ops.shade_table import (
 
 
 def _shade_layer_kernel(
-    trow_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
+    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
     out_ref, *, max_anisotropy: float, num_lights: int,
 ):
     """One block of samples: gathered rows in, composited-ready RGBA out.
 
-    trow: (B, 2*ROW) u16 shade-table rows; q0/q1: (B, 128) u16 pool block
-    rows (mip l0/l1); tri/sx/sy: (1, B); cam: (1, 4) f32; lights:
-    (num_lights, 8) f32. out: (4, B) f32 = (rgb linear, effective alpha).
+    All inputs arrive PRE-TRANSPOSED to component-major (the host pays two
+    sequential-bandwidth transposes; see shade_final_chunk), so every
+    accessor yields a dense (8, 128) tile — full (8, 128)-vreg VPU
+    utilization. The first version of this kernel worked on (1, B) row
+    slices of in-kernel transposes, which occupy one sublane of each vreg:
+    1/8 of the VPU for the entire fragment-math body.
+
+    cols: (ROW, 8, 128) f32 table columns; q0/q1: (128, 8, 128) u16 pool
+    block rows (mip l0/l1), lane-major; tri/sx/sy: (8, 128); cam: (1, 4)
+    f32; lights: (num_lights, 8) f32. out: (4, 8, 128) f32 = (rgb linear,
+    effective alpha).
     """
-    trow = trow_ref[...]
-    hi = trow[:, :ROW].astype(jnp.uint32) << 16
-    lo = trow[:, ROW:].astype(jnp.uint32)
-    colsT = jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (B, ROW)
-    cols = colsT.T  # (ROW, B) — one in-VMEM transpose per block
 
     def col(c):
-        return cols[c:c + 1, :]  # (1, B)
+        return cols_ref[c]  # (8, 128) f32
 
     sx = sx_ref[...]
     sy = sy_ref[...]
     covered = tri_ref[...] >= 0
 
-    # component-major pool rows; u16 -> i32 zero-extend (taps shift/mask)
-    q0t = q0_ref[...].astype(jnp.int32).T  # (128, B)
-    q1t = q1_ref[...].astype(jnp.int32).T
-
     # in-block window addressing (recomputes the row indices the host used
     # for the gathers; only (cx, cy) are consumed here)
     a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=0)
 
-    def make_quad(qt, cx, cy):
+    def make_quad(q_ref, cx, cy):
         """Folded-row accessor: the 2x2 window select happens PER TAP as
         static-lane selects (x stride 2 u16 lanes, y stride 8) — in VMEM
-        this is four (1, B) reads + three selects, with no materialized
-        roll (the XLA path's fold_window exists to avoid rematerializing
-        128-lane rows in HBM; in VMEM that cost vanishes)."""
+        this is four (8, 128) tile reads + three selects, with no
+        materialized roll. u16 -> i32 zero-extend per tap (only the ~16
+        touched lanes convert, not all 128)."""
         cxb = cx == 1
         cyb = cy == 1
 
         def quad(slot, k):
-            a = qt[k:k + 1, :]
-            b = qt[k + 2:k + 3, :]
-            c = qt[k + 8:k + 9, :]
-            d = qt[k + 10:k + 11, :]
+            a = q_ref[k].astype(jnp.int32)
+            b = q_ref[k + 2].astype(jnp.int32)
+            c = q_ref[k + 8].astype(jnp.int32)
+            d = q_ref[k + 10].astype(jnp.int32)
             return jnp.where(cyb, jnp.where(cxb, d, c),
                              jnp.where(cxb, b, a))
 
         return quad
 
-    quad0 = make_quad(q0t, a0[3], a0[4])
-    quad1 = make_quad(q1t, a1[3], a1[4])
+    quad0 = make_quad(q0_ref, a0[3], a0[4])
+    quad1 = make_quad(q1_ref, a1[3], a1[4])
 
     cam3 = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
     # static light unroll from scalar reads (the light-count specialization
@@ -106,17 +105,20 @@ def _shade_layer_kernel(
     rgb, alpha = shade_gathered(
         col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy, covered,
     )
-    out_ref[0:1, :] = rgb[0]
-    out_ref[1:2, :] = rgb[1]
-    out_ref[2:3, :] = rgb[2]
-    out_ref[3:4, :] = alpha
+    out_ref[0] = rgb[0]
+    out_ref[1] = rgb[1]
+    out_ref[2] = rgb[2]
+    out_ref[3] = alpha
 
 
 def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     """Phase A of the two-phase deferred shade: table gather + addressing.
 
     Gathers each sample's shade-table row and computes the two texture-pool
-    block-row indices (mip l0/l1). Returns (trow (N, 2*ROW) u16, r0, r1).
+    block-row indices (mip l0/l1). Returns (cols (ROW, N) f32, r0, r1) —
+    the table columns cross the phase boundary pre-combined to f32 and
+    TRANSPOSED to component-major, so the shade kernel reads dense (8, 128)
+    tiles instead of transposing (and occupying 1/8 of each vreg) in-kernel.
 
     Why a separate phase: both the shade table (~67 MB at Sponza scale) and
     the quad pool (~95 MB) are per-pixel gather operands, but only ONE fits
@@ -125,26 +127,24 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     faster than HBM row gathers (fusion trace: pool-from-VMEM 1.0 ms vs
     table-from-HBM 6.6 ms per 524k rows). Splitting the shade into two JIT
     programs lets phase A stage the TABLE and phase B stage the POOL; the
-    phase boundary (trow) is sequential HBM traffic at full bandwidth,
+    phase boundary (cols) is sequential HBM traffic at full bandwidth,
     which is cheap next to 2M random row reads.
     """
     t = jnp.maximum(tri_id, 0)
     trow = gather_rows(table, t)  # (N, 2*ROW) u16
+    hi = trow[:, :ROW].astype(jnp.uint32) << 16
+    lo = trow[:, ROW:].astype(jnp.uint32)
+    cols_nm = jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N, ROW)
 
     def colx(c):
-        # narrow per-column f32 reconstruction for the addressing math that
-        # must run host-of-kernel to issue the pool gathers (fuses into the
-        # consumer)
-        chi = trow[:, c].astype(jnp.uint32) << 16
-        clo = trow[:, ROW + c].astype(jnp.uint32)
-        return jax.lax.bitcast_convert_type(chi | clo, jnp.float32)
+        return cols_nm[:, c]
 
     r0, r1 = pool_row_indices(colx, sx, sy, max_anisotropy, slot=0)
-    return trow, r0, r1
+    return cols_nm.T, r0, r1
 
 
 def shade_final_chunk(
-    trow,
+    cols,
     r0,
     r1,
     tri_id,
@@ -160,8 +160,11 @@ def shade_final_chunk(
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
     Same math as shade_table_layer_kernel (bit-identical); consumes phase
-    A's gathered table rows + pool row indices so this program's only
-    gather operand is the quad pool (staged into VMEM by XLA).
+    A's combined+transposed table columns (cols (ROW, N) f32) + pool row
+    indices so this program's only gather operand is the quad pool (staged
+    into VMEM by XLA). The gathered pool rows are transposed host-side to
+    lane-major — two sequential-bandwidth transposes buy the kernel dense
+    (8, 128) tiles for every accessor (see _shade_layer_kernel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -174,7 +177,12 @@ def shade_final_chunk(
     n_pad = -(-n // block) * block
     pad = n_pad - n
 
-    def pad0(x):
+    def pad_last(x):
+        if pad:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+        return x
+
+    def pad_first(x):
         if pad:
             x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         return x
@@ -183,7 +191,13 @@ def shade_final_chunk(
     num_lights = lights.shape[0]
     cam = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(camera_position)
 
+    nb = n_pad // 128
+    colsb = pad_last(cols).reshape(ROW, nb, 128)
+    q0b = pad_first(q0).T.reshape(128, nb, 128)
+    q1b = pad_first(q1).T.reshape(128, nb, 128)
+
     grid = (n_pad // block,)
+    bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
     kernel = functools.partial(
         _shade_layer_kernel,
         max_anisotropy=max_anisotropy,
@@ -193,32 +207,35 @@ def shade_final_chunk(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, 2 * ROW), lambda i: (i, 0),
+            pl.BlockSpec((ROW, bb, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 128), lambda i: (i, 0),
+            pl.BlockSpec((128, bb, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 128), lambda i: (i, 0),
+            pl.BlockSpec((128, bb, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i),
+            pl.BlockSpec((bb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i),
+            pl.BlockSpec((bb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i),
+            pl.BlockSpec((bb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_lights, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, block), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, bb, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, nb, 128), jnp.float32),
         interpret=interpret,
     )(
-        pad0(trow), pad0(q0), pad0(q1),
-        pad0(tri_id)[None], pad0(sx)[None], pad0(sy)[None],
+        colsb, q0b, q1b,
+        pad_first(tri_id).reshape(nb, 128),
+        pad_first(sx).reshape(nb, 128),
+        pad_first(sy).reshape(nb, 128),
         cam, lights,
     )
+    out = out.reshape(4, n_pad)
     rgb = out[:3, :n]
     alpha = out[3, :n]
     return rgb, alpha, covered
