@@ -306,8 +306,8 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
         ids_p.extend(idp)
     return dict(
         ids=tuple(ids_p),      # L*n_chunks x (chunk,) i32
-        trow=tuple(trows),     # L*n_chunks x (ROW, chunk) f32 (pre-combined
-                               # + transposed table columns; shade_addr_chunk)
+        trow=tuple(trows),     # L*n_chunks x (2*ROW, chunk) u16 (transposed
+                               # table rows, hi/lo halves; shade_addr_chunk)
         r0=tuple(r0s),         # L*n_chunks x (chunk,) i32
         r1=tuple(r1s),
         sx=tuple(sxp),         # n_chunks x (chunk,) f32

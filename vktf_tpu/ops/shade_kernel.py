@@ -56,14 +56,17 @@ def _shade_layer_kernel(
     slices of in-kernel transposes, which occupy one sublane of each vreg:
     1/8 of the VPU for the entire fragment-math body.
 
-    cols: (ROW, 8, 128) f32 table columns; q0/q1: (128, 8, 128) u16 pool
+    cols: (2*ROW, 8, 128) u16 table columns as hi/lo halves (combined to
+    f32 here — 3 VPU ops on a dense tile); q0/q1: (128, 8, 128) u16 pool
     block rows (mip l0/l1), lane-major; tri/sx/sy: (8, 128); cam: (1, 4)
     f32; lights: (num_lights, 8) f32. out: (4, 8, 128) f32 = (rgb linear,
     effective alpha).
     """
 
     def col(c):
-        return cols_ref[c]  # (8, 128) f32
+        hi = cols_ref[c].astype(jnp.uint32) << 16
+        lo = cols_ref[ROW + c].astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (8, 128)
 
     sx = sx_ref[...]
     sy = sy_ref[...]
@@ -115,10 +118,19 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     """Phase A of the two-phase deferred shade: table gather + addressing.
 
     Gathers each sample's shade-table row and computes the two texture-pool
-    block-row indices (mip l0/l1). Returns (cols (ROW, N) f32, r0, r1) —
-    the table columns cross the phase boundary pre-combined to f32 and
-    TRANSPOSED to component-major, so the shade kernel reads dense (8, 128)
-    tiles instead of transposing (and occupying 1/8 of each vreg) in-kernel.
+    block-row indices (mip l0/l1). Returns (colsT (2*ROW, N) u16, r0, r1)
+    — the table rows cross the phase boundary TRANSPOSED to component-major
+    but still as u16 hi/lo halves; the shade kernel reads dense (8, 128)
+    tiles and does the f32 combine on them in VMEM (3 VPU ops per column).
+
+    Why transposed-u16 and not combined-f32: XLA fuses the transpose INTO
+    the row gather (microbench15: gather 9.5 ms, gather+transpose 11.1 ms
+    at 2M rows), and the transposed (64, N) form is DENSE — N rides the
+    128-lane dim. Every row-major alternative materializes lane-padded
+    intermediates: (N, 64) u16 pads 2x, a combined (N, 32) f32 pads 4x
+    (~1 GB at 2M samples), and the addressing math's per-column reads then
+    re-read those padded tiles — measured as phase A costing ~40 ms against
+    a ~11 ms gather+transpose floor.
 
     Why a separate phase: both the shade table (~67 MB at Sponza scale) and
     the quad pool (~95 MB) are per-pixel gather operands, but only ONE fits
@@ -127,20 +139,20 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     faster than HBM row gathers (fusion trace: pool-from-VMEM 1.0 ms vs
     table-from-HBM 6.6 ms per 524k rows). Splitting the shade into two JIT
     programs lets phase A stage the TABLE and phase B stage the POOL; the
-    phase boundary (cols) is sequential HBM traffic at full bandwidth,
+    phase boundary (colsT) is sequential HBM traffic at full bandwidth,
     which is cheap next to 2M random row reads.
     """
     t = jnp.maximum(tri_id, 0)
     trow = gather_rows(table, t)  # (N, 2*ROW) u16
-    hi = trow[:, :ROW].astype(jnp.uint32) << 16
-    lo = trow[:, ROW:].astype(jnp.uint32)
-    cols_nm = jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N, ROW)
+    trowT = trow.T  # (2*ROW, N) u16 — dense; fuses into the gather
 
     def colx(c):
-        return cols_nm[:, c]
+        hi = trowT[c].astype(jnp.uint32) << 16
+        lo = trowT[ROW + c].astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N,)
 
     r0, r1 = pool_row_indices(colx, sx, sy, max_anisotropy, slot=0)
-    return cols_nm.T, r0, r1
+    return trowT, r0, r1
 
 
 def shade_final_chunk(
@@ -160,10 +172,10 @@ def shade_final_chunk(
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
     Same math as shade_table_layer_kernel (bit-identical); consumes phase
-    A's combined+transposed table columns (cols (ROW, N) f32) + pool row
-    indices so this program's only gather operand is the quad pool (staged
-    into VMEM by XLA). The gathered pool rows are transposed host-side to
-    lane-major — two sequential-bandwidth transposes buy the kernel dense
+    A's transposed table rows (cols (2*ROW, N) u16) + pool row indices so
+    this program's only gather operand is the quad pool (staged into VMEM
+    by XLA). The gathered pool rows are transposed host-side to lane-major
+    (XLA fuses the transpose into the gather) — so the kernel reads dense
     (8, 128) tiles for every accessor (see _shade_layer_kernel).
     """
     from jax.experimental import pallas as pl
@@ -192,7 +204,7 @@ def shade_final_chunk(
     cam = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(camera_position)
 
     nb = n_pad // 128
-    colsb = pad_last(cols).reshape(ROW, nb, 128)
+    colsb = pad_last(cols).reshape(2 * ROW, nb, 128)
     q0b = pad_first(q0).T.reshape(128, nb, 128)
     q1b = pad_first(q1).T.reshape(128, nb, 128)
 
@@ -207,7 +219,7 @@ def shade_final_chunk(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROW, bb, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((2 * ROW, bb, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, bb, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
