@@ -201,3 +201,109 @@ def test_near_crosser_clipped_bbox(tmp_path):
         interpret=True))(setup)
     np.testing.assert_array_equal(np.asarray(ids_d), np.asarray(ids_p))
     assert (np.asarray(ids_d) >= 0).sum() > 2000
+
+
+def _sliver_setup(width, height, count, seed):
+    """Near-collinear sliver triangles as triangle_setup input.
+
+    Projected points span a few pixels, perturbed off a line by
+    ~1e-5..1e-2.5 px, small clip w (Sponza-like magnitudes). Both windings
+    are emitted; one of each pair survives back-face culling.
+    """
+    from vktf_tpu.ops.vertex import triangle_setup
+
+    rng = np.random.default_rng(seed)
+    clips, index_rows = [], []
+    for _ in range(count):
+        x0 = rng.uniform(width * 0.45, width * 0.95)
+        y0 = rng.uniform(height * 0.45, height * 0.95)
+        dx, dy = rng.uniform(-5, 5), rng.uniform(-2.5, 2.5)
+        t_mid = rng.uniform(0.3, 0.7)
+        off = 10.0 ** rng.uniform(-5, -2.5)
+        px_ = np.array([x0, x0 + t_mid * dx - off * dy, x0 + dx])
+        py_ = np.array([y0, y0 + t_mid * dy + off * dx, y0 + dy])
+        w_ = rng.uniform(0.05, 0.15)
+        z_ = rng.uniform(0.1, 0.9) * w_
+        for wind in ((0, 1, 2), (0, 2, 1)):
+            base = len(clips)
+            for i in wind:
+                clips.append([
+                    (px_[i] / width * 2 - 1) * w_,
+                    (py_[i] / height * 2 - 1) * w_,
+                    z_,
+                    w_,
+                ])
+            index_rows.append([base, base + 1, base + 2])
+    clip = np.asarray(clips, np.float32)
+    indices = np.asarray(index_rows, np.int32)
+    setup = jax.jit(
+        lambda c: triangle_setup(c, indices, width, height)
+    )(clip)
+    return {k: np.asarray(v) for k, v in setup.items()}
+
+
+def test_sliver_no_needle_planes_1080p():
+    """Sliver coverage planes must not pass outside the triangle's bbox.
+
+    Regression test for the cofactor-plane "needle": a 5x2 px Sponza sliver
+    won samples 17 px outside its bbox (tools/sliver_probe.py) because
+    ~1e-7 relative noise in the clip-space cofactors displaced its three
+    nearly-parallel edge lines, whose all-positive region then extended as
+    a long strip. Coverage now uses screen-space edge planes
+    (setup["edge_raster"]); triangles whose projected area rounds to
+    zero/backward in f32 are culled (Vulkan: zero-area emits nothing).
+    Evaluates the planes exactly as the kernel does, at pixel centers in a
+    48 px band around each bbox — with the OLD cofactor planes this same
+    data measures 17 needle pixels (the sensitivity control lives in the
+    plane choice below, not a tolerance).
+    """
+    width, height = 1920, 1080
+    setup = _sliver_setup(width, height, count=200, seed=3)
+    assert setup["valid"].sum() > 50  # survivors of the area cull
+
+    bad = 0
+    for t in np.nonzero(setup["valid"])[0]:
+        e = setup["edge_raster"][t]
+        zw = setup["zw"][t]
+        ax, ay = setup["anchor"][t]
+        b = setup["bbox"][t]
+        xs = np.arange(max(b[0] - 48, 0), min(b[2] + 48, width)) + 0.5
+        ys = np.arange(max(b[1] - 48, 0), min(b[3] + 48, height)) + 0.5
+        gx, gy = np.meshgrid(xs, ys)
+        dxx = (gx - ax).astype(np.float32)
+        dyy = (gy - ay).astype(np.float32)
+        ins = np.ones(gx.shape, bool)
+        for i in range(3):
+            a_, b_, c_ = e[i]
+            ev = np.float32(a_) * dxx + np.float32(b_) * dyy + np.float32(c_)
+            tl = (a_ > 0) | ((a_ == 0) & (b_ > 0))
+            ins &= (ev > 0) | ((ev == 0) & tl)
+        depth = (np.float32(zw[0, 0]) * dxx + np.float32(zw[0, 1]) * dyy
+                 + np.float32(zw[0, 2]))
+        wr = (np.float32(zw[1, 0]) * dxx + np.float32(zw[1, 1]) * dyy
+              + np.float32(zw[1, 2]))
+        ins &= (wr > 0) & (depth >= 0) & (depth <= 1)
+        outside = (gx < b[0]) | (gx >= b[2]) | (gy < b[1]) | (gy >= b[3])
+        bad += int((ins & outside).sum())
+    assert bad == 0, f"{bad} needle pixels outside sliver bboxes"
+
+
+def test_sliver_no_needle_coverage():
+    """End-to-end: the pallas kernel never emits ids outside their bbox
+    for a sliver-only scene (wiring check for edge_raster consumption)."""
+    width, height = 256, 128
+    setup = _sliver_setup(width, height, count=64, seed=7)
+    assert setup["valid"].sum() > 0
+
+    ids, _ = jax.jit(lambda s: rasterize_pallas(
+        s, height, width, tile_shape=(32, 128), msaa_samples=1, chunk=128,
+        interpret=True))(setup)
+    ids = np.asarray(ids)
+    bbox = setup["bbox"]
+    ss, yy, xx = np.nonzero(ids >= 0)
+    for s, y, x in zip(ss, yy, xx):
+        b = bbox[ids[s, y, x]]
+        assert b[0] <= x < b[2] and b[1] <= y < b[3], (
+            f"needle: tri {ids[s, y, x]} bbox={b.tolist()} "
+            f"covered sample ({x},{y})"
+        )

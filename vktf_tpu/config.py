@@ -71,6 +71,13 @@ class RenderConfig:
     # Smaller windows waste less VPU work on short triangles but visit more
     # windows per tall one — sweepable per scene/tile shape.
     raster_window_rows: Optional[int] = None
+    # Triangles per bbox group inside the Pallas raster kernel (pow2 dividing
+    # pallas_chunk). The group bbox gates one window loop over all group
+    # members; smaller groups waste fewer vector evals on triangles whose
+    # bboxes miss the window, at the cost of more group tests. Same-process
+    # A/B at 1080p Sponza 4xMSAA (tools/raster_group_ab.py, bit-identical
+    # output): GS=16 32.5 ms, GS=8 27.6 ms, GS=4 28.0 ms.
+    raster_group_size: int = 8
     # Force Pallas interpreter mode (None = auto: interpret off-TPU).
     pallas_interpret: Optional[bool] = None
     # Samples shaded per chunk (bounds the lane-padded gather

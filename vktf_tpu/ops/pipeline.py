@@ -526,9 +526,12 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
         n_pad = -(-n // shade_chunk) * shade_chunk
         pad = n_pad - n
 
-        def flat_pad(x):
+        def flat_pad(x, fill=0):
+            # ids pad with -1 (background): 0 is a real triangle id, and a
+            # 0-padded tail chunk would gather real table/pool rows for
+            # lanes that are sliced off anyway (ADVICE r1)
             if pad:
-                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+                x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
             return x.reshape(n_pad // shade_chunk, shade_chunk)
 
         def shade_one(args):
@@ -542,7 +545,9 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
         sxp, syp = flat_pad(sx_flat), flat_pad(sy_flat)
         out_rgb, out_a = [], []
         for l in range(layers):
-            rgb, a = jax.lax.map(shade_one, (flat_pad(layer_ids[l]), sxp, syp))
+            rgb, a = jax.lax.map(
+                shade_one, (flat_pad(layer_ids[l], fill=-1), sxp, syp)
+            )
             out_rgb.append(rgb.transpose(1, 0, 2).reshape(3, n_pad)[:, :n])
             out_a.append(a.reshape(n_pad)[:n])
         return out_rgb, out_a
@@ -672,6 +677,7 @@ def render_frame(
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="morton", layers=meta.peel_layers,
                 window_rows=config.raster_window_rows,
+                group_size=config.raster_group_size,
                 assemble=not tiled_resolve,
             )
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
@@ -787,6 +793,7 @@ class PallasFrameProgram:
                 interpret=interpret, sort="none", perm=perm,
                 layers=meta.peel_layers,
                 window_rows=config.raster_window_rows,
+                group_size=config.raster_group_size,
                 assemble=not tiled_resolve,
             )
 

@@ -61,7 +61,9 @@ def pack_tri_data(setup, perm=None, id_base=0):
     triangle blocks) so depth ties stay exact.
     """
     edge, zw, inv_det, valid = (
-        setup["edge"],
+        # coverage uses the screen-space raster planes when the setup
+        # provides them (needle-free for slivers; ops/vertex.py)
+        setup.get("edge_raster", setup["edge"]),
         setup["zw"],
         setup["inv_det"],
         setup["valid"],
@@ -188,6 +190,7 @@ def _raster_kernel(
     sample_offsets: tuple,
     layers: int,
     window_rows: int,
+    group_size: int,
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
 
@@ -202,7 +205,12 @@ def _raster_kernel(
     any overlap (the old clamped last window) raced the previous
     iteration's write — wrong samples on real hardware, clean in interpret
     mode. With disjoint windows every window_rows size is bit-identical on
-    hardware too.
+    hardware in the VISIBLE region (verified at 1080p Sponza,
+    tools/wr_diff_probe.py; framebuffer padding rows below the bbox clip
+    height can legitimately differ — they are cropped before present).
+    This invariance additionally requires the screen-space coverage planes
+    of ops/vertex.py: cofactor-plane sliver needles used to paint samples
+    far outside their triangle's bbox wherever window slop reached.
 
     With layers=K (2..4) the kernel depth-peels: it keeps the K
     lexicographically nearest (depth, draw-order) fragments per sample via a
@@ -286,14 +294,14 @@ def _raster_kernel(
             dma.wait()
 
         def per_group(g, _):
-            # rows 4..7 carry the 16-triangle group bbox (precomputed).
+            # rows 4..7 carry the group_size-triangle group bbox (precomputed).
             # Loop order is (group -> window -> triangle) with the window's
             # depth/id accumulators CARRIED through the triangle loop: one
             # VMEM read + one write per (group, window) instead of a
             # read-modify-write per triangle — the per-triangle VMEM
             # dependency chain was the round-1 kernel's real bottleneck
             # (windowing alone made it slower, not faster).
-            k0 = g * 16
+            k0 = g * group_size
             gy0 = bbox_smem[slot, 5, k0]
             gy1 = bbox_smem[slot, 7, k0]
             group_hit = (
@@ -332,7 +340,7 @@ def _raster_kernel(
                 # window loop — the scalar unit, not the VPU, bounds this
                 # kernel, and these replayed per (triangle, window).
                 tris = []
-                for k in range(16):
+                for k in range(group_size):
                     kk = k0 + k
                     tx0 = bbox_smem[slot, 0, kk]
                     tx1 = bbox_smem[slot, 2, kk]
@@ -368,7 +376,7 @@ def _raster_kernel(
                         for l in range(layers)
                     ]
 
-                    # BRANCHLESS, unrolled straight-line block over the 16
+                    # BRANCHLESS, unrolled straight-line block over the
                     # group triangles: per-triangle branches (pl.when /
                     # lax.cond) defeat Mosaic's software pipelining and cost
                     # more than the vector math they skip; instead the bbox
@@ -445,7 +453,7 @@ def _raster_kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, chunk // 16, per_group, 0, unroll=False)
+        jax.lax.fori_loop(0, chunk // group_size, per_group, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, count, visit, 0, unroll=False)
@@ -467,6 +475,7 @@ def rasterize_pallas(
     window_rows: int | None = None,
     assemble: bool = True,
     perm=None,
+    group_size: int = 8,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -561,14 +570,14 @@ def rasterize_pallas(
         tri_data = tri_data[:, perm]
         bbox_rows = bbox_rows[:, perm]
 
-    def _group_rows(rows16):  # (4, Tp) -> (4, Tp) per-16-group bbox, repeated
-        tp = rows16.shape[1]
-        g = rows16.reshape(4, tp // 16, 16)
-        lo = jnp.repeat(g[:2].min(axis=2), 16, axis=1)
-        hi = jnp.repeat(g[2:].max(axis=2), 16, axis=1)
+    def _group_rows(rows4):  # (4, Tp) -> (4, Tp) per-group bbox, repeated
+        tp = rows4.shape[1]
+        g = rows4.reshape(4, tp // group_size, group_size)
+        lo = jnp.repeat(g[:2].min(axis=2), group_size, axis=1)
+        hi = jnp.repeat(g[2:].max(axis=2), group_size, axis=1)
         return jnp.concatenate([lo, hi], axis=0)
 
-    # rows 4..7: per-16-triangle group bboxes (kernel's mid-level skip)
+    # rows 4..7: per-group triangle bboxes (kernel's mid-level skip)
     tri_bbox = jnp.concatenate([bbox_rows, _group_rows(bbox_rows)], axis=0)
     chunk_bbox = jnp.stack(
         [
@@ -608,6 +617,10 @@ def rasterize_pallas(
 
     if not 1 <= layers <= 4:
         raise ValueError(f"layers must be in 1..4, got {layers}")
+    if chunk % group_size != 0 or group_size & (group_size - 1):
+        raise ValueError(
+            f"group_size must be a power of two dividing chunk, got {group_size}"
+        )
     kernel = functools.partial(
         _raster_kernel,
         tiles_x=tiles_x,
@@ -618,6 +631,7 @@ def rasterize_pallas(
         sample_offsets=offsets,
         layers=layers,
         window_rows=window_rows,
+        group_size=group_size,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -90,7 +90,9 @@ def make_tile_raster(
     tile-sharded multi-chip path (vktf_tpu.parallel).
     """
     th, tw = tile_shape
-    edge, zw, anchor = setup["edge"], setup["zw"], setup["anchor"]
+    # screen-space coverage planes when available (ops/vertex.py)
+    edge = setup.get("edge_raster", setup["edge"])
+    zw, anchor = setup["zw"], setup["anchor"]
     offsets = np.asarray(SAMPLE_OFFSETS[msaa_samples], np.float32)  # (S,2)
     S = offsets.shape[0]
     n_samples = S * th * tw

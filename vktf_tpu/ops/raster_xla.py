@@ -78,7 +78,8 @@ def rasterize_dense(setup, height: int, width: int, msaa_samples: int = 1, chunk
     clear value 1.0 (engine.cppm:520 clears depth to 1.0, compare op Less).
     """
     edge, zw, anchor, valid = (
-        setup["edge"],
+        # screen-space coverage planes when available (ops/vertex.py)
+        setup.get("edge_raster", setup["edge"]),
         setup["zw"],
         setup["anchor"],
         setup["valid"],

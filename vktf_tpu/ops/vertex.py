@@ -203,6 +203,19 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     pxmax = jnp.maximum(jnp.maximum(px[0], px[1]), px[2])
     pymax = jnp.maximum(jnp.maximum(py[0], py[1]), py[2])
 
+    # Signed doubled screen area of the projected triangle (cross2
+    # convention: positive = CCW in math axes). The code's det satisfies
+    # det = -(w0*w1*w2) * area2, so front faces (det > 0, all w > 0) have
+    # area2 < 0. Non-crossers whose PROJECTED area rounds to >= 0 in f32
+    # are culled outright: their screen extent is below f32 edge-function
+    # resolution (Vulkan emits no fragments for zero-area primitives), and
+    # they are exactly the near-collinear slivers whose perturbed edge
+    # lines produce needle-shaped false coverage (tools/sliver_probe.py).
+    area2 = (px[1] - px[0]) * (py[2] - py[0]) - (py[1] - py[0]) * (
+        px[2] - px[0]
+    )
+    valid = valid & (any_behind | (area2 < 0.0))
+
     # Near-plane crossers (some w <= 0) project unboundedly, but the region
     # that can PASS the kernel's per-sample tests is only
     # {0 <= depth <= 1} = the triangle clipped by z >= 0 and z <= w — a
@@ -322,6 +335,39 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
         axis=1,
     )  # (T,3,3)
 
+    # ---- raster COVERAGE planes (screen-space) ---------------------------
+    # The cofactor planes above are projectively exact but ill-conditioned
+    # for near-collinear slivers: ~1e-7 relative noise in the cofactors
+    # displaces their three nearly-parallel edge lines by whole pixels, and
+    # the "all edges positive" region becomes a needle extending far
+    # outside the triangle (measured: a 5x2 px Sponza sliver winning
+    # samples 17 px outside its bbox, tools/sliver_probe.py — the oracle,
+    # which rasterizes from projected-vertex differences clamped to the
+    # bbox, has no such needle). Coverage therefore uses SCREEN-SPACE edge
+    # functions built from differences of projected vertices: each line
+    # passes within ~ulp(screen coord) of its true vertices, shrinking the
+    # needle below sample granularity. Only the raster inside-test consumes
+    # these (pack_tri_data); interpolation keeps the cofactor planes (they
+    # carry the perspective weights). Near-plane crossers keep cofactor
+    # coverage too — their vertices do not all project. Inside-positive
+    # orientation: e_i(opposite vertex) = -area2 > 0 for front faces.
+    def screen_edge(j, k):
+        # edge through projected vertices (P_j, P_k), REVERSED orientation
+        # (front faces have area2 < 0): e(P) = cross2(P_k, P_j, P)
+        a = py[k] - py[j]
+        b = px[j] - px[k]
+        f_anchor = a * (ax - px[k]) + b * (ay - py[k])
+        return a, b, f_anchor
+
+    sedges = [screen_edge(1, 2), screen_edge(2, 0), screen_edge(0, 1)]
+    edge_raster = jnp.where(
+        any_behind[:, None, None],
+        edge,
+        jnp.stack(
+            [jnp.stack(list(e), axis=-1) for e in sedges], axis=1
+        ),
+    )  # (T,3,3)
+
     # depth plane (inv_det folded): depth(s_0) = z_ndc_0 exactly
     z_ndc0 = z[0] / safe_w[0]
     za = (cof0[0] * z[0] + cof1[0] * z[1] + cof2[0] * z[2]) * inv_det
@@ -337,6 +383,7 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
 
     return {
         "edge": edge,
+        "edge_raster": edge_raster,
         "zw": zw,
         "anchor": anchor,
         "inv_det": inv_det,

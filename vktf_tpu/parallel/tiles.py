@@ -153,7 +153,9 @@ def render_frame_sharded(
     t_micro = t_pad // n_dev  # prep micro-shard per device
     mat16 = inst_matrix.reshape(-1, 16)
 
-    raster_keys = ("edge", "zw", "anchor", "inv_det", "valid", "bbox")
+    raster_keys = (
+        "edge", "edge_raster", "zw", "anchor", "inv_det", "valid", "bbox"
+    )
 
     if debug_visibility == "winner":
         out_specs = (P(None, "sp", None), P(None, "sp", None), P(None, None))
@@ -227,6 +229,8 @@ def render_frame_sharded(
             y_offset=band_y0,
             id_base=id_base,
             layers=layers,
+            window_rows=config.raster_window_rows,
+            group_size=config.raster_group_size,
         )  # ([L,] S, band_h, pw), ids GLOBAL, -1 background
 
         # sort-last compositing: lexicographic (depth, id) min over gp.
