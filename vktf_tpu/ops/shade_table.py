@@ -235,14 +235,29 @@ def build_shade_table_pallas(setup, scene, inst_matrix, *, interpret=False,
     return out[:t]
 
 
-def gather_rows(table2d, row_idx):
+def gather_rows(table2d, row_idx, bf16_view: bool = False):
     """(N,) row indices -> (N, W) row gather.
 
     MUST be plain 2-D advanced indexing: this lowers to XLA's vectorized
     row-gather. The equivalent explicit lax.gather with slice_sizes from a
     flat array lowers to a scalar slice loop measured 150x slower — do not
     "simplify" back to that.
+
+    bf16_view=True gathers a u16 table through a bf16 BITCAST: identical
+    bits (verified over all 65536 patterns incl. NaNs), but the bf16 gather
+    measured ~12% faster at the shade stages' shapes (3.04 vs 3.43 ms per
+    2M rows of a 393k x 128 table, tools/gather_dtype_ab.py on v5e; the
+    fused gather+transpose forms keep the gap). Opt-in per call site: the
+    two-phase KERNEL shade path uses it (its post-gather math runs inside
+    the Pallas kernel, so the program's float results are unchanged — the
+    production golden hash still matches); the XLA fold path does NOT —
+    the dtype change reshuffles XLA's fusion of the post-gather filter
+    arithmetic, nudging its float rounding enough to fail the
+    mixed-sampler oracle tolerance (measured 2.61 vs the 2.0 budget).
     """
+    if bf16_view and table2d.dtype == jnp.uint16:
+        out = jax.lax.bitcast_convert_type(table2d, jnp.bfloat16)[row_idx]
+        return jax.lax.bitcast_convert_type(out, jnp.uint16)
     return table2d[row_idx]
 
 
