@@ -143,7 +143,7 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     which is cheap next to 2M random row reads.
     """
     t = jnp.maximum(tri_id, 0)
-    trow = gather_rows(table, t, bf16_view=True)  # (N, 2*ROW) u16
+    trow = gather_rows(table, t)  # (N, 2*ROW) u16
     trowT = trow.T  # (2*ROW, N) u16 — dense; fuses into the gather
 
     def colx(c):
@@ -183,8 +183,8 @@ def shade_final_chunk(
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0, bf16_view=True)  # (N, 128) u16
-    q1 = gather_rows(quad_pool, r1, bf16_view=True)
+    q0 = gather_rows(quad_pool, r0)  # (N, 128) u16
+    q1 = gather_rows(quad_pool, r1)
 
     n_pad = -(-n // block) * block
     pad = n_pad - n

@@ -243,17 +243,17 @@ def gather_rows(table2d, row_idx, bf16_view: bool = False):
     flat array lowers to a scalar slice loop measured 150x slower — do not
     "simplify" back to that.
 
-    bf16_view=True gathers a u16 table through a bf16 BITCAST: identical
-    bits (verified over all 65536 patterns incl. NaNs), but the bf16 gather
-    measured ~12% faster at the shade stages' shapes (3.04 vs 3.43 ms per
-    2M rows of a 393k x 128 table, tools/gather_dtype_ab.py on v5e; the
-    fused gather+transpose forms keep the gap). Opt-in per call site: the
-    two-phase KERNEL shade path uses it (its post-gather math runs inside
-    the Pallas kernel, so the program's float results are unchanged — the
-    production golden hash still matches); the XLA fold path does NOT —
-    the dtype change reshuffles XLA's fusion of the post-gather filter
-    arithmetic, nudging its float rounding enough to fail the
-    mixed-sampler oracle tolerance (measured 2.61 vs the 2.0 budget).
+    bf16_view=True gathers a u16 table through a bf16 BITCAST — identical
+    bits (verified over all 65536 patterns incl. NaNs). DO NOT USE IN
+    PRODUCTION: it is kept only as the record of a measured dead end. A
+    microbench of PRE-MADE bf16 arrays gathers ~12% faster than u16
+    (tools/gather_dtype_ab.py), but bitcasting INSIDE the program defeats
+    XLA's VMEM staging of the gather operand — the very thing the
+    two-program shade split exists for — and the production phase B
+    collapsed 2.5x (40.0 vs 16.2 ms, tools/shade_bf16_ab.py). The dtype
+    change also reshuffles XLA's fusion of downstream f32 math (different
+    roundings broke the mixed-sampler oracle tolerance 2.61 vs 2.0, and
+    flipped mip picks at knife-edge pixels).
     """
     if bf16_view and table2d.dtype == jnp.uint16:
         out = jax.lax.bitcast_convert_type(table2d, jnp.bfloat16)[row_idx]
