@@ -166,6 +166,13 @@ def stream_perm(setup, chunk: int = 256, granularity: int = 16):
 
 WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 
+# Trace-time diagnostic knob (tools/raster_bound_probe.py): "full" = the
+# production kernel; "one_edge" = per-triangle body reduced to a single
+# edge eval + select (isolates VPU work); "empty" = window loop runs but
+# accumulators pass through untouched (loop/DMA/scalar skeleton only).
+# Output is WRONG for anything but "full" — never set elsewhere.
+_PROBE_BODY = "full"
+
 
 def _raster_kernel(
     # scalar prefetch
@@ -385,6 +392,15 @@ def _raster_kernel(
                         hit = (  # all-scalar: free next to the vector math
                             xhit & (ty0 < win_y1) & (ty1 > y_base)
                         )
+                        if _PROBE_BODY == "empty":
+                            continue
+                        if _PROBE_BODY == "one_edge":
+                            e = ed[0] * (sxx - tx0) + ed[1] * (syy - ty0) + ed[2]
+                            d_l, i_l = accs[0]
+                            m = hit & (e > 0.0)
+                            accs[0] = (jnp.where(m, e, d_l),
+                                       jnp.where(m, tri_id, i_l))
+                            continue
                         # plane rows are anchored at the bbox corner
                         # (tx0, ty0) — evaluate with deltas, which keeps f32
                         # magnitudes small (triangle_setup docstring)
