@@ -242,6 +242,38 @@ def _sliver_setup(width, height, count, seed):
     return {k: np.asarray(v) for k, v in setup.items()}
 
 
+def test_tiny_positive_w_keeps_cofactor_coverage():
+    """A vertex with tiny POSITIVE w (just in front of the eye plane, not
+    flagged 'behind') projects to ~1e8 px, where screen-space area/edge
+    math is f32 garbage. Such triangles must keep the projectively-exact
+    cofactor coverage and NOT be culled by the f32 area2 test (code-review
+    r2 finding: the unconditioned cull could blink large visible triangles
+    out for frames where one vertex grazes the camera plane)."""
+    from vktf_tpu.ops.vertex import triangle_setup
+    from vktf_tpu.ops.raster_xla import rasterize_dense
+
+    width, height = 256, 128
+    # big on-screen triangle; vertex 2 almost exactly at the eye plane
+    clip = np.asarray([
+        [-0.5 * 0.8, -0.5 * 0.8, 0.4 * 0.8, 0.8],
+        [0.5 * 0.9, -0.4 * 0.9, 0.45 * 0.9, 0.9],
+        [0.3, 0.2, 0.4e-7, 1e-7],  # w = 1e-7 > behind eps; px ~ 4e8
+    ], np.float32)
+    indices = np.asarray([[0, 1, 2], [0, 2, 1]], np.int32)  # both windings
+    setup = jax.jit(lambda c: triangle_setup(c, indices, width, height))(clip)
+    valid = np.asarray(setup["valid"])
+    assert valid.any(), "tiny-positive-w triangle was wrongly culled"
+    # and its coverage planes must be the cofactor set (finite anchors):
+    # dense and pallas agree either way — the real check is it RENDERS
+    ids_d, _ = jax.jit(lambda s: rasterize_dense(
+        s, height, width, msaa_samples=1, chunk=2))(setup)
+    ids_p, _ = jax.jit(lambda s: rasterize_pallas(
+        s, height, width, tile_shape=(32, 128), msaa_samples=1, chunk=128,
+        interpret=True))(setup)
+    np.testing.assert_array_equal(np.asarray(ids_d), np.asarray(ids_p))
+    assert (np.asarray(ids_d) >= 0).sum() > 50, "triangle did not render"
+
+
 def test_sliver_no_needle_planes_1080p():
     """Sliver coverage planes must not pass outside the triangle's bbox.
 

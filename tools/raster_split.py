@@ -51,6 +51,7 @@ CHUNK = 256
 LAYERS = meta.peel_layers
 S = 4
 WIN = 32
+GS = 8  # = RenderConfig.raster_group_size default
 
 
 def prologue(setup, perm):
@@ -75,11 +76,11 @@ def prologue(setup, perm):
     tri_data = tri_data[:, perm]
     bbox_rows = bbox_rows[:, perm]
 
-    def _group_rows(rows16):
-        tp = rows16.shape[1]
-        g = rows16.reshape(4, tp // 16, 16)
-        lo = jnp.repeat(g[:2].min(axis=2), 16, axis=1)
-        hi = jnp.repeat(g[2:].max(axis=2), 16, axis=1)
+    def _group_rows(rows4):
+        tp = rows4.shape[1]
+        g = rows4.reshape(4, tp // GS, GS)
+        lo = jnp.repeat(g[:2].min(axis=2), GS, axis=1)
+        hi = jnp.repeat(g[2:].max(axis=2), GS, axis=1)
         return jnp.concatenate([lo, hi], axis=0)
 
     tri_bbox = jnp.concatenate([bbox_rows, _group_rows(bbox_rows)], axis=0)
@@ -121,7 +122,7 @@ def kernel_only(hit_counts, hit_list, tri_data, tri_bbox):
     kernel = functools.partial(
         rp._raster_kernel, tiles_x=tiles_x, tile_h=TH, tile_w=TW,
         chunk=CHUNK, n_chunks=n_chunks, sample_offsets=offsets,
-        layers=LAYERS, window_rows=WIN,
+        layers=LAYERS, window_rows=WIN, group_size=GS,
     )
     hit_cols = hit_list.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,7 +162,8 @@ b_jit = jax.jit(binstage)
 k_jit = jax.jit(kernel_only)
 full = jax.jit(lambda su, pe: rp.rasterize_pallas(
     su, PH, PW, tile_shape=(TH, TW), msaa_samples=S, chunk=CHUNK,
-    sort="none", perm=pe, layers=LAYERS, window_rows=WIN, assemble=False))
+    sort="none", perm=pe, layers=LAYERS, window_rows=WIN, group_size=GS,
+    assemble=False))
 
 tri_data, tri_bbox, chunk_bbox = jax.tree.map(
     jax.block_until_ready, p_jit(setup, perm))

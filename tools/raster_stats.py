@@ -39,6 +39,7 @@ setup = jax.jit(
 perm = np.asarray(jax.jit(lambda s: rp.stream_perm(s, chunk=256))(setup))
 
 PH, PW, TH, TW, CHUNK, S, WIN = 1088, 1920, 64, 128, 256, 4, 32
+GS = int(sys.argv[1]) if len(sys.argv) > 1 else 8  # RenderConfig.raster_group_size default
 LOG2S = 2
 valid = np.asarray(setup["valid"])
 bbox = np.asarray(setup["bbox"]).astype(np.float64)
@@ -58,8 +59,8 @@ vld = np.zeros(t_pad, bool)
 vld[:T] = valid
 vld = vld[perm]
 
-ng = t_pad // 16
-g = bb.reshape(4, ng, 16)
+ng = t_pad // GS
+g = bb.reshape(4, ng, GS)
 gb = np.stack([g[0].min(1), g[1].min(1), g[2].max(1), g[3].max(1)])
 nc = t_pad // CHUNK
 c = bb.reshape(4, nc, CHUNK)
@@ -74,13 +75,13 @@ c_hit = ((cb[0][None] < tx0 + TW) & (cb[2][None] > tx0)
 print(f"tiles={num_tiles} chunks={nc} chunk_visits={c_hit.sum()} "
       f"(mean {c_hit.sum()/num_tiles:.1f}/tile)")
 
-# group tests: for every chunk visit, 16 group tests
+# group tests: for every chunk visit, CHUNK//GS group tests
 group_tests = c_hit.sum() * (CHUNK // 16)
 # group hits: group bbox vs tile
 g_tile = ((gb[0][None] < tx0 + TW) & (gb[2][None] > tx0)
           & (gb[1][None] < ty0 + TH) & (gb[3][None] > ty0))  # (nt, ng)
 # but only counted within visited chunks
-g_chunk = np.repeat(c_hit, CHUNK // 16, axis=1)  # (nt, ng)
+g_chunk = np.repeat(c_hit, CHUNK // GS, axis=1)  # (nt, ng)
 g_hit = g_tile & g_chunk
 print(f"group tests={group_tests} hits={g_hit.sum()} "
       f"({100*g_hit.sum()/group_tests:.1f}%)")
@@ -94,14 +95,14 @@ r0 = (gy0 << LOG2S) & ~(WIN - 1)
 r_end = (gy1 + 1) << LOG2S
 nw = np.maximum((r_end - r0 + WIN - 1) // WIN, 1)
 print(f"group-window visits={nw.sum()} (mean {nw.mean():.2f} win/group-hit)")
-print(f"tri-window evals={16*nw.sum()}  (x {WIN}x{TW} lanes each)")
+print(f"tri-window evals={GS*nw.sum()}  (x {WIN}x{TW} lanes each)")
 
 # how many of those (tri, window) pairs actually overlap the window+tile?
 total_tw = 0
 useful_tw = 0
 covered_samples = 0
-for k in range(16):
-    idx = gi * 16 + k
+for k in range(GS):
+    idx = gi * GS + k
     v = vld[idx]
     x_hit = (bb[0, idx] < tx0[ti, 0] + TW) & (bb[2, idx] > tx0[ti, 0]) & v
     # y overlap per window: approximate by counting windows the TRIANGLE

@@ -11,13 +11,6 @@ ops/raster_pallas.py's kernel). This tool requires the since-removed
 `_TREE_REDUCE` trace-time flag; it is kept as the record of the negative
 result.
 """
-import sys as _sys
-
-from vktf_tpu.ops import raster_pallas as _rp
-
-if not hasattr(_rp, "_TREE_REDUCE"):
-    _sys.exit("tree path removed after the negative result above; "
-              "re-add _TREE_REDUCE to raster_pallas to re-run")
 from __future__ import annotations
 
 import sys
@@ -26,6 +19,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from vktf_tpu.ops import raster_pallas as _rp
+
+if not hasattr(_rp, "_TREE_REDUCE"):
+    sys.exit("tree path removed after the negative result above; "
+             "re-add _TREE_REDUCE to raster_pallas to re-run")
 
 import jax
 import jax.numpy as jnp

@@ -40,12 +40,16 @@ camera = Camera(position, direction,
 vp, cam_pos = camera.view_projection_transform, camera.position
 print(f"tris={meta.num_triangles} layers={meta.peel_layers}", flush=True)
 
-plain = lambda t, i, bf16_view=False: t[i]
 orig = shade_table.gather_rows
+# After the bf16 revert, production call sites no longer pass
+# bf16_view=True — force each arm explicitly so this tool keeps measuring
+# what it claims to (bf16-bitcast views vs plain u16 gathers).
+bf16 = lambda t, i, bf16_view=False: orig(t, i, bf16_view=True)
+plain = lambda t, i, bf16_view=False: t[i]
 
 progs = {}
 for mode in ("bf16", "u16"):
-    shade_kernel.gather_rows = orig if mode == "bf16" else plain
+    shade_kernel.gather_rows = bf16 if mode == "bf16" else plain
     progs[mode] = PallasFrameProgram(meta, config)
     progs[mode].warmup(scene, vp, cam_pos)
     print(f"[{mode}] warm", flush=True)

@@ -545,6 +545,12 @@ def rasterize_pallas(
 
     if sort not in ("morton", "static", "none"):
         raise ValueError(f"unknown sort mode {sort!r}")
+    # validate group_size BEFORE _group_rows consumes it (a bad value would
+    # otherwise surface as a cryptic reshape error)
+    if chunk % group_size != 0 or group_size & (group_size - 1):
+        raise ValueError(
+            f"group_size must be a power of two dividing chunk, got {group_size}"
+        )
     num_tris = setup["valid"].shape[0]
     tri_data = pack_tri_data(setup, None, id_base=id_base)
     tri_data = _pad_cols(tri_data, chunk)
@@ -639,10 +645,6 @@ def rasterize_pallas(
 
     if not 1 <= layers <= 4:
         raise ValueError(f"layers must be in 1..4, got {layers}")
-    if chunk % group_size != 0 or group_size & (group_size - 1):
-        raise ValueError(
-            f"group_size must be a power of two dividing chunk, got {group_size}"
-        )
     kernel = functools.partial(
         _raster_kernel,
         tiles_x=tiles_x,

@@ -206,15 +206,36 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     # Signed doubled screen area of the projected triangle (cross2
     # convention: positive = CCW in math axes). The code's det satisfies
     # det = -(w0*w1*w2) * area2, so front faces (det > 0, all w > 0) have
-    # area2 < 0. Non-crossers whose PROJECTED area rounds to >= 0 in f32
-    # are culled outright: their screen extent is below f32 edge-function
-    # resolution (Vulkan emits no fragments for zero-area primitives), and
-    # they are exactly the near-collinear slivers whose perturbed edge
-    # lines produce needle-shaped false coverage (tools/sliver_probe.py).
+    # area2 < 0. Triangles taking the SCREEN-SPACE coverage route (below)
+    # whose projected area rounds to >= 0 in f32 are culled outright:
+    # their screen extent is below f32 edge-function resolution (Vulkan
+    # emits no fragments for zero-area primitives), and they are exactly
+    # the near-collinear slivers whose perturbed edge lines produce
+    # needle-shaped false coverage (tools/sliver_probe.py).
+    #
+    # The screen-space route itself is gated on SANE projected magnitudes:
+    # a vertex with tiny POSITIVE w (just in front of the eye plane, not
+    # caught by the behind <= 1e-12 test) projects to |p| ~ 1e6+ px, where
+    # area2's cancellation noise (~|p|^2 * 2^-24) dwarfs real areas and
+    # the anchored screen-edge constants lose whole pixels of line
+    # placement. Those triangles keep the projectively-exact cofactor
+    # coverage (their huge projections make them big on screen — cofactor
+    # conditioning is fine there; the needle pathology is specific to
+    # SMALL near-collinear slivers). At the 32768-px bound, anchored-edge
+    # placement error is ~0.002 px and area2 noise ~64 px^2 — which could
+    # only flip the cull sign for triangles this large yet that thin, i.e.
+    # needle-degenerate ones we would cull anyway.
+    sane_lim = jnp.float32(32768.0)
+    sane = (
+        (jnp.abs(px[0]) <= sane_lim) & (jnp.abs(py[0]) <= sane_lim)
+        & (jnp.abs(px[1]) <= sane_lim) & (jnp.abs(py[1]) <= sane_lim)
+        & (jnp.abs(px[2]) <= sane_lim) & (jnp.abs(py[2]) <= sane_lim)
+    )
+    use_screen = ~any_behind & sane
     area2 = (px[1] - px[0]) * (py[2] - py[0]) - (py[1] - py[0]) * (
         px[2] - px[0]
     )
-    valid = valid & (any_behind | (area2 < 0.0))
+    valid = valid & (~use_screen | (area2 < 0.0))
 
     # Near-plane crossers (some w <= 0) project unboundedly, but the region
     # that can PASS the kernel's per-sample tests is only
@@ -348,9 +369,11 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     # passes within ~ulp(screen coord) of its true vertices, shrinking the
     # needle below sample granularity. Only the raster inside-test consumes
     # these (pack_tri_data); interpolation keeps the cofactor planes (they
-    # carry the perspective weights). Near-plane crossers keep cofactor
-    # coverage too — their vertices do not all project. Inside-positive
-    # orientation: e_i(opposite vertex) = -area2 > 0 for front faces.
+    # carry the perspective weights). Near-plane crossers and
+    # insane-projection triangles (tiny positive w; use_screen above) keep
+    # cofactor coverage — their vertices do not (usefully) project.
+    # Inside-positive orientation: e_i(opposite vertex) = -area2 > 0 for
+    # front faces.
     def screen_edge(j, k):
         # edge through projected vertices (P_j, P_k), REVERSED orientation
         # (front faces have area2 < 0): e(P) = cross2(P_k, P_j, P)
@@ -361,11 +384,11 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
 
     sedges = [screen_edge(1, 2), screen_edge(2, 0), screen_edge(0, 1)]
     edge_raster = jnp.where(
-        any_behind[:, None, None],
-        edge,
+        use_screen[:, None, None],
         jnp.stack(
             [jnp.stack(list(e), axis=-1) for e in sedges], axis=1
         ),
+        edge,
     )  # (T,3,3)
 
     # depth plane (inv_det folded): depth(s_0) = z_ndc_0 exactly
