@@ -173,6 +173,15 @@ WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 # Output is WRONG for anything but "full" — never set elsewhere.
 _PROBE_BODY = "full"
 
+# Trace-time A/B switch (tools/raster_winskip_ab.py): skip the entire
+# vector window body (incl. accumulator read/write) when no group member's
+# scalar hit test passes — 15.6% of group-window visits at 1080p Sponza
+# are all-miss. MEASURED A WASH (28.9 skip vs 28.1 plain, bit-identical):
+# like the per-triangle conds of round 1 and the lexmin tree, the
+# window-loop pipelining already hides the skippable work and the cond
+# disrupts as much as it saves. Default off; kept for re-measurement.
+_SKIP_EMPTY_WINDOWS = False
+
 
 def _raster_kernel(
     # scalar prefetch
@@ -377,6 +386,26 @@ def _raster_kernel(
                     syy = y_base + syy_pat  # (win, tw)
                     win_y1 = y_base + float(win >> log2s)
 
+                    # all-scalar per-triangle window hit tests (hoisted;
+                    # also feed the optional all-miss window skip, a
+                    # measured wash — see _SKIP_EMPTY_WINDOWS)
+                    hits = [
+                        xhit & (ty0 < win_y1) & (ty1 > y_base)
+                        for tx0, ty0, ty1, xhit, *_rest in tris
+                    ]
+                    if _SKIP_EMPTY_WINDOWS:
+                        any_hit = hits[0]
+                        for h in hits[1:]:
+                            any_hit = any_hit | h
+
+                        @pl.when(any_hit)
+                        def _():
+                            _window_body(rs, syy, hits)
+                    else:
+                        _window_body(rs, syy, hits)
+                    return 0
+
+                def _window_body(rs, syy, hits):
                     accs = [
                         (depth_refs[l][0, pl.ds(rs, win)],
                          id_refs[l][0, pl.ds(rs, win)])
@@ -384,14 +413,12 @@ def _raster_kernel(
                     ]
 
                     # BRANCHLESS, unrolled straight-line block over the
-                    # group triangles: per-triangle branches (pl.when /
+                    # group triangles: per-TRIANGLE branches (pl.when /
                     # lax.cond) defeat Mosaic's software pipelining and cost
                     # more than the vector math they skip; instead the bbox
                     # miss folds into the coverage mask (a scalar bool AND).
-                    for tx0, ty0, ty1, xhit, ed, zw_c, tri_id, thrs in tris:
-                        hit = (  # all-scalar: free next to the vector math
-                            xhit & (ty0 < win_y1) & (ty1 > y_base)
-                        )
+                    for (tx0, ty0, ty1, xhit, ed, zw_c, tri_id, thrs), hit \
+                            in zip(tris, hits):
                         if _PROBE_BODY == "empty":
                             continue
                         if _PROBE_BODY == "one_edge":
