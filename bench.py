@@ -157,11 +157,13 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
 
     loop(warmup)
     device_loop(warmup)
-    # best-of-2: the shared/tunneled TPU's throughput swings 2-3x with
+    # best-of-3: the shared/tunneled TPU's throughput swings 2-20x with
     # co-tenant load (a 101 ms frame has measured anywhere from 137 to
-    # 254 ms present-to-present minutes apart); the better loop is the
-    # closer estimate of the renderer's own steady state.
-    dt = min(device_loop(frames), device_loop(frames))
+    # 254 ms present-to-present minutes apart; a 55 ms frame probed 80+
+    # in a contended window); the best loop is the closest estimate of
+    # the renderer's own steady state, and each loop costs only
+    # frames x frame_ms.
+    dt = min(device_loop(frames) for _ in range(3))
     present_dt = min(loop(frames), loop(frames))
     # the INTERACTIVE figure: the engine's real MAX_RENDER_FRAMES=2
     # configuration (config.py:22) — what a viewer user sees through THIS
