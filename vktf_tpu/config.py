@@ -78,6 +78,13 @@ class RenderConfig:
     # A/B at 1080p Sponza 4xMSAA (tools/raster_group_ab.py, bit-identical
     # output): GS=16 32.5 ms, GS=8 27.6 ms, GS=4 28.0 ms.
     raster_group_size: int = 8
+    # Lane interleave m of the raster kernel's window footprint (pow2 in
+    # 1..16; None = auto). One vector register covers 8m sample rows x
+    # 128/m px columns, so m > 1 matches the footprint to small-triangle
+    # bboxes (Sponza median bbox is 5x5 px; m=1's 128-px-wide windows waste
+    # most lanes on them — ops.raster_pallas._raster_kernel docstring,
+    # tools/raster_patch_sim.py). Output is identical for every m.
+    raster_interleave: Optional[int] = None
     # Force Pallas interpreter mode (None = auto: interpret off-TPU).
     pallas_interpret: Optional[bool] = None
     # Samples shaded per chunk (bounds the lane-padded gather
@@ -154,6 +161,30 @@ class RenderConfig:
         if self.tile_shape is None:
             shape = (64, 128) if self.resolved_backend() == "pallas" else (32, 128)
             object.__setattr__(self, "tile_shape", shape)
+
+    def resolved_interleave(self) -> int:
+        """Resolve the raster lane interleave (None = auto-pick).
+
+        Auto picks m=2 for the pallas backend when the tile geometry allows
+        (128-px tiles, window divides the per-strip rows): measured on v5e
+        at 1080p Sponza 4xMSAA over 6 interleaved reps
+        (tools/raster_interleave_ab2.py): m=2/win=32 median 24.9 ms vs
+        m=1's 26.4 ms (visible-region bit-identical). m=4 tied m=2 within
+        noise; m=8 and small windows measured worse (the kernel is
+        per-visit-overhead-bound, not vector-eval-bound — the 2.3x
+        vreg-eval reduction of tools/raster_patch_sim.py's 16x16 patches
+        bought only ~6%, a recorded model-vs-hardware discrepancy).
+        """
+        if self.raster_interleave is not None:
+            return self.raster_interleave
+        if self.resolved_backend() != "pallas":
+            return 1
+        th, tw = self.tile_shape
+        rows = th * self.msaa_samples
+        win = self.raster_window_rows or 32
+        if tw == 128 and rows % 2 == 0 and (rows // 2) % min(win, rows // 2) == 0:
+            return 2
+        return 1
 
     def resolved_backend(self) -> str:
         """Resolve "auto" against the live device (the device-capability

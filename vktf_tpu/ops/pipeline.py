@@ -210,37 +210,83 @@ def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool):
 def _tiled_winner(ids, deps, config: RenderConfig):
     """Per-pixel depth-winning triangle + coverage from raw raster blocks.
 
-    ids/deps: (L, num_tiles, S*th, tw), row = y*S + s. Returns
-    (id_px (L, num_tiles, th, tw), frac (num_tiles, th, tw)) — all reshapes
-    + reductions, no transposes.
+    ids/deps: (L, num_tiles, S*th, tw) in the raster kernel's block layout
+    (row = y*S + s at interleave 1; strip/lane-packed at interleave m > 1 —
+    ops.raster_pallas._raster_kernel docstring). Returns (id_px (L, n_px),
+    frac (n_px,)) flattened in block-layout pixel order — the SAME order as
+    _tiled_pixel_coords and _tiled_assemble — via reshapes + reductions
+    only, no transposes.
     """
     layers, num_tiles, rows, tw = ids.shape
     th, tw_c = config.tile_shape
     assert tw == tw_c
     S = rows // th
-    idp = ids.reshape(layers, num_tiles, th, S, tw)
-    dep = deps.reshape(layers, num_tiles, th, S, tw)
+    mi = config.resolved_interleave()
+    if mi == 1:
+        idp = ids.reshape(layers, num_tiles, th, S, tw)
+        dep = deps.reshape(layers, num_tiles, th, S, tw)
+        ax = 3
+    else:
+        # (rps, ym) merge to sample rows is contiguous; then (y, s) split
+        cols = tw // mi
+        shape = (layers, num_tiles, mi, th, S, cols)
+        idp = ids.reshape(layers, num_tiles, mi, rows // mi, mi, cols
+                          ).reshape(shape)
+        dep = deps.reshape(layers, num_tiles, mi, rows // mi, mi, cols
+                           ).reshape(shape)
+        ax = 4
     imax = jnp.int32(2**31 - 1)
-    d_min = jnp.min(dep, axis=3, keepdims=True)
+    d_min = jnp.min(dep, axis=ax, keepdims=True)
     cand = jnp.where((dep == d_min) & (idp >= 0), idp, imax)
-    id_px = jnp.min(cand, axis=3)  # (L, num_tiles, th, tw)
+    id_px = jnp.min(cand, axis=ax)
     id_px = jnp.where(id_px == imax, -1, id_px)
-    frac = jnp.mean((idp[0] >= 0).astype(jnp.float32), axis=2)  # (nt, th, tw)
-    return id_px, frac
+    frac = jnp.mean((idp[0] >= 0).astype(jnp.float32), axis=ax - 1)
+    return id_px.reshape(layers, -1), frac.reshape(-1)
 
 
 def _tiled_pixel_coords(config: RenderConfig, num_tiles: int):
-    """Pixel-center (sx, sy) per tile block: (num_tiles, th, tw) f32 each."""
+    """Pixel-center (sx, sy) in block-layout order: flat (n_px,) f32 each."""
     th, tw = config.tile_shape
     tiles_x = config.tiles_x
+    mi = config.resolved_interleave()
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    oy = ((tile_ids // tiles_x) * th)[:, None, None]
-    ox = ((tile_ids % tiles_x) * tw)[:, None, None]
-    ry = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 1)
-    rx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 2)
-    sx = (ox + rx).astype(jnp.float32) + 0.5
-    sy = (oy + ry).astype(jnp.float32) + 0.5
-    return sx, sy
+    oy = (tile_ids // tiles_x) * th
+    ox = (tile_ids % tiles_x) * tw
+    if mi == 1:
+        shape = (num_tiles, th, tw)
+        ry = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        rx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        sx = ox[:, None, None] + rx
+        sy = oy[:, None, None] + ry
+    else:
+        cols = tw // mi
+        shape = (num_tiles, mi, th, cols)
+        strip = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ry = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        xl = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+        sx = ox[:, None, None, None] + strip * cols + xl
+        sy = oy[:, None, None, None] + ry
+    return (sx.astype(jnp.float32) + 0.5).reshape(-1), (
+        sy.astype(jnp.float32) + 0.5).reshape(-1)
+
+
+def _tiled_assemble(rgb_u8, config: RenderConfig):
+    """(3, n_px) block-layout pixels -> (3, ph, pw) planar image."""
+    th, tw = config.tile_shape
+    ty, tx = config.tiles_y, config.tiles_x
+    mi = config.resolved_interleave()
+    if mi == 1:
+        return (
+            rgb_u8.reshape(3, ty, tx, th, tw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(3, ty * th, tx * tw)
+        )
+    cols = tw // mi
+    return (
+        rgb_u8.reshape(3, ty, tx, mi, th, cols)
+        .transpose(0, 1, 4, 2, 3, 5)  # (3, ty, th, tx, strip, cols)
+        .reshape(3, ty * th, tx * tw)
+    )
 
 
 # Two-phase shade chunk size: large (the chunks exist only to bound the
@@ -285,7 +331,7 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
     layers = ids.shape[0]
     num_tiles = ids.shape[1]
     th, tw = config.tile_shape
-    id_px, frac = _tiled_winner(ids, deps, config)
+    id_px, frac = _tiled_winner(ids, deps, config)  # (L, n_px), (n_px,)
     sx, sy = _tiled_pixel_coords(config, num_tiles)
     n_px = num_tiles * th * tw
     shade_chunk, n_pad = _shade_chunks(n_px, config)
@@ -312,7 +358,7 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
         r1=tuple(r1s),
         sx=tuple(sxp),         # n_chunks x (chunk,) f32
         sy=tuple(syp),
-        frac=frac,             # (num_tiles, th, tw) f32
+        frac=frac,             # (n_px,) f32, block-layout pixel order
     )
 
 
@@ -327,10 +373,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
     interpret = config.pallas_interpret
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    frac = addr["frac"]
-    num_tiles, th, tw = frac.shape
-    tiles_y, tiles_x = config.tiles_y, config.tiles_x
-    n_px = num_tiles * th * tw
+    frac = addr["frac"]  # (n_px,) block-layout pixel order
+    n_px = frac.shape[0]
     shade_chunk, n_pad = _shade_chunks(n_px, config)
     n_chunks = n_pad // shade_chunk
     layers = len(addr["ids"]) // n_chunks
@@ -359,12 +403,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
         comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
     frac_f = frac.reshape(1, n_px)
     resolved = comp * frac_f + background[:3, None] * (1.0 - frac_f)
-    rgb_u8 = linear_to_srgb_u8(resolved).reshape(3, num_tiles, th, tw)
-    return (
-        rgb_u8.reshape(3, tiles_y, tiles_x, th, tw)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(3, tiles_y * th, tiles_x * tw)
-    )
+    return _tiled_assemble(linear_to_srgb_u8(resolved), config)
 
 
 def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
@@ -392,29 +431,12 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
     layers, num_tiles, rows, tw = ids.shape
     th, tw_c = config.tile_shape
     assert tw == tw_c
-    S = rows // th
-    tiles_y, tiles_x = config.tiles_y, config.tiles_x
     background = jnp.asarray(config.clear_color, jnp.float32)
 
-    # per-pixel winner (depth-winning sample's triangle) + coverage — all
-    # reshapes, no transposes: row = y*S + s
-    idp = ids.reshape(layers, num_tiles, th, S, tw)
-    dep = deps.reshape(layers, num_tiles, th, S, tw)
-    imax = jnp.int32(2**31 - 1)
-    d_min = jnp.min(dep, axis=3, keepdims=True)
-    cand = jnp.where((dep == d_min) & (idp >= 0), idp, imax)
-    id_px = jnp.min(cand, axis=3)  # (L, num_tiles, th, tw)
-    id_px = jnp.where(id_px == imax, -1, id_px)
-    frac = jnp.mean((idp[0] >= 0).astype(jnp.float32), axis=2)  # (nt, th, tw)
-
-    # pixel-center coordinates per tile block
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    oy = ((tile_ids // tiles_x) * th)[:, None, None]
-    ox = ((tile_ids % tiles_x) * tw)[:, None, None]
-    ry = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 1)
-    rx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, th, tw), 2)
-    sx = (ox + rx).astype(jnp.float32) + 0.5
-    sy = (oy + ry).astype(jnp.float32) + 0.5
+    # per-pixel winner + coverage + pixel-center coordinates, all in
+    # block-layout flat order (reshapes + reductions only)
+    id_px, frac = _tiled_winner(ids, deps, config)  # (L, n_px), (n_px,)
+    sx, sy = _tiled_pixel_coords(config, num_tiles)
 
     n_px = num_tiles * th * tw
     # Small scenes shade with EMPTY-chunK SKIPPING: a 12-triangle 1080p
@@ -485,13 +507,8 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
         comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
     frac_f = frac.reshape(1, n_px)
     resolved = comp * frac_f + background[:3, None] * (1.0 - frac_f)
-    rgb_u8 = linear_to_srgb_u8(resolved).reshape(3, num_tiles, th, tw)
     # assemble the final u8 image (6 MB) — the only transpose left
-    return (
-        rgb_u8.reshape(3, tiles_y, tiles_x, th, tw)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(3, tiles_y * th, tiles_x * tw)
-    )
+    return _tiled_assemble(linear_to_srgb_u8(resolved), config)
 
 
 def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
@@ -678,6 +695,7 @@ def render_frame(
                 interpret=interpret, sort="morton", layers=meta.peel_layers,
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
+                interleave=config.resolved_interleave(),
                 assemble=not tiled_resolve,
             )
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
@@ -794,6 +812,7 @@ class PallasFrameProgram:
                 layers=meta.peel_layers,
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
+                interleave=config.resolved_interleave(),
                 assemble=not tiled_resolve,
             )
 

@@ -207,6 +207,7 @@ def _raster_kernel(
     layers: int,
     window_rows: int,
     group_size: int,
+    interleave: int,
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
 
@@ -228,6 +229,19 @@ def _raster_kernel(
     of ops/vertex.py: cofactor-plane sliver needles used to paint samples
     far outside their triangle's bbox wherever window slop reached.
 
+    interleave = m > 1 REPACKS the window footprint to match small-triangle
+    bboxes: lane = (sample_row % m) * (128/m) + (x % (128/m)), buffer row =
+    strip * (rows/m) + sample_row // m with strip = x // (128/m). One
+    (8, 128) vreg then covers 8m sample rows x 128/m px columns (e.g. m=4
+    at 4x MSAA: 8x32 px instead of 2x128 px), so a ~9px-wide Sponza
+    triangle stops paying 128-lane-wide edge evaluations — the measured
+    round-2 residual waste (tools/raster_patch_sim.py: 2.3x fewer vreg
+    evals at m=4/8 for ~1.1x more window visits). Windows then tile in 2-D:
+    an outer strip loop (x) around the y window loop. m = 1 is EXACTLY the
+    original layout (strip loop elided at trace time). Output semantics are
+    identical in every mode; only the in-buffer sample order changes
+    (consumers un-map it with pure reshapes — raster_block_pixel_view).
+
     With layers=K (2..4) the kernel depth-peels: it keeps the K
     lexicographically nearest (depth, draw-order) fragments per sample via a
     branchless sorted-list insertion, which alpha MASK/BLEND compositing
@@ -243,7 +257,11 @@ def _raster_kernel(
     s_count = len(sample_offsets)
     log2s = {1: 0, 2: 1, 4: 2, 8: 3}[s_count]
     rows = s_count * tile_h
-    win = min(window_rows, rows)
+    m = interleave
+    log2m = {1: 0, 2: 1, 4: 2, 8: 3, 16: 4}[m]
+    cols = tile_w // m  # px columns per lane row (one x strip)
+    rows_per_strip = rows // m
+    win = min(window_rows, rows_per_strip)
 
     tile_x0_i = tile_idx % tiles_x * tile_w
     tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
@@ -252,19 +270,23 @@ def _raster_kernel(
     tile_x1 = tile_x0 + float(tile_w)
     tile_y1 = tile_y0 + float(tile_h)
 
-    # static per-window sample patterns (row i = local y*S + s with s = i%S,
-    # valid because window starts are 8-row aligned and S divides 8):
+    # static per-window sample patterns. sample_row = buffer_row * m + ym
+    # with ym = lane // cols; the sample-offset / y patterns are valid
+    # because window starts rs are win-aligned and win*m is a multiple of S
+    # (win >= 8, all pow2), so (rs*m) % S == 0 and shifts distribute.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (win, tile_w), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (win, tile_w), 1)
-    y_pat = (row_ids >> log2s).astype(jnp.float32)
+    xl_ids = col_ids & (cols - 1)
+    sr_pat = row_ids * m + (col_ids >> int(np.log2(cols)))
+    y_pat = (sr_pat >> log2s).astype(jnp.float32)
     off_x = jnp.zeros((win, tile_w), jnp.float32)
     off_y = jnp.zeros((win, tile_w), jnp.float32)
     for s, (ox, oy) in enumerate(sample_offsets):
-        in_row = (row_ids & (s_count - 1)) == s
+        in_row = (sr_pat & (s_count - 1)) == s
         off_x = jnp.where(in_row, float(ox), off_x)
         off_y = jnp.where(in_row, float(oy), off_y)
-    sxx = tile_x0 + col_ids.astype(jnp.float32) + off_x  # window-invariant
-    syy_pat = y_pat + off_y  # + tile_y0 + rs/S per window
+    sxx_pat = xl_ids.astype(jnp.float32) + off_x  # + strip x0 per strip
+    syy_pat = y_pat + off_y  # + tile_y0 + (rs_local*m)/S per window
 
     def init_rows(r, _):
         for l in range(layers):
@@ -332,7 +354,8 @@ def _raster_kernel(
                 # window range covering the group's y span within this tile.
                 # y1c is the INCLUSIVE index of the last touched pixel row
                 # (samples inside row y1c can still be < gy1), so the
-                # exclusive sample-row end is (y1c + 1) << log2s.
+                # exclusive sample-row end is (y1c + 1) << log2s; buffer
+                # rows divide sample rows by the lane interleave m.
                 y0c = jnp.maximum(gy0, tile_y0).astype(jnp.int32) - tile_y0_i
                 y1c = jnp.minimum(
                     jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i,
@@ -340,21 +363,33 @@ def _raster_kernel(
                 )
                 # r0 aligns DOWN to the window stride so successive windows
                 # are DISJOINT slices [r0 + w*win, r0 + (w+1)*win) that never
-                # need end-clamping (win divides rows). The previous 8-row
-                # alignment let the last window clamp back over its
-                # predecessor's rows; Mosaic pipelines the fori_loop and
-                # cannot see that the dynamic accumulator slices alias, so
-                # the overlapped read raced the prior write — ~28 wrong
-                # samples per 1080p frame in both directions, worse at
-                # smaller windows (more overlap pairs).
-                r0 = (y0c << log2s) & ~(win - 1)
-                r_end = (y1c + 1) << log2s
+                # need end-clamping (win divides rows_per_strip). The
+                # previous 8-row alignment let the last window clamp back
+                # over its predecessor's rows; Mosaic pipelines the
+                # fori_loop and cannot see that the dynamic accumulator
+                # slices alias, so the overlapped read raced the prior
+                # write — ~28 wrong samples per 1080p frame in both
+                # directions, worse at smaller windows (more overlap pairs).
+                r0 = ((y0c << log2s) >> log2m) & ~(win - 1)
+                r_end = (((y1c + 1) << log2s) + (m - 1)) >> log2m
                 nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
+                if m > 1:
+                    # x strip range of the group within this tile
+                    gx0 = bbox_smem[slot, 4, k0]
+                    gx1 = bbox_smem[slot, 6, k0]
+                    sx0c = jnp.clip(
+                        jnp.maximum(gx0, tile_x0).astype(jnp.int32)
+                        - tile_x0_i, 0, tile_w - 1)
+                    sx1c = jnp.clip(
+                        jnp.minimum(gx1, tile_x1).astype(jnp.int32)
+                        - tile_x0_i, 0, tile_w - 1)
+                    strip0 = sx0c >> int(np.log2(cols))
+                    ns = (sx1c >> int(np.log2(cols))) - strip0 + 1
 
-                # Hoist all window-invariant per-triangle scalars (SMEM
-                # reads + the x/validity half of the bbox test) out of the
-                # window loop — the scalar unit, not the VPU, bounds this
-                # kernel, and these replayed per (triangle, window).
+                # Hoist all window/strip-invariant per-triangle scalars
+                # (SMEM reads + validity) out of the loops — the scalar
+                # unit, not the VPU, bounds this kernel, and these replayed
+                # per (triangle, window).
                 tris = []
                 for k in range(group_size):
                     kk = k0 + k
@@ -362,13 +397,9 @@ def _raster_kernel(
                     tx1 = bbox_smem[slot, 2, kk]
                     ty0 = bbox_smem[slot, 1, kk]
                     ty1 = bbox_smem[slot, 3, kk]
-                    xhit = (
-                        (tx0 < tile_x1)
-                        & (tx1 > tile_x0)
-                        & (data_smem[slot, 15, kk] >= 0.0)
-                    )
+                    vld = data_smem[slot, 15, kk] >= 0.0
                     consts = (
-                        tx0, ty0, ty1, xhit,
+                        tx0, tx1, ty0, ty1, vld,
                         [data_smem[slot, r, kk] for r in range(9)],
                         [data_smem[slot, r, kk] for r in range(9, 15)],
                         data_smem[slot, 15, kk].astype(jnp.int32),
@@ -379,33 +410,54 @@ def _raster_kernel(
                     )
                     tris.append(consts)
 
-                def window(w, _):
-                    rs = r0 + w * win  # disjoint; r0 win-aligned, r_end<=rows
-                    rs = pl.multiple_of(rs, win)
-                    y_base = tile_y0 + (rs >> log2s).astype(jnp.float32)
-                    syy = y_base + syy_pat  # (win, tw)
-                    win_y1 = y_base + float(win >> log2s)
-
-                    # all-scalar per-triangle window hit tests (hoisted;
-                    # also feed the optional all-miss window skip, a
-                    # measured wash — see _SKIP_EMPTY_WINDOWS)
-                    hits = [
-                        xhit & (ty0 < win_y1) & (ty1 > y_base)
-                        for tx0, ty0, ty1, xhit, *_rest in tris
-                    ]
-                    if _SKIP_EMPTY_WINDOWS:
-                        any_hit = hits[0]
-                        for h in hits[1:]:
-                            any_hit = any_hit | h
-
-                        @pl.when(any_hit)
-                        def _():
-                            _window_body(rs, syy, hits)
+                def do_strip(strip_i):
+                    if m == 1:
+                        strip_x0, strip_x1 = tile_x0, tile_x1
+                        acc_base = 0
                     else:
-                        _window_body(rs, syy, hits)
-                    return 0
+                        strip = strip0 + strip_i
+                        strip_x0 = tile_x0 + (strip * cols).astype(
+                            jnp.float32)
+                        strip_x1 = strip_x0 + float(cols)
+                        acc_base = strip * rows_per_strip
+                    # x/validity half of the bbox test, per strip (the x
+                    # span a window actually evaluates)
+                    xhits = [
+                        (t[0] < strip_x1) & (t[1] > strip_x0) & t[4]
+                        for t in tris
+                    ]
+                    sxx = strip_x0 + sxx_pat  # (win, tw), window-invariant
 
-                def _window_body(rs, syy, hits):
+                    def window(w, _):
+                        rs_local = r0 + w * win  # disjoint windows
+                        rs = pl.multiple_of(acc_base + rs_local, win)
+                        y_base = tile_y0 + (
+                            (rs_local * m) >> log2s).astype(jnp.float32)
+                        syy = y_base + syy_pat  # (win, tw)
+                        win_y1 = y_base + float((win * m) >> log2s)
+
+                        # all-scalar per-triangle window hit tests (hoisted;
+                        # also feed the optional all-miss window skip, a
+                        # measured wash — see _SKIP_EMPTY_WINDOWS)
+                        hits = [
+                            xhit & (t[2] < win_y1) & (t[3] > y_base)
+                            for t, xhit in zip(tris, xhits)
+                        ]
+                        if _SKIP_EMPTY_WINDOWS:
+                            any_hit = hits[0]
+                            for h in hits[1:]:
+                                any_hit = any_hit | h
+
+                            @pl.when(any_hit)
+                            def _():
+                                _window_body(rs, sxx, syy, hits)
+                        else:
+                            _window_body(rs, sxx, syy, hits)
+                        return 0
+
+                    jax.lax.fori_loop(0, nw, window, 0, unroll=False)
+
+                def _window_body(rs, sxx, syy, hits):
                     accs = [
                         (depth_refs[l][0, pl.ds(rs, win)],
                          id_refs[l][0, pl.ds(rs, win)])
@@ -417,16 +469,16 @@ def _raster_kernel(
                     # lax.cond) defeat Mosaic's software pipelining and cost
                     # more than the vector math they skip; instead the bbox
                     # miss folds into the coverage mask (a scalar bool AND).
-                    for (tx0, ty0, ty1, xhit, ed, zw_c, tri_id, thrs), hit \
-                            in zip(tris, hits):
+                    for (tx0, _tx1, ty0, _ty1, _vld, ed, zw_c, tri_id,
+                         thrs), hit in zip(tris, hits):
                         if _PROBE_BODY == "empty":
                             continue
                         if _PROBE_BODY == "one_edge":
                             e = ed[0] * (sxx - tx0) + ed[1] * (syy - ty0) + ed[2]
                             d_l, i_l = accs[0]
-                            m = hit & (e > 0.0)
-                            accs[0] = (jnp.where(m, e, d_l),
-                                       jnp.where(m, tri_id, i_l))
+                            msk = hit & (e > 0.0)
+                            accs[0] = (jnp.where(msk, e, d_l),
+                                       jnp.where(msk, tri_id, i_l))
                             continue
                         # plane rows are anchored at the bbox corner
                         # (tx0, ty0) — evaluate with deltas, which keeps f32
@@ -498,7 +550,14 @@ def _raster_kernel(
                         id_refs[l][0, pl.ds(rs, win)] = accs[l][1]
                     return 0
 
-                jax.lax.fori_loop(0, nw, window, 0, unroll=False)
+                if m == 1:
+                    do_strip(0)  # one full-width strip; no x loop
+                else:
+                    def strip_step(j, _):
+                        do_strip(j)
+                        return 0
+
+                    jax.lax.fori_loop(0, ns, strip_step, 0, unroll=False)
 
             return 0
 
@@ -525,6 +584,7 @@ def rasterize_pallas(
     assemble: bool = True,
     perm=None,
     group_size: int = 8,
+    interleave: int = 1,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -555,11 +615,26 @@ def rasterize_pallas(
             f"window_rows must be a power of two >= 8 (disjoint-window "
             f"alignment), got {window_rows}"
         )
-    win = min(window_rows, th * msaa_samples)
-    if (th * msaa_samples) % win != 0:
+    if interleave < 1 or interleave > 16 or interleave & (interleave - 1):
+        raise ValueError(
+            f"interleave must be a power of two in 1..16, got {interleave}"
+        )
+    if interleave > 1 and tw != 128:
+        raise ValueError(
+            f"interleave > 1 assumes 128-px-wide tiles (lane packing), "
+            f"got tile width {tw}"
+        )
+    if (th * msaa_samples) % interleave != 0:
         raise ValueError(
             f"tile rows ({th}*{msaa_samples}) must be a multiple of the "
-            f"raster window ({win})"
+            f"lane interleave ({interleave})"
+        )
+    rows_per_strip = th * msaa_samples // interleave
+    win = min(window_rows, rows_per_strip)
+    if rows_per_strip % win != 0:
+        raise ValueError(
+            f"per-strip rows ({th}*{msaa_samples}/{interleave}) must be a "
+            f"multiple of the raster window ({win})"
         )
     # triangle ids ride an f32 stream row; beyond 2^24 they stop being exact
     if setup["valid"].shape[0] >= 1 << 24:
@@ -683,6 +758,7 @@ def rasterize_pallas(
         layers=layers,
         window_rows=window_rows,
         group_size=group_size,
+        interleave=interleave,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -729,10 +805,23 @@ def rasterize_pallas(
         return (jnp.stack([outs[2 * l] for l in range(layers)]),
                 jnp.stack([outs[2 * l + 1] for l in range(layers)]))
 
-    def assemble_fn(tiles):  # (num_tiles, th*S, tw), row = y*S+s -> (S, H, W)
+    def assemble_fn(tiles):  # (num_tiles, th*S, tw) -> (S, H, W)
+        if interleave == 1:  # row = y*S + s
+            return (
+                tiles.reshape(tiles_y, tiles_x, th, S, tw)
+                .transpose(3, 0, 2, 1, 4)
+                .reshape(S, height, width)
+            )
+        # interleaved layout: row = strip*rows_per_strip + sample_row//m,
+        # lane = (sample_row % m)*cols + x % cols. Un-map with reshapes
+        # (the (rps, ym) merge is contiguous) + one transpose.
+        mi = interleave
+        cols = tw // mi
+        rps = rows // mi
         return (
-            tiles.reshape(tiles_y, tiles_x, th, S, tw)
-            .transpose(3, 0, 2, 1, 4)
+            tiles.reshape(tiles_y, tiles_x, mi, rps, mi, cols)
+            .reshape(tiles_y, tiles_x, mi, th, S, cols)  # sample_row=(y, s)
+            .transpose(4, 0, 3, 1, 2, 5)  # (S, ty, th, tx, strip, cols)
             .reshape(S, height, width)
         )
 

@@ -179,6 +179,7 @@ def _pack_blocks_level_np(packed: list[np.ndarray], w: int,
 def build_material_pool(
     materials: list[dict],
     log: Log | None = None,
+    max_pool_bytes: int = 4 << 30,
 ) -> MaterialPool:
     """Pack per-material texture triplets.
 
@@ -187,6 +188,15 @@ def build_material_pool(
       samplers: list of THREE sampler dicts (base, mr, normal), each with
         wrap_u/wrap_v/mag_filter/min_filter/mipmap_mode — or the legacy
         single `sampler` dict applied to all three slots.
+
+    max_pool_bytes bounds the packed pool's HBM footprint (the pool
+    inflates raw RGBA ~5.3x: 4x anchor duplication x 64->128 lane pad / 3
+    textures per row). When the projected size exceeds the budget — or the
+    2^24 block-row ceiling above which f32 row addresses lose exactness —
+    the LARGEST texture chains are halved until it fits, with a logged
+    error per the skip-and-log ethos (the reference analogously clamps to
+    device limits, e.g. MSAA/anisotropy probes engine.cppm:157-199). A
+    blurrier texture is strictly better than a failed load.
     """
     log = log or default_log()
     if not materials:
@@ -198,6 +208,41 @@ def build_material_pool(
     codes = np.zeros((count, 3), np.int32)
     mixed = False
 
+    # pre-pass: pick each material's pow2-square chain size
+    sizes_m = np.ones(count, np.int64)
+    for m, spec in enumerate(materials):
+        base = spec.get("base") or default_texture_data("base_color")
+        mr = spec.get("mr") or default_texture_data("metallic_roughness")
+        normal = spec.get("normal") or default_texture_data("normal")
+        sizes = {t.levels[0].shape[0] for t in (base, mr, normal)} | {
+            t.levels[0].shape[1] for t in (base, mr, normal)
+        }
+        size = 1 << int(np.ceil(np.log2(max(sizes))))
+        if len(sizes) > 1 or size != max(sizes):
+            log.error(
+                f"Material {m}: textures resampled to {size}x{size} pow2 square "
+                f"for the packed pool (sizes {sorted(sizes)})"
+            )
+        sizes_m[m] = size
+
+    # budget clamp: halve the largest chains until the pool fits both the
+    # byte budget and the f32-exact row ceiling
+    max_rows = min((1 << 24) - 1, max_pool_bytes // (4 * ROW_U32))
+    orig_sizes = sizes_m.copy()
+    while sum(_chain_block_rows(int(s)) for s in sizes_m) > max_rows and (
+        sizes_m.max() > 1
+    ):
+        top = sizes_m.max()
+        sizes_m[sizes_m == top] = top >> 1
+    if not np.array_equal(orig_sizes, sizes_m):
+        shrunk = int((orig_sizes != sizes_m).sum())
+        log.error(
+            f"Material pool over budget ({max_pool_bytes >> 20} MiB / "
+            f"{max_rows} block rows): downsampled {shrunk} of {count} "
+            f"material chains (largest now {int(sizes_m.max())}px, was "
+            f"{int(orig_sizes.max())}px)"
+        )
+
     blobs: list[np.ndarray] = []
     row_cursor = 0
     for m, spec in enumerate(materials):
@@ -208,15 +253,7 @@ def build_material_pool(
         if samplers is None:
             samplers = [spec.get("sampler") or {}] * 3
 
-        sizes = {t.levels[0].shape[0] for t in (base, mr, normal)} | {
-            t.levels[0].shape[1] for t in (base, mr, normal)
-        }
-        size = 1 << int(np.ceil(np.log2(max(sizes))))
-        if len(sizes) > 1 or size != max(sizes):
-            log.error(
-                f"Material {m}: textures resampled to {size}x{size} pow2 square "
-                f"for the packed pool (sizes {sorted(sizes)})"
-            )
+        size = int(sizes_m[m])
         chains = [
             _to_pow2_square_chain(base, size),
             _to_pow2_square_chain(mr, size),
