@@ -81,15 +81,32 @@ def _shade_layer_kernel(
         static-lane selects (x stride 2 u16 lanes, y stride 8) — in VMEM
         this is four (8, 128) tile reads + three selects, with no
         materialized roll. u16 -> i32 zero-extend per tap (only the ~16
-        touched lanes convert, not all 128)."""
+        touched lanes convert, not all 128).
+
+        A bf16-stored pool is also accepted (bitcast back to u16 here in
+        VMEM, inside the kernel where XLA cannot commute it onto the gather
+        operand — distinct from the tools/shade_bf16_ab dead end). MEASURED
+        AND REJECTED (tools/pool_bf16_store_ab): a wash on time (~16.0 vs
+        ~16.9 ms phase B, within tunnel noise) and NOT bit-identical —
+        arbitrary u16 halves viewed as bf16 include NaN payloads that XLA
+        may canonicalize in value-level copies outside the kernel. The
+        production pool stays u16; this branch exists so the negative-result
+        A/B stays runnable."""
         cxb = cx == 1
         cyb = cy == 1
+        bf16 = q_ref.dtype == jnp.bfloat16
+
+        def lane(k):
+            t = q_ref[k]
+            if bf16:
+                t = jax.lax.bitcast_convert_type(t, jnp.uint16)
+            return t.astype(jnp.int32)
 
         def quad(slot, k):
-            a = q_ref[k].astype(jnp.int32)
-            b = q_ref[k + 2].astype(jnp.int32)
-            c = q_ref[k + 8].astype(jnp.int32)
-            d = q_ref[k + 10].astype(jnp.int32)
+            a = lane(k)
+            b = lane(k + 2)
+            c = lane(k + 8)
+            d = lane(k + 10)
             return jnp.where(cyb, jnp.where(cxb, d, c),
                              jnp.where(cxb, b, a))
 
