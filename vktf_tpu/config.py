@@ -117,6 +117,15 @@ class RenderConfig:
     # mixed-sampler scenes (per-slot pool gathers) which use "xla".
     shade_impl: Optional[str] = None
 
+    # Single-layer scenes only (kernel shade_impl): run the composite,
+    # MSAA-coverage resolve, sRGB encode, and u8 quantization INSIDE the
+    # fragment kernel (ops.shade_kernel._shade_resolve_kernel) instead of
+    # as an XLA tail — the tail costs ~1.5 ms of HBM passes over (4, n_px)
+    # f32 intermediates and the kernel output shrinks f32 RGBA -> packed
+    # i32 bytes. False = keep the host-side tail (A/B: tools/frame_ab.py
+    # shade_resolve_fuse=1 vs =0).
+    shade_resolve_fuse: bool = True
+
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     clear_depth: float = 1.0

@@ -380,6 +380,33 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
     layers = len(addr["ids"]) // n_chunks
     background = jnp.asarray(config.clear_color, jnp.float32)
 
+    if layers == 1 and config.shade_resolve_fuse:
+        # single-layer fast path: composite + coverage resolve + sRGB u8
+        # run INSIDE the kernel (_shade_resolve_kernel) — the XLA tail's
+        # HBM passes over (4, n_px) f32 intermediates collapse into VPU
+        # ops on tiles the fragment math already holds, and the kernel
+        # output shrinks (4, n_px) f32 -> (n_px,) i32 packed bytes.
+        # Bit-identical on hardware; won every interleaved frame_ab rep
+        # (53-54 vs 75 ms whole-frame in that session's tunnel state).
+        fracp = _flat_pad_chunks(frac, n_px, shade_chunk, n_pad)
+        parts = [
+            shade_final_chunk(
+                addr["trow"][c], addr["r0"][c], addr["r1"][c],
+                addr["ids"][c], addr["sx"][c], addr["sy"][c], quad_pool,
+                camera_position, lights, frac=fracp[c],
+                background=background,
+                max_anisotropy=config.max_anisotropy, interpret=interpret,
+            )
+            for c in range(n_chunks)
+        ]
+        packed = jnp.concatenate(parts) if n_chunks > 1 else parts[0]
+        packed = packed[:n_px]
+        rgb_u8 = jnp.stack(
+            [((packed >> (8 * c)) & 0xFF).astype(jnp.uint8)
+             for c in range(3)]
+        )
+        return _tiled_assemble(rgb_u8, config)
+
     rgbs, alphas = [], []
     for l in range(layers):
         parts_rgb, parts_a = [], []

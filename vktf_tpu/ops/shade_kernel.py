@@ -43,11 +43,11 @@ from vktf_tpu.ops.shade_table import (
 )
 
 
-def _shade_layer_kernel(
+def _shade_block_body(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
-    out_ref, *, max_anisotropy: float, num_lights: int,
+    *, max_anisotropy: float, num_lights: int,
 ):
-    """One block of samples: gathered rows in, composited-ready RGBA out.
+    """One block of samples: gathered rows in, (rgb 3-tuple, alpha) out.
 
     All inputs arrive PRE-TRANSPOSED to component-major (the host pays two
     sequential-bandwidth transposes; see shade_final_chunk), so every
@@ -59,8 +59,7 @@ def _shade_layer_kernel(
     cols: (2*ROW, 8, 128) u16 table columns as hi/lo halves (combined to
     f32 here — 3 VPU ops on a dense tile); q0/q1: (128, 8, 128) u16 pool
     block rows (mip l0/l1), lane-major; tri/sx/sy: (8, 128); cam: (1, 4)
-    f32; lights: (num_lights, 8) f32. out: (4, 8, 128) f32 = (rgb linear,
-    effective alpha).
+    f32 (row 0 = camera xyz); lights: (num_lights, 8) f32.
     """
 
     def col(c):
@@ -122,13 +121,61 @@ def _shade_layer_kernel(
         tuple(lights_ref[i, j] for j in range(8)) for i in range(num_lights)
     ]
 
-    rgb, alpha = shade_gathered(
+    return shade_gathered(
         col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy, covered,
+    )
+
+
+def _shade_layer_kernel(
+    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
+    out_ref, *, max_anisotropy: float, num_lights: int,
+):
+    """Layer form: out (4, 8, 128) f32 = (rgb linear, effective alpha) for
+    the host-side K-layer composite (pallas_shade_final_tiled layers > 1)."""
+    rgb, alpha = _shade_block_body(
+        cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
+        lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
     )
     out_ref[0] = rgb[0]
     out_ref[1] = rgb[1]
     out_ref[2] = rgb[2]
     out_ref[3] = alpha
+
+
+def _shade_resolve_kernel(
+    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
+    lights_ref, out_ref, *, max_anisotropy: float, num_lights: int,
+):
+    """Single-layer form: composite over the background, MSAA-coverage
+    resolve, sRGB encode, and u8 quantization ALL inside the kernel; out is
+    (1, 8, 128) i32 = packed r | g<<8 | b<<16.
+
+    Exists because the layers==1 tail (composite + frac resolve + sRGB +
+    quantize) as XLA ops costs a measured ~1.5 ms of pure HBM passes over
+    (4, n_px) f32 intermediates (tools/shade_phase_probe) — here the same
+    formulas run on the (8, 128) VMEM tiles the fragment math already
+    holds, and the phase-B output shrinks 33 MB f32 -> 8 MB i32. Formula
+    order matches pallas_shade_final_tiled's XLA tail exactly (composite
+    over background, then frac resolve, then pipeline.linear_to_srgb_u8's
+    encode). cam row 1 carries the background RGB.
+    """
+    rgb, alpha = _shade_block_body(
+        cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
+        lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
+    )
+    frac = frac_ref[...]
+    packed = jnp.zeros_like(tri_ref[...])
+    for c in range(3):
+        bg = cam_ref[1, c]
+        comp = rgb[c] * alpha + bg * (1.0 - alpha)
+        resolved = comp * frac + bg * (1.0 - frac)
+        # linear_to_srgb_u8, minus the u8 cast (packed into i32 bytes)
+        v = jnp.clip(resolved, 0.0, 1.0)
+        srgb = jnp.where(v <= 0.0031308, v * 12.92,
+                         1.055 * jnp.power(v, 1.0 / 2.4) - 0.055)
+        u8 = (srgb * 255.0 + 0.5).astype(jnp.int32)
+        packed = packed | (u8 << (8 * c))
+    out_ref[0] = packed
 
 
 def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
@@ -185,6 +232,8 @@ def shade_final_chunk(
     max_anisotropy: float = 1.0,
     interpret: bool = False,
     block: int = 1024,
+    frac=None,
+    background=None,
 ):
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
@@ -193,15 +242,23 @@ def shade_final_chunk(
     this program's only gather operand is the quad pool (staged into VMEM
     by XLA). The gathered pool rows are transposed host-side to lane-major
     (XLA fuses the transpose into the gather) — so the kernel reads dense
-    (8, 128) tiles for every accessor (see _shade_layer_kernel).
+    (8, 128) tiles for every accessor (see _shade_block_body).
+
+    Two output forms:
+      * frac is None (K-layer): returns (rgb (3, n), alpha (n,), covered)
+        f32 for the host-side peel composite.
+      * frac given (single layer): the composite over `background`, the
+        coverage resolve, and the sRGB u8 encode all run IN the kernel
+        (_shade_resolve_kernel); returns packed (n,) i32 r|g<<8|b<<16.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, 128) u16
+    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; W = 96 live of 128 lanes
     q1 = gather_rows(quad_pool, r1)
+    qw = quad_pool.shape[1]
 
     n_pad = -(-n // block) * block
     pad = n_pad - n
@@ -218,52 +275,68 @@ def shade_final_chunk(
 
     lights = jnp.asarray(lights, jnp.float32).reshape(-1, 8)
     num_lights = lights.shape[0]
-    cam = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(camera_position)
+    cam = jnp.zeros((2, 4), jnp.float32).at[0, :3].set(camera_position)
+    if background is not None:
+        cam = cam.at[1, :3].set(jnp.asarray(background, jnp.float32)[:3])
 
     nb = n_pad // 128
     colsb = pad_last(cols).reshape(2 * ROW, nb, 128)
-    q0b = pad_first(q0).T.reshape(128, nb, 128)
-    q1b = pad_first(q1).T.reshape(128, nb, 128)
+    q0b = pad_first(q0).T.reshape(qw, nb, 128)
+    q1b = pad_first(q1).T.reshape(qw, nb, 128)
 
     grid = (n_pad // block,)
     bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
+
+    def px_spec():
+        return pl.BlockSpec((bb, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    resolve = frac is not None
     kernel = functools.partial(
-        _shade_layer_kernel,
+        _shade_resolve_kernel if resolve else _shade_layer_kernel,
         max_anisotropy=max_anisotropy,
         num_lights=num_lights,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((2 * ROW, bb, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, bb, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, bb, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_lights, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, bb, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, nb, 128), jnp.float32),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec((2 * ROW, bb, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        px_spec(),
+        px_spec(),
+        px_spec(),
+    ]
+    args = [
         colsb, q0b, q1b,
         pad_first(tri_id).reshape(nb, 128),
         pad_first(sx).reshape(nb, 128),
         pad_first(sy).reshape(nb, 128),
-        cam, lights,
-    )
+    ]
+    if resolve:
+        in_specs.append(px_spec())
+        args.append(pad_first(frac).reshape(nb, 128))
+    in_specs += [
+        pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_lights, 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [cam, lights]
+
+    out_ch = 1 if resolve else 4
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_ch, bb, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_ch, nb, 128), jnp.int32 if resolve else jnp.float32),
+        interpret=interpret,
+    )(*args)
+    if resolve:
+        return out.reshape(n_pad)[:n]
     out = out.reshape(4, n_pad)
     rgb = out[:3, :n]
     alpha = out[3, :n]
