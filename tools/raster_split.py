@@ -52,6 +52,7 @@ LAYERS = meta.peel_layers
 S = 4
 WIN = 32
 GS = 8  # = RenderConfig.raster_group_size default
+M = 2  # = RenderConfig.raster_interleave default
 
 
 def prologue(setup, perm):
@@ -122,7 +123,7 @@ def kernel_only(hit_counts, hit_list, tri_data, tri_bbox):
     kernel = functools.partial(
         rp._raster_kernel, tiles_x=tiles_x, tile_h=TH, tile_w=TW,
         chunk=CHUNK, n_chunks=n_chunks, sample_offsets=offsets,
-        layers=LAYERS, window_rows=WIN, group_size=GS,
+        layers=LAYERS, window_rows=WIN, group_size=GS, interleave=M,
     )
     hit_cols = hit_list.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -163,7 +164,7 @@ k_jit = jax.jit(kernel_only)
 full = jax.jit(lambda su, pe: rp.rasterize_pallas(
     su, PH, PW, tile_shape=(TH, TW), msaa_samples=S, chunk=CHUNK,
     sort="none", perm=pe, layers=LAYERS, window_rows=WIN, group_size=GS,
-    assemble=False))
+    interleave=M, assemble=False))
 
 tri_data, tri_bbox, chunk_bbox = jax.tree.map(
     jax.block_until_ready, p_jit(setup, perm))

@@ -182,6 +182,15 @@ _PROBE_BODY = "full"
 # disrupts as much as it saves. Default off; kept for re-measurement.
 _SKIP_EMPTY_WINDOWS = False
 
+# Trace-time A/B switch (tools/binning_frame_ab.py): the keyed-sort
+# hit-list construction (sort(where(hit, chunk_id, INT_MAX)) — half the
+# sort payload of the stable bool argsort) won standalone (4.9 vs 6.6 ms,
+# tools/binning_ab.py) but LOST at raster-stage level (median 29.9 vs
+# 24.7 ms, argsort faster in 5/6 interleaved reps, bit-equal outputs):
+# inside the fused stage XLA treats the bool-keyed stable argsort better
+# than the i32 sort. Default stays argsort; flip for re-measurement.
+_BIN_ARGSORT_FORM = True
+
 
 def _raster_kernel(
     # scalar prefetch
@@ -733,7 +742,17 @@ def rasterize_pallas(
         & (chunk_bbox[1][None, :] < t_y0 + th)
         & (chunk_bbox[3][None, :] > t_y0)
     )  # (num_tiles, n_chunks)
-    hit_list = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    # Hit-list compaction. Both forms yield the same counted prefix (the
+    # only part the kernel dereferences — initial DMA and prefetch are
+    # guarded by hit_counts); see _BIN_ARGSORT_FORM for the measured
+    # stage-level A/B that keeps the argsort form as default.
+    if _BIN_ARGSORT_FORM:
+        hit_list = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    else:
+        chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+        hit_list = jnp.sort(
+            jnp.where(overlap, chunk_ids, jnp.int32(2**31 - 1)), axis=1
+        )
     hit_counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     # SMEM block constraints: pad the list to (8-row, 128-col) block multiples
     hit_list = _pad_cols(hit_list, 128)
