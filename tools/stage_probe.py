@@ -28,6 +28,9 @@ def probe_leaf(x, acc):
     # tiny op pays host->tunnel dispatch latency that inflates multi-leaf
     # stages (measured: per-leaf probing put the stage SUM 40% above the
     # chained frame time).
+    import jax
+    import jax.numpy as jnp
+
     v = jax.tree.leaves(x)[0]
     return acc + jnp.sum(v.ravel()[-64:].astype(jnp.float32))
 

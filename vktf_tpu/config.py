@@ -85,6 +85,12 @@ class RenderConfig:
     # most lanes on them — ops.raster_pallas._raster_kernel docstring,
     # tools/raster_patch_sim.py). Output is identical for every m.
     raster_interleave: Optional[int] = None
+    # Column-supertile raster (ops.raster_pallas kernel docstring): one
+    # kernel program per tile COLUMN so chunk hit lists / DMAs / per-group
+    # scalar hoists amortize over the column's tiles instead of replaying
+    # per tile. None = auto (on, subject to the kernel's VMEM accumulator
+    # cap); output is bit-identical either way.
+    raster_columns: Optional[bool] = None
     # Force Pallas interpreter mode (None = auto: interpret off-TPU).
     pallas_interpret: Optional[bool] = None
     # Samples shaded per chunk (bounds the lane-padded gather

@@ -723,6 +723,7 @@ def render_frame(
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
                 interleave=config.resolved_interleave(),
+                columns=config.raster_columns,
                 assemble=not tiled_resolve,
             )
         tri_id, depth = jax.lax.optimization_barrier((tri_id, depth))
@@ -840,6 +841,7 @@ class PallasFrameProgram:
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
                 interleave=config.resolved_interleave(),
+                columns=config.raster_columns,
                 assemble=not tiled_resolve,
             )
 

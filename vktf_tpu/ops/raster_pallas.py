@@ -217,8 +217,21 @@ def _raster_kernel(
     window_rows: int,
     group_size: int,
     interleave: int,
+    bands: int = 1,
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
+
+    bands > 1 is COLUMN-SUPERTILE mode: one grid program rasterizes a whole
+    column of `bands` vertically-stacked (tile_h, tile_w) tiles — output
+    refs gain a leading band dim ((bands, 1, rows, tw) blocks of the 4-D
+    x-major (tiles_y, tiles_x, rows, tw) output, a pure reshape away from
+    the (num_tiles, rows, tw) layout every consumer reads). The point:
+    chunk hit lists, chunk DMAs, and the per-group scalar hoists amortize
+    over the column instead of replaying per tile (a chunk spanning k
+    column tiles was DMA'd and group-tested k times; visits measured ~2.7x
+    the chunk count at 1080p Sponza). Per-sample math, visit order within
+    a (band, window), and the lexicographic depth-tie rule are unchanged,
+    so output is bit-identical to bands=1.
 
     Output rows are ordered row = y*S + s (samples of one pixel row are
     adjacent), so a triangle's screen-space y range maps to ONE contiguous
@@ -272,12 +285,17 @@ def _raster_kernel(
     rows_per_strip = rows // m
     win = min(window_rows, rows_per_strip)
 
-    tile_x0_i = tile_idx % tiles_x * tile_w
-    tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
+    if bands == 1:
+        tile_x0_i = tile_idx % tiles_x * tile_w
+        tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
+    else:  # column-supertile: program = tile column
+        tile_x0_i = tile_idx * tile_w
+        tile_y0_i = params_ref[0]
     tile_x0 = tile_x0_i.astype(jnp.float32)
     tile_y0 = tile_y0_i.astype(jnp.float32)
     tile_x1 = tile_x0 + float(tile_w)
-    tile_y1 = tile_y0 + float(tile_h)
+    # tile_y1 spans the whole program footprint (one tile, or the column)
+    tile_y1 = tile_y0 + float(bands * tile_h)
 
     # static per-window sample patterns. sample_row = buffer_row * m + ym
     # with ym = lane // cols; the sample-offset / y patterns are valid
@@ -298,16 +316,21 @@ def _raster_kernel(
     syy_pat = y_pat + off_y  # + tile_y0 + (rs_local*m)/S per window
 
     def init_rows(r, _):
-        for l in range(layers):
-            id_refs[l][0, pl.ds(r * win, win)] = jnp.full(
-                (win, tile_w), int(BACKGROUND), jnp.int32
-            )
-            depth_refs[l][0, pl.ds(r * win, win)] = jnp.ones(
-                (win, tile_w), jnp.float32
-            )
+        bg = jnp.full((win, tile_w), int(BACKGROUND), jnp.int32)
+        one = jnp.ones((win, tile_w), jnp.float32)
+        if bands == 1:
+            for l in range(layers):
+                id_refs[l][0, pl.ds(r * win, win)] = bg
+                depth_refs[l][0, pl.ds(r * win, win)] = one
+        else:
+            b = r // (rows // win)
+            rr = r % (rows // win)
+            for l in range(layers):
+                id_refs[l][b, 0, pl.ds(rr * win, win)] = bg
+                depth_refs[l][b, 0, pl.ds(rr * win, win)] = one
         return 0
 
-    jax.lax.fori_loop(0, rows // win, init_rows, 0, unroll=False)
+    jax.lax.fori_loop(0, bands * (rows // win), init_rows, 0, unroll=False)
 
     count = hit_counts_ref[tile_idx]
     list_row = tile_idx % 8
@@ -360,28 +383,23 @@ def _raster_kernel(
 
             @pl.when(group_hit)
             def _():
-                # window range covering the group's y span within this tile.
-                # y1c is the INCLUSIVE index of the last touched pixel row
-                # (samples inside row y1c can still be < gy1), so the
-                # exclusive sample-row end is (y1c + 1) << log2s; buffer
-                # rows divide sample rows by the lane interleave m.
-                y0c = jnp.maximum(gy0, tile_y0).astype(jnp.int32) - tile_y0_i
-                y1c = jnp.minimum(
-                    jnp.minimum(gy1, tile_y1).astype(jnp.int32) - tile_y0_i,
-                    tile_h - 1,
-                )
-                # r0 aligns DOWN to the window stride so successive windows
-                # are DISJOINT slices [r0 + w*win, r0 + (w+1)*win) that never
-                # need end-clamping (win divides rows_per_strip). The
-                # previous 8-row alignment let the last window clamp back
-                # over its predecessor's rows; Mosaic pipelines the
-                # fori_loop and cannot see that the dynamic accumulator
-                # slices alias, so the overlapped read raced the prior
-                # write — ~28 wrong samples per 1080p frame in both
-                # directions, worse at smaller windows (more overlap pairs).
-                r0 = ((y0c << log2s) >> log2m) & ~(win - 1)
-                r_end = (((y1c + 1) << log2s) + (m - 1)) >> log2m
-                nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
+                # band range of the group within this program's footprint
+                # (bands == 1: the single tile). A band is hit iff
+                # gy0 < band_y1 and gy1 > band_y0 (strict, matching
+                # group_hit); ceil(gy1) - 1 is the last strictly-covered
+                # integer row for both integral and fractional gy1.
+                if bands > 1:
+                    cy0 = jnp.maximum(gy0, tile_y0)
+                    band0 = jnp.clip(
+                        (cy0.astype(jnp.int32) - tile_y0_i) // tile_h,
+                        0, bands - 1,
+                    )
+                    cy1 = jnp.minimum(gy1, tile_y1)
+                    band_last = jnp.clip(
+                        (jnp.ceil(cy1).astype(jnp.int32) - 1 - tile_y0_i)
+                        // tile_h,
+                        0, bands - 1,
+                    )
                 if m > 1:
                     # x strip range of the group within this tile
                     gx0 = bbox_smem[slot, 4, k0]
@@ -437,41 +455,95 @@ def _raster_kernel(
                     ]
                     sxx = strip_x0 + sxx_pat  # (win, tw), window-invariant
 
-                    def window(w, _):
-                        rs_local = r0 + w * win  # disjoint windows
-                        rs = pl.multiple_of(acc_base + rs_local, win)
-                        y_base = tile_y0 + (
-                            (rs_local * m) >> log2s).astype(jnp.float32)
-                        syy = y_base + syy_pat  # (win, tw)
-                        win_y1 = y_base + float((win * m) >> log2s)
+                    def do_band(b, band_y0_i):
+                        # window range covering the group's y span within
+                        # this band (bands == 1: the tile). y1c is the
+                        # INCLUSIVE index of the last touched pixel row
+                        # (samples inside row y1c can still be < gy1), so
+                        # the exclusive sample-row end is (y1c + 1) <<
+                        # log2s; buffer rows divide sample rows by the lane
+                        # interleave m.
+                        band_y0 = band_y0_i.astype(jnp.float32)
+                        band_y1 = band_y0 + float(tile_h)
+                        y0c = (
+                            jnp.maximum(gy0, band_y0).astype(jnp.int32)
+                            - band_y0_i
+                        )
+                        y1c = jnp.minimum(
+                            jnp.minimum(gy1, band_y1).astype(jnp.int32)
+                            - band_y0_i,
+                            tile_h - 1,
+                        )
+                        # r0 aligns DOWN to the window stride so successive
+                        # windows are DISJOINT slices [r0 + w*win, r0 +
+                        # (w+1)*win) that never need end-clamping (win
+                        # divides rows_per_strip). The previous 8-row
+                        # alignment let the last window clamp back over its
+                        # predecessor's rows; Mosaic pipelines the
+                        # fori_loop and cannot see that the dynamic
+                        # accumulator slices alias, so the overlapped read
+                        # raced the prior write — ~28 wrong samples per
+                        # 1080p frame in both directions, worse at smaller
+                        # windows (more overlap pairs).
+                        r0 = ((y0c << log2s) >> log2m) & ~(win - 1)
+                        r_end = (((y1c + 1) << log2s) + (m - 1)) >> log2m
+                        nw = jax.lax.max((r_end - r0 + win - 1) // win, 1)
 
-                        # all-scalar per-triangle window hit tests (hoisted;
-                        # also feed the optional all-miss window skip, a
-                        # measured wash — see _SKIP_EMPTY_WINDOWS)
-                        hits = [
-                            xhit & (t[2] < win_y1) & (t[3] > y_base)
-                            for t, xhit in zip(tris, xhits)
-                        ]
-                        if _SKIP_EMPTY_WINDOWS:
-                            any_hit = hits[0]
-                            for h in hits[1:]:
-                                any_hit = any_hit | h
+                        def window(w, _):
+                            rs_local = r0 + w * win  # disjoint windows
+                            rs = pl.multiple_of(acc_base + rs_local, win)
+                            y_base = band_y0 + (
+                                (rs_local * m) >> log2s).astype(jnp.float32)
+                            syy = y_base + syy_pat  # (win, tw)
+                            win_y1 = y_base + float((win * m) >> log2s)
 
-                            @pl.when(any_hit)
-                            def _():
-                                _window_body(rs, sxx, syy, hits)
-                        else:
-                            _window_body(rs, sxx, syy, hits)
+                            # all-scalar per-triangle window hit tests
+                            # (hoisted; also feed the optional all-miss
+                            # window skip, a measured wash — see
+                            # _SKIP_EMPTY_WINDOWS)
+                            hits = [
+                                xhit & (t[2] < win_y1) & (t[3] > y_base)
+                                for t, xhit in zip(tris, xhits)
+                            ]
+                            if _SKIP_EMPTY_WINDOWS:
+                                any_hit = hits[0]
+                                for h in hits[1:]:
+                                    any_hit = any_hit | h
+
+                                @pl.when(any_hit)
+                                def _():
+                                    _window_body(b, rs, sxx, syy, hits)
+                            else:
+                                _window_body(b, rs, sxx, syy, hits)
+                            return 0
+
+                        jax.lax.fori_loop(0, nw, window, 0, unroll=False)
                         return 0
 
-                    jax.lax.fori_loop(0, nw, window, 0, unroll=False)
+                    if bands == 1:
+                        do_band(0, tile_y0_i)
+                    else:
+                        jax.lax.fori_loop(
+                            band0, band_last + 1,
+                            lambda b, _: do_band(
+                                b, tile_y0_i + b * tile_h
+                            ),
+                            0, unroll=False,
+                        )
 
-                def _window_body(rs, sxx, syy, hits):
-                    accs = [
-                        (depth_refs[l][0, pl.ds(rs, win)],
-                         id_refs[l][0, pl.ds(rs, win)])
-                        for l in range(layers)
-                    ]
+                def _window_body(b, rs, sxx, syy, hits):
+                    if bands == 1:
+                        accs = [
+                            (depth_refs[l][0, pl.ds(rs, win)],
+                             id_refs[l][0, pl.ds(rs, win)])
+                            for l in range(layers)
+                        ]
+                    else:
+                        accs = [
+                            (depth_refs[l][b, 0, pl.ds(rs, win)],
+                             id_refs[l][b, 0, pl.ds(rs, win)])
+                            for l in range(layers)
+                        ]
 
                     # BRANCHLESS, unrolled straight-line block over the
                     # group triangles: per-TRIANGLE branches (pl.when /
@@ -555,8 +627,12 @@ def _raster_kernel(
                                 cur_i = jnp.where(swap, i_l, cur_i)
 
                     for l in range(layers):
-                        depth_refs[l][0, pl.ds(rs, win)] = accs[l][0]
-                        id_refs[l][0, pl.ds(rs, win)] = accs[l][1]
+                        if bands == 1:
+                            depth_refs[l][0, pl.ds(rs, win)] = accs[l][0]
+                            id_refs[l][0, pl.ds(rs, win)] = accs[l][1]
+                        else:
+                            depth_refs[l][b, 0, pl.ds(rs, win)] = accs[l][0]
+                            id_refs[l][b, 0, pl.ds(rs, win)] = accs[l][1]
                     return 0
 
                 if m == 1:
@@ -594,6 +670,7 @@ def rasterize_pallas(
     perm=None,
     group_size: int = 8,
     interleave: int = 1,
+    columns: bool | None = None,
 ):
     """Rasterize via the Pallas streaming kernel.
 
@@ -653,6 +730,18 @@ def rasterize_pallas(
     offsets = tuple(SAMPLE_OFFSETS[msaa_samples])
     S = len(offsets)
     rows = S * th
+
+    if not 1 <= layers <= 4:
+        raise ValueError(f"layers must be in 1..4, got {layers}")
+    # Column-supertile mode (kernel docstring): one program per tile
+    # COLUMN, so chunk hit lists / DMAs / scalar hoists amortize over
+    # tiles_y bands. Defaults on; capped by the column accumulator's VMEM
+    # footprint (id+depth per layer, double-buffered by Mosaic).
+    acc_bytes = tiles_y * rows * tw * 8 * layers
+    column_mode = columns if columns is not None else True
+    column_mode = bool(column_mode) and tiles_y > 1 and acc_bytes <= (24 << 20)
+    bands = tiles_y if column_mode else 1
+    num_bins = tiles_x if column_mode else num_tiles
 
     if sort not in ("morton", "static", "none"):
         raise ValueError(f"unknown sort mode {sort!r}")
@@ -733,15 +822,25 @@ def rasterize_pallas(
     # stream): each tile's kernel loop then touches ONLY its hit chunks, with
     # the next chunk's DMA prefetched while the current one rasterizes.
     y_off = jnp.asarray(y_offset, jnp.int32)
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_x0 = ((tile_ids % tiles_x) * tw).astype(jnp.float32)[:, None]
-    t_y0 = ((tile_ids // tiles_x) * th + y_off).astype(jnp.float32)[:, None]
+    if column_mode:
+        # bins = tile columns: x-interval tests + the full-height y band
+        bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+        t_x0 = (bin_ids * tw).astype(jnp.float32)[:, None]
+        t_y0 = jnp.broadcast_to(
+            y_off.astype(jnp.float32), (num_bins,)
+        )[:, None]
+        bin_h = tiles_y * th
+    else:
+        bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+        t_x0 = ((bin_ids % tiles_x) * tw).astype(jnp.float32)[:, None]
+        t_y0 = ((bin_ids // tiles_x) * th + y_off).astype(jnp.float32)[:, None]
+        bin_h = th
     overlap = (
         (chunk_bbox[0][None, :] < t_x0 + tw)
         & (chunk_bbox[2][None, :] > t_x0)
-        & (chunk_bbox[1][None, :] < t_y0 + th)
+        & (chunk_bbox[1][None, :] < t_y0 + bin_h)
         & (chunk_bbox[3][None, :] > t_y0)
-    )  # (num_tiles, n_chunks)
+    )  # (num_bins, n_chunks)
     # Hit-list compaction. Both forms yield the same counted prefix (the
     # only part the kernel dereferences — initial DMA and prefetch are
     # guarded by hit_counts); see _BIN_ARGSORT_FORM for the measured
@@ -756,7 +855,7 @@ def rasterize_pallas(
     hit_counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     # SMEM block constraints: pad the list to (8-row, 128-col) block multiples
     hit_list = _pad_cols(hit_list, 128)
-    rows_pad = (-num_tiles) % 8
+    rows_pad = (-num_bins) % 8
     if rows_pad:
         hit_list = jnp.concatenate(
             [hit_list, jnp.zeros((rows_pad, hit_list.shape[1]), jnp.int32)]
@@ -764,8 +863,6 @@ def rasterize_pallas(
 
     hit_cols = hit_list.shape[1]
 
-    if not 1 <= layers <= 4:
-        raise ValueError(f"layers must be in 1..4, got {layers}")
     kernel = functools.partial(
         _raster_kernel,
         tiles_x=tiles_x,
@@ -778,23 +875,49 @@ def rasterize_pallas(
         window_rows=window_rows,
         group_size=group_size,
         interleave=interleave,
+        bands=bands,
     )
+
+    if column_mode:
+        # 4-D x-major output (tiles_y, tiles_x, rows, tw): each program
+        # writes its column's bands as a (tiles_y, 1, rows, tw) block; the
+        # (num_tiles, rows, tw) layout every consumer reads is then a pure
+        # reshape (x-major tile order preserved bit-for-bit).
+        out_specs = [
+            pl.BlockSpec((tiles_y, 1, rows, tw), lambda i, *_: (0, i, 0, 0))
+            for _ in range(2 * layers)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (tiles_y, tiles_x, rows, tw),
+                jnp.int32 if i % 2 == 0 else jnp.float32,
+            )
+            for i in range(2 * layers)
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0))
+            for _ in range(2 * layers)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (num_tiles, rows, tw), jnp.int32 if i % 2 == 0 else jnp.float32
+            )
+            for i in range(2 * layers)
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_bins,),
         in_specs=[
-            pl.BlockSpec(  # 8-tile group of hit-chunk lists, scalar-readable
+            pl.BlockSpec(  # 8-bin group of hit-chunk lists, scalar-readable
                 (8, hit_cols), lambda i, *_: (i // 8, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # tri_data stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # tri_bbox stays in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((1, rows, tw), lambda i, *_: (i, 0, 0))
-            for _ in range(2 * layers)
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.SMEM((2, TRI_ROWS, chunk), jnp.float32),
             pltpu.SMEM((2, 8, chunk), jnp.float32),
@@ -806,14 +929,11 @@ def rasterize_pallas(
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (num_tiles, rows, tw), jnp.int32 if i % 2 == 0 else jnp.float32
-            )
-            for i in range(2 * layers)
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(hit_counts, y_off.reshape(1), hit_list, tri_data, tri_bbox)
+    if column_mode:
+        outs = [o.reshape(num_tiles, rows, tw) for o in outs]
 
     if not assemble:
         # raw per-tile blocks (num_tiles, S*th, tw), row = y*S + s — the

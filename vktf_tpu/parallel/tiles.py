@@ -232,6 +232,7 @@ def render_frame_sharded(
             window_rows=config.raster_window_rows,
             group_size=config.raster_group_size,
             interleave=config.resolved_interleave(),
+            columns=config.raster_columns,
         )  # ([L,] S, band_h, pw), ids GLOBAL, -1 background
 
         # sort-last compositing: lexicographic (depth, id) min over gp.
