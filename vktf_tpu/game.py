@@ -39,8 +39,10 @@ TRANSLATE_SPEED = 6.0  # units/sec (game.cppm:56)
 DRAG_SPEED = 0.00390625  # rad/px (game.cppm:72)
 
 
-def create_window(width: int = 1920, height: int = 1080, frame_dir=None) -> Window:
-    window = Window("VkTF-TPU", width, height, frame_dir=frame_dir)
+def create_window(width: int = 1920, height: int = 1080, frame_dir=None,
+                  display: Optional[str] = "auto") -> Window:
+    window = Window("VkTF-TPU", width, height, frame_dir=frame_dir,
+                    display=display)
 
     def on_key(event):
         if event.key == KEY_ESCAPE and event.action == PRESS:
@@ -104,9 +106,11 @@ def start(
     config: Optional[RenderConfig] = None,
     script: Optional[ScriptedInput] = None,
     frame_dir=None,
+    display: Optional[str] = "auto",
 ) -> Window:
     """game::Start port (game.cppm:94-104)."""
-    window = create_window(width, height, frame_dir=frame_dir)
+    window = create_window(width, height, frame_dir=frame_dir,
+                           display=display)
     if script is not None:
         window.attach_script(script)
     engine = Engine(window, config or RenderConfig(width=width, height=height))
@@ -146,6 +150,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "pallas", "tiled", "dense"],
                         help="raster backend (default: pallas on TPU, tiled elsewhere)")
+    parser.add_argument("--display", default="auto",
+                        choices=["auto", "x11", "off"],
+                        help="present sink: auto attaches an X11 window when "
+                             "$DISPLAY is reachable (the reference's GLFW "
+                             "window, window.cppm:28-214), off stays headless")
+    parser.add_argument("--interactive", action="store_true",
+                        help="skip the scripted fly-through; WASD/mouse/ESC "
+                             "drive the camera until the window closes")
     parser.add_argument("--anisotropy", type=float, default=16.0,
                         help="max sampler anisotropy (1 = off; the reference "
                              "enables device-max anisotropy when available, "
@@ -161,8 +173,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             width=args.width,
             height=args.height,
             config=config,
-            script=fly_through_script(args.frames),
+            script=None if args.interactive
+            else fly_through_script(args.frames),
             frame_dir=args.frame_dir,
+            display=None if args.display == "off" else args.display,
         )
         return 0
     except Exception as error:  # nested-exception unwinding analogue

@@ -47,6 +47,7 @@ class Window:
         width: int = 1920,
         height: int = 1080,
         frame_dir: Optional[str | Path] = None,
+        display: Optional[str] = "auto",
     ):
         self.title = title
         self._width = width
@@ -62,6 +63,19 @@ class Window:
             self._frame_dir.mkdir(parents=True, exist_ok=True)
         self._frame_count = 0
         self.last_frame: Optional[np.ndarray] = None
+        # optional real display (the reference's GLFW window,
+        # window.cppm:28-214): "auto" attaches an X11 window when $DISPLAY
+        # is reachable, "x11" requires one, None stays headless.
+        self._display = None
+        if display == "auto" or display == "x11":
+            from vktf_tpu.x11 import X11Display
+
+            if X11Display.available():
+                self._display = X11Display(title, width, height)
+            elif display == "x11":
+                raise RuntimeError(
+                    "display='x11' requested but no X display is reachable"
+                )
 
     # -- geometry ------------------------------------------------------------
     @property
@@ -125,6 +139,19 @@ class Window:
         """Poll events (glfwPollEvents analogue)."""
         if self._script is not None:
             self._script.step(self)
+        if self._display is not None:
+            for ev in self._display.poll():
+                if ev[0] == "key":
+                    _, key, pressed = ev
+                    (self.press_key if pressed else self.release_key)(key)
+                elif ev[0] == "mouse":
+                    _, button, pressed = ev
+                    (self.press_mouse if pressed
+                     else self.release_mouse)(button)
+                elif ev[0] == "motion":
+                    self.move_cursor(ev[1], ev[2])
+                elif ev[0] == "close":
+                    self.close()
 
     # -- presentation ----------------------------------------------------------
     def present(self, frame: np.ndarray) -> None:
@@ -143,6 +170,8 @@ class Window:
                 [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=-1
             )
         self.last_frame = frame
+        if self._display is not None:
+            self._display.present(frame)
         if self._frame_dir is not None:
             from PIL import Image
 
