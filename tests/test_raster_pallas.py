@@ -94,6 +94,60 @@ def test_pallas_window_sizes_equivalent(scene_setup):
         np.testing.assert_array_equal(d32, d_w)
 
 
+def test_pallas_column_mode_equivalent(scene_setup):
+    """Column-supertile mode (one program per tile column) must be
+    bit-identical to per-tile mode — same math, same visit semantics, the
+    lexicographic depth-tie rule unchanged (also verified bit-equal on
+    real hardware, tools/raster_columns_ab.py)."""
+    setup, config = scene_setup
+    ph, pw = config.padded_height, config.padded_width
+
+    def run(cols):
+        ids, depth = jax.jit(
+            lambda s: rasterize_pallas(
+                s, ph, pw, tile_shape=config.tile_shape, msaa_samples=4,
+                chunk=128, interpret=True, interleave=2, columns=cols,
+            )
+        )(setup)
+        return np.asarray(ids), np.asarray(depth)
+
+    ids_t, d_t = run(False)
+    ids_c, d_c = run(True)
+    assert (ids_t >= 0).sum() > 1000
+    np.testing.assert_array_equal(ids_t, ids_c)
+    np.testing.assert_array_equal(d_t, d_c)
+
+
+def test_pallas_column_segments_equivalent(scene_setup, monkeypatch):
+    """The SEGMENTED column path (1 < bands < tiles_y, chosen when a full
+    column's accumulators exceed the scoped-VMEM budget — e.g. 4K) must be
+    bit-identical too. Shrink the budget so the 4-tile-tall framebuffer
+    picks 2-band segments."""
+    from vktf_tpu.ops import raster_pallas as rp
+
+    setup, config = scene_setup
+    ph, pw = config.padded_height, config.padded_width
+    assert ph // config.tile_shape[0] == 4  # fixture geometry
+
+    def run():
+        ids, depth = jax.jit(
+            lambda s: rasterize_pallas(
+                s, ph, pw, tile_shape=config.tile_shape, msaa_samples=4,
+                chunk=128, interpret=True, interleave=2, columns=True,
+            )
+        )(setup)
+        return np.asarray(ids), np.asarray(depth)
+
+    ids_full, d_full = run()  # full columns (bands = 4)
+    jax.clear_caches()
+    rows_b = 4 * config.tile_shape[0] * config.tile_shape[1] * 8
+    monkeypatch.setattr(rp, "_ACC_VMEM_BUDGET", 2 * rows_b + 1)
+    ids_seg, d_seg = run()  # 2-band segments
+    assert (ids_full >= 0).sum() > 1000
+    np.testing.assert_array_equal(ids_full, ids_seg)
+    np.testing.assert_array_equal(d_full, d_seg)
+
+
 def test_pallas_rejects_unaligned_chunk(scene_setup):
     setup, config = scene_setup
     with pytest.raises(ValueError, match="multiple of 128"):

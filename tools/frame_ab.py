@@ -45,10 +45,18 @@ def parse_variant(spec: str) -> dict:
 
 
 def main() -> int:
-    specs = sys.argv[1:] or ["tile_shape=64,128", "tile_shape=128,128"]
+    argv = sys.argv[1:]
+    preset, width, height, msaa = "sponza", 1920, 1080, 4
+    specs = []
+    for a in argv:  # --preset=X / --size=WxH ride alongside variant specs
+        if a.startswith("--preset="):
+            preset = a.split("=", 1)[1]
+        elif a.startswith("--size="):
+            width, height = (int(v) for v in a.split("=", 1)[1].split("x"))
+        else:
+            specs.append(a)
+    specs = specs or ["tile_shape=64,128", "tile_shape=128,128"]
     enable_persistent_cache()
-    preset = "sponza"
-    width, height, msaa = 1920, 1080, 4
     scene, meta, _aux = flatten_assets(build_preset(preset))
     position, direction = CAMERAS[preset]
     camera = Camera(position, direction,

@@ -166,6 +166,14 @@ def stream_perm(setup, chunk: int = 256, granularity: int = 16):
 
 WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 
+# Cap on ONE column-segment accumulator buffer (id + depth x layers).
+# Mosaic double-buffers output blocks against a 16 MB scoped-VMEM stack
+# (measured: 4K layers=1 full columns allocate 2 x 8.9 MB and fail to
+# compile), so a single buffer stays under 7 MB. Module-level so tests can
+# shrink it to exercise the segmented (1 < bands < tiles_y) path on small
+# framebuffers.
+_ACC_VMEM_BUDGET = 7 << 20
+
 # Trace-time diagnostic knob (tools/raster_bound_probe.py): "full" = the
 # production kernel; "one_edge" = per-triangle body reduced to a single
 # edge eval + select (isolates VPU work); "empty" = window loop runs but
@@ -221,11 +229,13 @@ def _raster_kernel(
 ):
     """Streaming raster kernel, y-major sample interleave + row windows.
 
-    bands > 1 is COLUMN-SUPERTILE mode: one grid program rasterizes a whole
-    column of `bands` vertically-stacked (tile_h, tile_w) tiles — output
-    refs gain a leading band dim ((bands, 1, rows, tw) blocks of the 4-D
-    x-major (tiles_y, tiles_x, rows, tw) output, a pure reshape away from
-    the (num_tiles, rows, tw) layout every consumer reads). The point:
+    bands > 1 is COLUMN-SUPERTILE mode: one grid program rasterizes a
+    column SEGMENT of `bands` vertically-stacked (tile_h, tile_w) tiles
+    (the whole column when the accumulator block fits _ACC_VMEM_BUDGET) —
+    output refs gain a leading band dim ((bands, 1, rows, tw) blocks of
+    the 4-D x-major (tiles_y, tiles_x, rows, tw) output, a pure reshape
+    away from the (num_tiles, rows, tw) layout every consumer reads). The
+    point:
     chunk hit lists, chunk DMAs, and the per-group scalar hoists amortize
     over the column instead of replaying per tile (a chunk spanning k
     column tiles was DMA'd and group-tested k times; visits measured ~2.7x
@@ -285,12 +295,9 @@ def _raster_kernel(
     rows_per_strip = rows // m
     win = min(window_rows, rows_per_strip)
 
-    if bands == 1:
-        tile_x0_i = tile_idx % tiles_x * tile_w
-        tile_y0_i = tile_idx // tiles_x * tile_h + params_ref[0]
-    else:  # column-supertile: program = tile column
-        tile_x0_i = tile_idx * tile_w
-        tile_y0_i = params_ref[0]
+    # program = one column segment of `bands` tiles (bands == 1: one tile)
+    tile_x0_i = tile_idx % tiles_x * tile_w
+    tile_y0_i = tile_idx // tiles_x * (bands * tile_h) + params_ref[0]
     tile_x0 = tile_x0_i.astype(jnp.float32)
     tile_y0 = tile_y0_i.astype(jnp.float32)
     tile_x1 = tile_x0 + float(tile_w)
@@ -733,15 +740,21 @@ def rasterize_pallas(
 
     if not 1 <= layers <= 4:
         raise ValueError(f"layers must be in 1..4, got {layers}")
-    # Column-supertile mode (kernel docstring): one program per tile
-    # COLUMN, so chunk hit lists / DMAs / scalar hoists amortize over
-    # tiles_y bands. Defaults on; capped by the column accumulator's VMEM
-    # footprint (id+depth per layer, double-buffered by Mosaic).
-    acc_bytes = tiles_y * rows * tw * 8 * layers
-    column_mode = columns if columns is not None else True
-    column_mode = bool(column_mode) and tiles_y > 1 and acc_bytes <= (24 << 20)
-    bands = tiles_y if column_mode else 1
-    num_bins = tiles_x if column_mode else num_tiles
+    # Column-supertile mode (kernel docstring): one program per COLUMN
+    # SEGMENT of `bands` vertically-stacked tiles, so chunk hit lists /
+    # DMAs / scalar hoists amortize over the segment. bands = the largest
+    # divisor of tiles_y whose (id + depth) accumulator block fits the
+    # scoped-VMEM budget: Mosaic double-buffers output blocks against a
+    # 16 MB scoped stack (measured: 4K layers=1 full columns allocate
+    # 2 x 8.9 MB and fail to compile), so cap a single buffer at 7 MB.
+    bands = 1
+    if (columns if columns is not None else True) and tiles_y > 1:
+        for d in range(2, tiles_y + 1):
+            if (tiles_y % d == 0
+                    and d * rows * tw * 8 * layers <= _ACC_VMEM_BUDGET):
+                bands = d
+    column_mode = bands > 1
+    num_bins = (tiles_y // bands) * tiles_x
 
     if sort not in ("morton", "static", "none"):
         raise ValueError(f"unknown sort mode {sort!r}")
@@ -822,19 +835,11 @@ def rasterize_pallas(
     # stream): each tile's kernel loop then touches ONLY its hit chunks, with
     # the next chunk's DMA prefetched while the current one rasterizes.
     y_off = jnp.asarray(y_offset, jnp.int32)
-    if column_mode:
-        # bins = tile columns: x-interval tests + the full-height y band
-        bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
-        t_x0 = (bin_ids * tw).astype(jnp.float32)[:, None]
-        t_y0 = jnp.broadcast_to(
-            y_off.astype(jnp.float32), (num_bins,)
-        )[:, None]
-        bin_h = tiles_y * th
-    else:
-        bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
-        t_x0 = ((bin_ids % tiles_x) * tw).astype(jnp.float32)[:, None]
-        t_y0 = ((bin_ids // tiles_x) * th + y_off).astype(jnp.float32)[:, None]
-        bin_h = th
+    # bins = column segments of `bands` tiles (bands == 1: plain tiles)
+    bin_h = bands * th
+    bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+    t_x0 = ((bin_ids % tiles_x) * tw).astype(jnp.float32)[:, None]
+    t_y0 = ((bin_ids // tiles_x) * bin_h + y_off).astype(jnp.float32)[:, None]
     overlap = (
         (chunk_bbox[0][None, :] < t_x0 + tw)
         & (chunk_bbox[2][None, :] > t_x0)
@@ -880,11 +885,14 @@ def rasterize_pallas(
 
     if column_mode:
         # 4-D x-major output (tiles_y, tiles_x, rows, tw): each program
-        # writes its column's bands as a (tiles_y, 1, rows, tw) block; the
+        # writes its segment's bands as a (bands, 1, rows, tw) block; the
         # (num_tiles, rows, tw) layout every consumer reads is then a pure
         # reshape (x-major tile order preserved bit-for-bit).
         out_specs = [
-            pl.BlockSpec((tiles_y, 1, rows, tw), lambda i, *_: (0, i, 0, 0))
+            pl.BlockSpec(
+                (bands, 1, rows, tw),
+                lambda i, *_: (i // tiles_x, i % tiles_x, 0, 0),
+            )
             for _ in range(2 * layers)
         ]
         out_shape = [
