@@ -12,6 +12,12 @@ the full gather+transpose(+reshape) program at production shapes:
   pool:  (400k, 128) vs (400k, 96) u16, 2.07M indices -> (W, nb, 128)
   table: (263k, 128) vs (263k, 112) u16, 2.07M indices -> (W, N)
 
+REVERSED at 4K: the 96-lane (non-128-multiple) pool operand drops off
+XLA's efficient gather path at 4K gather volume — production shade_final
+219 vs 64 ms (bit-equal; tools/pool_width4k_ab.py), while the 1080p
+production A/B is a wash (13.5 vs 13.7 ms). The pool stores 128 lanes
+again; rule: gather-operand minor dims stay multiples of 128.
+
     python tools/pool_width_ab.py
 """
 from __future__ import annotations

@@ -256,7 +256,7 @@ def shade_final_chunk(
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; W = 96 live of 128 lanes
+    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 96 live of W=128 lanes
     q1 = gather_rows(quad_pool, r1)
     qw = quad_pool.shape[1]
 

@@ -310,14 +310,15 @@ def build_material_pool(
     # count — tools/ab2 on v5e). The shade reads 8-bit channels straight
     # from the u16 halves.
     #
-    # The stored width is the 96 LIVE u16 lanes (2*BLOCK_U32; the 64-lane
-    # u32 pad exists only for pow2 build alignment): taps touch lanes <= 95
-    # even before window folding, the pool array's HBM/VMEM footprint is
-    # lane-padded to 128 either way, but the per-pixel gather+transpose
-    # output (W, N) is dense in W — 25% less phase-B boundary traffic,
-    # measured faster on all 5 interleaved reps (tools/pool_width_ab).
-    rows_u16 = rows.view(np.uint16).reshape(
-        rows.shape[0], 2 * ROW_U32)[:, :2 * BLOCK_U32]
+    # The stored width is the FULL 128 u16 lanes (2*ROW_U32), not the 96
+    # live ones: a 96-lane (non-128-multiple) gather operand silently
+    # drops off XLA's efficient gather path once the per-program gather
+    # volume grows — measured at 4K flythrough as shade_final 219 vs 64 ms
+    # (bit-equal, tools/pool_width4k_ab.py), a 3.4x stage regression the
+    # 1080p A/B that originally motivated 96 lanes could not see (96 vs
+    # 128 is a wash there, 13.5 vs 13.7 ms). Rule: keep every gather
+    # operand's minor dim a multiple of 128 lanes.
+    rows_u16 = rows.view(np.uint16).reshape(rows.shape[0], 2 * ROW_U32)
     return MaterialPool(
         quads=jnp.asarray(rows_u16),
         base_row=base_row,

@@ -64,7 +64,7 @@ class RenderScene:
     texture_pool: TexturePool
     # packed per-material texturing (ops.texture_pack / ops.shade_table):
     mat_meta: jnp.ndarray  # (M,6) f32: base_row,w0,levels,sampler codes x3
-    quad_pool: jnp.ndarray  # (P,96) u16 view of block-packed texels (texture_pack)
+    quad_pool: jnp.ndarray  # (P,128) u16 view of block-packed texels (texture_pack)
     # precomputed per-triangle tables (component-major, built once at flatten
     # so the per-frame shade-table build does no attribute/material gathers):
     tri_corner: jnp.ndarray  # (36,T) f32 object-space corner attrs (see below)
