@@ -45,7 +45,10 @@ def main() -> int:
     )(scene, vp, cam)
     setup = jax.tree.map(jax.block_until_ready, setup)
 
-    grid = [(256, 8), (512, 8), (256, 16), (512, 16), (1024, 8)]
+    # measured medians under columns (1080p sponza): (256,8) 24.9 wins;
+    # (512,8) 28.3, (256,16) 29.6, (1024,8) 30.2, (512,16) 32.1,
+    # (256,4) 26.6 — the (chunk, gs) axis is closed
+    grid = [(256, 8), (512, 8), (256, 16), (512, 16), (1024, 8), (256, 4)]
     fns, perms = {}, {}
     for ck, gs in grid:
         perms[ck] = jax.jit(
