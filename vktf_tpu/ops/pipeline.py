@@ -714,7 +714,12 @@ def render_frame(
         # into the raster/shade consumers blows up compile time (measured
         # minutes -> hours at 1080p); barriers keep stages separate.
         setup = jax.lax.optimization_barrier(setup)
-        tiled_resolve = config.shading_rate == "pixel" and config.msaa_samples > 1
+        # tile-layout pixel-rate path for ALL msaa counts: at S=1 the
+        # single sample IS the pixel center (SAMPLE_OFFSETS[1] = (0.5,
+        # 0.5)) and coverage frac is 0/1, so pixel-rate == sample-rate
+        # exactly — and the tiled two-phase shade is the fast path
+        # (duck 1080p 1xMSAA measured 23.5 -> ~9 ms, bench --all).
+        tiled_resolve = config.shading_rate == "pixel"
         with jax.named_scope("vktf.raster"):
             tri_id, depth = rasterize_pallas(
                 setup, ph, pw, tile_shape=config.tile_shape,
@@ -820,7 +825,12 @@ class PallasFrameProgram:
             interpret = jax.devices()[0].platform != "tpu"
         ph, pw = config.padded_height, config.padded_width
         height, width = config.height, config.width
-        tiled_resolve = config.shading_rate == "pixel" and config.msaa_samples > 1
+        # tile-layout pixel-rate path for ALL msaa counts: at S=1 the
+        # single sample IS the pixel center (SAMPLE_OFFSETS[1] = (0.5,
+        # 0.5)) and coverage frac is 0/1, so pixel-rate == sample-rate
+        # exactly — and the tiled two-phase shade is the fast path
+        # (duck 1080p 1xMSAA measured 23.5 -> ~9 ms, bench --all).
+        tiled_resolve = config.shading_rate == "pixel"
 
         def prepare(scene, view_projection, camera_position):
             setup, _bins, lights, _world, _inst = prepare_frame(
