@@ -196,3 +196,43 @@ def test_two_phase_shade_matches_single_stage(tmp_path):
     a = np.asarray(one(scene, vp, pos))
     b = np.asarray(two(scene, vp, pos))
     np.testing.assert_array_equal(a, b)
+
+
+def test_shade_pool_rowmajor_bit_identical(tmp_path):
+    """shade_pool_rowmajor feeds the fragment kernel the gathered pool rows
+    in the gather's natural row-major layout and transposes per block in
+    VMEM (tools/relayout_ab.py: XLA's HBM relayout copies cost ~1.76 ms per
+    tensor at 1080p volumes). The layout choice must never change a pixel:
+    both forms of the two-phase shade are asserted bit-identical."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import PallasFrameProgram, make_frame_fn
+
+    from helpers import build_scene, checker_png_bytes, default_camera
+
+    w = GltfWriter()
+    img = w.add_image_bytes(checker_png_bytes(), "image/png")
+    tex = w.add_texture(img, w.add_sampler())
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0),
+                         base_color_texture=tex, metallic_factor=0.2,
+                         roughness_factor=0.5)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(16, 24), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=4, shading_rate="pixel",
+                backend="pallas", pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    lane = make_frame_fn(meta, RenderConfig(shade_pool_rowmajor=False, **base))
+    rowm = make_frame_fn(meta, RenderConfig(shade_pool_rowmajor=True, **base))
+    assert isinstance(rowm, PallasFrameProgram) and rowm._two_phase
+    vp, pos = camera.view_projection_transform, camera.position
+    a = np.asarray(lane(scene, vp, pos))
+    b = np.asarray(rowm(scene, vp, pos))
+    np.testing.assert_array_equal(a, b)

@@ -132,6 +132,16 @@ class RenderConfig:
     # shade_resolve_fuse=1 vs =0).
     shade_resolve_fuse: bool = True
 
+    # Phase-B deferred shade (kernel impl): feed the two gathered texel-pool
+    # tensors to the fragment kernel ROW-MAJOR (the gather's natural layout)
+    # and transpose per block in VMEM, instead of XLA materializing an HBM
+    # relayout copy per tensor (measured 1.76 ms each at 1080p volumes,
+    # tools/relayout_ab.py; the in-kernel u16 transpose wins end-to-end by
+    # ~0.8 ms/tensor, tools/inkernel_transpose_ab.py). Output is
+    # bit-identical either way. None = auto (decided by frame-level A/B,
+    # tools/frame_ab.py shade_pool_rowmajor=0 vs =1).
+    shade_pool_rowmajor: Optional[bool] = None
+
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     clear_depth: float = 1.0
@@ -200,6 +210,27 @@ class RenderConfig:
         if tw == 128 and rows % 2 == 0 and (rows // 2) % min(win, rows // 2) == 0:
             return 2
         return 1
+
+    def resolved_pool_rowmajor(self) -> bool:
+        """Resolve shade_pool_rowmajor (None = auto).
+
+        Auto is ON for the compiled kernel path: the whole-frame A/B at
+        1080p Sponza 4xMSAA measured 47.4 vs 50.0 ms median (bit-identical
+        frames, maxdiff=0; tools/frame_ab.py shade_pool_rowmajor=1 vs =0),
+        and the saving scales with pixel count (the relayout copies it
+        removes are per-sample tensors). OFF in interpret mode: the Pallas
+        interpreter evaluates the per-block transpose without Mosaic's
+        transpose unit, so CI/CPU golden runs keep the XLA relayout form
+        (bit-equality of the two forms is pinned by
+        tests/test_pallas_pipeline.py::test_shade_pool_rowmajor_bit_identical)."""
+        if self.shade_pool_rowmajor is not None:
+            return self.shade_pool_rowmajor
+        interpret = self.pallas_interpret
+        if interpret is None:
+            import jax
+
+            interpret = jax.devices()[0].platform != "tpu"
+        return not interpret
 
     def resolved_backend(self) -> str:
         """Resolve "auto" against the live device (the device-capability

@@ -396,6 +396,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
                 camera_position, lights, frac=fracp[c],
                 background=background,
                 max_anisotropy=config.max_anisotropy, interpret=interpret,
+                pool_rowmajor=config.resolved_pool_rowmajor(),
             )
             for c in range(n_chunks)
         ]
@@ -417,6 +418,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
                 addr["ids"][i], addr["sx"][c], addr["sy"][c], quad_pool,
                 camera_position, lights,
                 max_anisotropy=config.max_anisotropy, interpret=interpret,
+                pool_rowmajor=config.resolved_pool_rowmajor(),
             )
             parts_rgb.append(rgb)
             parts_a.append(a)

@@ -45,7 +45,7 @@ from vktf_tpu.ops.shade_table import (
 
 def _shade_block_body(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
-    *, max_anisotropy: float, num_lights: int,
+    *, max_anisotropy: float, num_lights: int, pool_rowmajor: bool = False,
 ):
     """One block of samples: gathered rows in, (rgb 3-tuple, alpha) out.
 
@@ -70,6 +70,18 @@ def _shade_block_body(
     sx = sx_ref[...]
     sy = sy_ref[...]
     covered = tri_ref[...] >= 0
+
+    if pool_rowmajor:
+        # The gathered pool rows arrive ROW-MAJOR ((block, qw) u16, the
+        # gather's natural layout) and are transposed HERE, in VMEM —
+        # cheaper than XLA's phase-boundary HBM relayout copy (measured
+        # 1.76 ms/tensor at 2.09M rows, tools/relayout_ab.py; in-kernel
+        # u16 transpose wins the end-to-end A/B by ~0.8 ms/tensor,
+        # tools/inkernel_transpose_ab.py — u32-pair transposes are 4x
+        # worse, form c there).
+        qw = q0_ref.shape[1]
+        q0_ref = q0_ref[...].T.reshape(qw, *sx.shape)
+        q1_ref = q1_ref[...].T.reshape(qw, *sx.shape)
 
     # in-block window addressing (recomputes the row indices the host used
     # for the gathers; only (cx, cy) are consumed here)
@@ -129,12 +141,14 @@ def _shade_block_body(
 def _shade_layer_kernel(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
     out_ref, *, max_anisotropy: float, num_lights: int,
+    pool_rowmajor: bool = False,
 ):
     """Layer form: out (4, 8, 128) f32 = (rgb linear, effective alpha) for
     the host-side K-layer composite (pallas_shade_final_tiled layers > 1)."""
     rgb, alpha = _shade_block_body(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
+        pool_rowmajor=pool_rowmajor,
     )
     out_ref[0] = rgb[0]
     out_ref[1] = rgb[1]
@@ -145,6 +159,7 @@ def _shade_layer_kernel(
 def _shade_resolve_kernel(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
     lights_ref, out_ref, *, max_anisotropy: float, num_lights: int,
+    pool_rowmajor: bool = False,
 ):
     """Single-layer form: composite over the background, MSAA-coverage
     resolve, sRGB encode, and u8 quantization ALL inside the kernel; out is
@@ -162,6 +177,7 @@ def _shade_resolve_kernel(
     rgb, alpha = _shade_block_body(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
+        pool_rowmajor=pool_rowmajor,
     )
     frac = frac_ref[...]
     packed = jnp.zeros_like(tri_ref[...])
@@ -234,6 +250,7 @@ def shade_final_chunk(
     block: int = 1024,
     frac=None,
     background=None,
+    pool_rowmajor: bool = False,
 ):
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
@@ -281,8 +298,15 @@ def shade_final_chunk(
 
     nb = n_pad // 128
     colsb = pad_last(cols).reshape(2 * ROW, nb, 128)
-    q0b = pad_first(q0).T.reshape(qw, nb, 128)
-    q1b = pad_first(q1).T.reshape(qw, nb, 128)
+    if pool_rowmajor:
+        # keep the gather's natural (N, qw) layout; the kernel transposes
+        # per block in VMEM (see _shade_block_body) instead of XLA paying
+        # an HBM relayout copy per tensor (tools/relayout_ab.py)
+        q0b = pad_first(q0)
+        q1b = pad_first(q1)
+    else:
+        q0b = pad_first(q0).T.reshape(qw, nb, 128)
+        q1b = pad_first(q1).T.reshape(qw, nb, 128)
 
     grid = (n_pad // block,)
     bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
@@ -296,14 +320,19 @@ def shade_final_chunk(
         _shade_resolve_kernel if resolve else _shade_layer_kernel,
         max_anisotropy=max_anisotropy,
         num_lights=num_lights,
+        pool_rowmajor=pool_rowmajor,
     )
+    if pool_rowmajor:
+        pool_spec = pl.BlockSpec((block, qw), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        pool_spec = pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((2 * ROW, bb, 128), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
+        pool_spec,
+        pool_spec,
         px_spec(),
         px_spec(),
         px_spec(),
