@@ -236,3 +236,102 @@ def test_shade_pool_rowmajor_bit_identical(tmp_path):
     a = np.asarray(lane(scene, vp, pos))
     b = np.asarray(rowm(scene, vp, pos))
     np.testing.assert_array_equal(a, b)
+
+
+def test_shade_attrs_boundary_bit_identical(tmp_path):
+    """shade_attrs_boundary ships per-pixel INTERPOLATED fragment attrs
+    across the two-phase shade boundary instead of raw table columns
+    (ops.shade_kernel.shade_attrs_chunk). A measured dead end as the
+    default (config.py note: slower on hardware, and Mosaic's FMA
+    contraction of the plane math differs from XLA's by 1 u8 step at
+    scattered pixels there) — this test pins the SEMANTIC equivalence in
+    interpret mode, where both boundaries evaluate the same helper
+    expressions and must be bit-identical."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import PallasFrameProgram, make_frame_fn
+
+    from helpers import build_scene, checker_png_bytes, default_camera
+
+    w = GltfWriter()
+    img = w.add_image_bytes(checker_png_bytes(), "image/png")
+    tex = w.add_texture(img, w.add_sampler())
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0),
+                         base_color_texture=tex, metallic_factor=0.2,
+                         roughness_factor=0.5)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(16, 24), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=4, shading_rate="pixel",
+                backend="pallas", pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    cols = make_frame_fn(meta, RenderConfig(shade_attrs_boundary=False, **base))
+    attrs = make_frame_fn(meta, RenderConfig(shade_attrs_boundary=True, **base))
+    assert isinstance(attrs, PallasFrameProgram) and attrs._two_phase
+    vp, pos = camera.view_projection_transform, camera.position
+    a = np.asarray(cols(scene, vp, pos))
+    b = np.asarray(attrs(scene, vp, pos))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_raster_safe_slim_bit_identical(tmp_path):
+    """The safe-group slim raster body (stream row 19: statically-proven
+    w/depth-range tests dropped per group) must be bit-identical to the
+    full-test body — including near-plane CROSSER triangles, which must
+    route to the full body (vertex.py "safe" margin proof)."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.mathx import Camera, ViewFrustumParams
+    from vktf_tpu.ops import raster_pallas as rp
+    from vktf_tpu.ops.pipeline import prepare_frame
+
+    from helpers import build_scene
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0))
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.7, 10, 14),
+                                   material=mat)),
+        # a large ground plane the camera sits just above, crossing the
+        # near plane in view -> exercises the crosser (full-test) body
+        w.add_node(mesh=w.add_mesh(plane_mesh(60.0, segments=4),
+                                   material=mat),
+                   translation=(0.0, -0.2, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = Camera((0.0, 0.1, 2.0), (0.0, -0.05, -1.0),
+                    ViewFrustumParams(np.pi / 4, 2.0, 0.1, 1.0e6))
+    config = RenderConfig(width=128, height=64, msaa_samples=2,
+                          backend="pallas", pallas_interpret=True,
+                          tile_shape=(32, 64), pallas_chunk=128)
+    import jax
+
+    setup = jax.jit(
+        lambda s, v, c: prepare_frame(s, v, c, meta=meta, config=config)[0]
+    )(scene, camera.view_projection_transform, camera.position)
+    safe = np.asarray(setup["safe"])
+    valid = np.asarray(setup["valid"])
+    assert (safe & valid).any(), "expected some statically-safe triangles"
+    assert (~safe & valid).any(), "expected some full-test (crosser) triangles"
+
+    outs = []
+    for flag in (False, True):
+        old = rp._SAFE_SLIM
+        rp._SAFE_SLIM = flag
+        try:
+            out = rp.rasterize_pallas(
+                setup, 64, 128, tile_shape=(32, 64), msaa_samples=2,
+                chunk=128, interpret=True, sort="morton")
+        finally:
+            rp._SAFE_SLIM = old
+        outs.append(tuple(np.asarray(o) for o in out))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])

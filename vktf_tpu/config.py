@@ -132,6 +132,22 @@ class RenderConfig:
     # shade_resolve_fuse=1 vs =0).
     shade_resolve_fuse: bool = True
 
+    # Two-program deferred shade (split-stage kernel path): ship per-pixel
+    # INTERPOLATED fragment attrs across the phase boundary instead of raw
+    # transposed table columns (ops.shade_kernel.shade_attrs_chunk). Phase A
+    # evaluates planes/addressing once per pixel; the boundary halves
+    # (256 B/px u16 columns -> 128 B/px f32 attrs) and the phase-B fragment
+    # kernel drops all plane math. MEASURED AND REJECTED as the default
+    # (frame_ab 1080p Sponza: 49.7-50.0 vs 45.5 ms — phase A's ~30 extra
+    # per-pixel output rows cost more XLA fusion-boundary HBM passes over
+    # the (2*ROW, N) gather result than the slimmer boundary saves), and on
+    # REAL hardware the frames differ by 1 u8 step at scattered pixels
+    # (Mosaic contracts the plane FMAs differently than XLA; interpret mode
+    # is bit-equal — tests/test_pallas_pipeline.py pins that semantic
+    # equivalence). None = auto (off). Kept so the A/B stays runnable:
+    # python tools/frame_ab.py shade_attrs_boundary=0 shade_attrs_boundary=1
+    shade_attrs_boundary: Optional[bool] = None
+
     # Phase-B deferred shade (kernel impl): feed the two gathered texel-pool
     # tensors to the fragment kernel ROW-MAJOR (the gather's natural layout)
     # and transpose per block in VMEM, instead of XLA materializing an HBM
@@ -210,6 +226,13 @@ class RenderConfig:
         if tw == 128 and rows % 2 == 0 and (rows // 2) % min(win, rows // 2) == 0:
             return 2
         return 1
+
+    def resolved_attrs_boundary(self) -> bool:
+        """Resolve shade_attrs_boundary (None = auto: off until the
+        hardware A/B decides; tools/attrs_boundary_ab.py)."""
+        if self.shade_attrs_boundary is not None:
+            return self.shade_attrs_boundary
+        return False
 
     def resolved_pool_rowmajor(self) -> bool:
         """Resolve shade_pool_rowmajor (None = auto).

@@ -324,8 +324,9 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
     time; HBM row gathers measured 6.6x slower). Returns the phase-boundary
     pytree consumed by pallas_shade_final_tiled.
     """
-    from vktf_tpu.ops.shade_kernel import shade_addr_chunk
+    from vktf_tpu.ops.shade_kernel import shade_addr_chunk, shade_attrs_chunk
 
+    attrs_mode = config.resolved_attrs_boundary()
     ids = tri_id if tri_id.ndim == 4 else tri_id[None]
     deps = depth if depth.ndim == 4 else depth[None]
     layers = ids.shape[0]
@@ -342,7 +343,8 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
     for l in range(layers):
         idp = _flat_pad_chunks(id_px[l], n_px, shade_chunk, n_pad, fill=-1)
         for tri_c, sx_c, sy_c in zip(idp, sxp, syp):
-            trow, r0, r1 = shade_addr_chunk(
+            chunk_fn = shade_attrs_chunk if attrs_mode else shade_addr_chunk
+            trow, r0, r1 = chunk_fn(
                 tri_c, sx_c, sy_c, table,
                 max_anisotropy=config.max_anisotropy,
             )
@@ -354,6 +356,9 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
         ids=tuple(ids_p),      # L*n_chunks x (chunk,) i32
         trow=tuple(trows),     # L*n_chunks x (2*ROW, chunk) u16 (transposed
                                # table rows, hi/lo halves; shade_addr_chunk)
+                               # — or (ATTR_PAD, chunk) f32 interpolated
+                               # attr rows when config.shade_attrs_boundary
+                               # (shade_attrs_chunk)
         r0=tuple(r0s),         # L*n_chunks x (chunk,) i32
         r1=tuple(r1s),
         sx=tuple(sxp),         # n_chunks x (chunk,) f32
@@ -368,8 +373,12 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
     composite + resolve. Its only gather operand is the quad pool, which
     XLA stages into VMEM. Bit-identical to pallas_shade_resolve_tiled's
     kernel path (same math, same chunking)."""
-    from vktf_tpu.ops.shade_kernel import shade_final_chunk
+    from vktf_tpu.ops.shade_kernel import (
+        shade_final_attrs_chunk,
+        shade_final_chunk,
+    )
 
+    attrs_mode = config.resolved_attrs_boundary()
     interpret = config.pallas_interpret
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -379,6 +388,22 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
     n_chunks = n_pad // shade_chunk
     layers = len(addr["ids"]) // n_chunks
     background = jnp.asarray(config.clear_color, jnp.float32)
+
+    def final_chunk(i, c, **kw):
+        if attrs_mode:
+            return shade_final_attrs_chunk(
+                addr["trow"][i], addr["r0"][i], addr["r1"][i],
+                addr["ids"][i], quad_pool, camera_position, lights,
+                interpret=interpret,
+                pool_rowmajor=config.resolved_pool_rowmajor(), **kw,
+            )
+        return shade_final_chunk(
+            addr["trow"][i], addr["r0"][i], addr["r1"][i],
+            addr["ids"][i], addr["sx"][c], addr["sy"][c], quad_pool,
+            camera_position, lights,
+            max_anisotropy=config.max_anisotropy, interpret=interpret,
+            pool_rowmajor=config.resolved_pool_rowmajor(), **kw,
+        )
 
     if layers == 1 and config.shade_resolve_fuse:
         # single-layer fast path: composite + coverage resolve + sRGB u8
@@ -390,14 +415,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
         # (53-54 vs 75 ms whole-frame in that session's tunnel state).
         fracp = _flat_pad_chunks(frac, n_px, shade_chunk, n_pad)
         parts = [
-            shade_final_chunk(
-                addr["trow"][c], addr["r0"][c], addr["r1"][c],
-                addr["ids"][c], addr["sx"][c], addr["sy"][c], quad_pool,
-                camera_position, lights, frac=fracp[c],
-                background=background,
-                max_anisotropy=config.max_anisotropy, interpret=interpret,
-                pool_rowmajor=config.resolved_pool_rowmajor(),
-            )
+            final_chunk(c, c, frac=fracp[c], background=background)
             for c in range(n_chunks)
         ]
         packed = jnp.concatenate(parts) if n_chunks > 1 else parts[0]
@@ -413,13 +431,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
         parts_rgb, parts_a = [], []
         for c in range(n_chunks):
             i = l * n_chunks + c
-            rgb, a, _covered = shade_final_chunk(
-                addr["trow"][i], addr["r0"][i], addr["r1"][i],
-                addr["ids"][i], addr["sx"][c], addr["sy"][c], quad_pool,
-                camera_position, lights,
-                max_anisotropy=config.max_anisotropy, interpret=interpret,
-                pool_rowmajor=config.resolved_pool_rowmajor(),
-            )
+            rgb, a, _covered = final_chunk(i, c)
             parts_rgb.append(rgb)
             parts_a.append(a)
         rgb = jnp.concatenate(parts_rgb, axis=1) if n_chunks > 1 else parts_rgb[0]

@@ -49,7 +49,11 @@ from vktf_tpu.ops.raster_xla import BACKGROUND, SAMPLE_OFFSETS
 #         in-kernel cost ~6 scalar-unit ops per (edge, triangle, window) —
 #         measured HALF the kernel time (the scalar unit, not the VPU, was
 #         the bottleneck).
-#  19..23 zero padding (HBM->SMEM DMA slices need 8-aligned row counts)
+#  19     per-GROUP slim-body flag (1.0 = every group member's per-sample
+#         w_recip/depth-range tests provably pass inside the triangle —
+#         vertex.py triangle-setup "safe" — so the kernel's slim window
+#         body drops them; reduced group-uniform in rasterize_pallas)
+#  20..23 zero padding (HBM->SMEM DMA slices need 8-aligned row counts)
 TRI_ROWS = 24
 
 
@@ -96,6 +100,16 @@ def pack_tri_data(setup, perm=None, id_base=0):
         a, b = edge[:, i, 0], edge[:, i, 1]
         tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
         rows.append(jnp.where(tl, -1.0, 0.0))
+    # row 19: slim-body safety (vertex.py triangle setup "safe": the
+    # per-sample w/depth-range tests provably cannot fire). Invalid
+    # triangles don't constrain their group (they never pass the hit test),
+    # so they read as safe. rasterize_pallas reduces this to a per-GROUP
+    # flag after the stream permutation.
+    safe = setup.get("safe") if _SAFE_SLIM else None
+    if safe is None:
+        rows.append(jnp.zeros_like(rows[0]))  # no flag -> full-test body
+    else:
+        rows.append(jnp.where(safe | ~valid, 1.0, 0.0))
     zero = jnp.zeros_like(rows[0])
     while len(rows) < TRI_ROWS:
         rows.append(zero)
@@ -189,6 +203,13 @@ _PROBE_BODY = "full"
 # window-loop pipelining already hides the skippable work and the cond
 # disrupts as much as it saves. Default off; kept for re-measurement.
 _SKIP_EMPTY_WINDOWS = False
+
+# Trace-time A/B switch (tools/raster_safe_ab.py): route setup's "safe"
+# flag into stream row 19 so groups of statically-proven triangles take the
+# slim window body (no per-sample w/depth-range tests). False forces the
+# full-test body everywhere (row 19 = 0). Output is bit-identical either
+# way; default on (measured win, see config.py raster notes).
+_SAFE_SLIM = True
 
 # Trace-time A/B switch (tools/binning_frame_ab.py): the keyed-sort
 # hit-list construction (sort(where(hit, chunk_id, INT_MAX)) — half the
@@ -388,8 +409,15 @@ def _raster_kernel(
                 & (gy1 > tile_y0)
             )
 
-            @pl.when(group_hit)
-            def _():
+            # slim-body flag (stream row 19, group-uniform): every member's
+            # per-sample w_recip/depth-range tests provably pass inside the
+            # triangle (vertex.py "safe"), so the window body drops them —
+            # ~20% fewer vector ops on the overwhelmingly-common path, bit-
+            # identical output. Two pl.when branches trace two bodies; only
+            # one executes per group visit.
+            gsafe = data_smem[slot, 19, k0] > 0.0
+
+            def run_group(slim):
                 # band range of the group within this program's footprint
                 # (bands == 1: the single tile). A band is hit iff
                 # gy0 < band_y1 and gy1 > band_y0 (strict, matching
@@ -435,7 +463,13 @@ def _raster_kernel(
                     consts = (
                         tx0, tx1, ty0, ty1, vld,
                         [data_smem[slot, r, kk] for r in range(9)],
-                        [data_smem[slot, r, kk] for r in range(9, 15)],
+                        # slim body needs only the depth plane (rows 9-11);
+                        # skipping the w-plane SMEM reads saves 3 scalar
+                        # loads per (triangle, group visit)
+                        [
+                            data_smem[slot, r, kk]
+                            for r in range(9, 12 if slim else 15)
+                        ],
                         data_smem[slot, 15, kk].astype(jnp.int32),
                         [
                             data_smem[slot, r, kk].astype(jnp.int32)
@@ -592,23 +626,33 @@ def _raster_kernel(
                             & edge_pass(ed[6], ed[7], ed[8], thrs[2])
                         )
                         depth = zw_c[0] * dxx + zw_c[1] * dyy + zw_c[2]
-                        w_recip = zw_c[3] * dxx + zw_c[4] * dyy + zw_c[5]
-                        # 0 <= depth <= 1 as ONE unsigned compare: negative
-                        # f32 bitcasts above 0x8000_0000, so u32(depth) <=
-                        # u32(1.0f) is exactly the float range test (exact
-                        # zeros are +0 per pack_tri_data normalization).
-                        depth_u = jax.lax.bitcast_convert_type(
-                            depth, jnp.uint32
-                        )
-                        # lexicographic (depth, draw-order id): the stream
-                        # is Morton-reordered, so strict-less alone would
-                        # change who wins exact-depth ties
-                        base_ok = (
-                            hit
-                            & inside
-                            & (w_recip > 0.0)
-                            & (depth_u <= jnp.uint32(0x3F800000))
-                        )
+                        if slim:
+                            # group-safe: w_recip > 0 and depth-in-[0,1]
+                            # hold at every covered sample by the setup's
+                            # margin proof (vertex.py "safe") — the tests
+                            # are dropped, output unchanged.
+                            base_ok = hit & inside
+                        else:
+                            w_recip = (
+                                zw_c[3] * dxx + zw_c[4] * dyy + zw_c[5]
+                            )
+                            # 0 <= depth <= 1 as ONE unsigned compare:
+                            # negative f32 bitcasts above 0x8000_0000, so
+                            # u32(depth) <= u32(1.0f) is exactly the float
+                            # range test (exact zeros are +0 per
+                            # pack_tri_data normalization).
+                            depth_u = jax.lax.bitcast_convert_type(
+                                depth, jnp.uint32
+                            )
+                            # lexicographic (depth, draw-order id): the
+                            # stream is Morton-reordered, so strict-less
+                            # alone would change who wins exact-depth ties
+                            base_ok = (
+                                hit
+                                & inside
+                                & (w_recip > 0.0)
+                                & (depth_u <= jnp.uint32(0x3F800000))
+                            )
 
                         # depth peel: branchless insertion into the sorted
                         # K-layer list — bubble the candidate down, layers it
@@ -650,6 +694,14 @@ def _raster_kernel(
                         return 0
 
                     jax.lax.fori_loop(0, ns, strip_step, 0, unroll=False)
+
+            @pl.when(group_hit & gsafe)
+            def _():
+                run_group(True)
+
+            @pl.when(group_hit & jnp.logical_not(gsafe))
+            def _():
+                run_group(False)
 
             return 0
 
@@ -768,8 +820,9 @@ def rasterize_pallas(
     tri_data = pack_tri_data(setup, None, id_base=id_base)
     tri_data = _pad_cols(tri_data, chunk)
     t_pad = tri_data.shape[1]
-    if t_pad > num_tris:  # mark stream padding invalid (id row < 0)
+    if t_pad > num_tris:  # mark stream padding invalid (id row < 0), safe
         tri_data = tri_data.at[15, num_tris:].set(-1.0)
+        tri_data = tri_data.at[19, num_tris:].set(1.0)
     n_chunks = t_pad // chunk
 
     valid = setup["valid"]
@@ -810,6 +863,13 @@ def rasterize_pallas(
         perm = jnp.argsort(key)
         tri_data = tri_data[:, perm]
         bbox_rows = bbox_rows[:, perm]
+
+    # row 19 -> per-GROUP slim-body flag (AND over the group, on the FINAL
+    # stream order): the kernel branches once per group visit, so the flag
+    # must be group-uniform. Stream padding was marked safe above (id < 0
+    # rows never pass the hit test), so tail groups still take the slim body.
+    gsafe = tri_data[19].reshape(t_pad // group_size, group_size).min(axis=1)
+    tri_data = tri_data.at[19].set(jnp.repeat(gsafe, group_size))
 
     def _group_rows(rows4):  # (4, Tp) -> (4, Tp) per-group bbox, repeated
         tp = rows4.shape[1]

@@ -35,10 +35,18 @@ import jax
 import jax.numpy as jnp
 
 from vktf_tpu.ops.shade_table import (
+    ATTR_PAD,
+    ATTR_ROWS,
+    A_CX0,
+    A_CY0,
+    A_CX1,
+    A_CY1,
     ROW,
+    compute_fragment_attrs,
     gather_rows,
     pool_row_indices,
     pool_window_addr,
+    shade_from_attrs,
     shade_gathered,
 )
 
@@ -156,31 +164,14 @@ def _shade_layer_kernel(
     out_ref[3] = alpha
 
 
-def _shade_resolve_kernel(
-    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
-    lights_ref, out_ref, *, max_anisotropy: float, num_lights: int,
-    pool_rowmajor: bool = False,
-):
-    """Single-layer form: composite over the background, MSAA-coverage
-    resolve, sRGB encode, and u8 quantization ALL inside the kernel; out is
-    (1, 8, 128) i32 = packed r | g<<8 | b<<16.
-
-    Exists because the layers==1 tail (composite + frac resolve + sRGB +
-    quantize) as XLA ops costs a measured ~1.5 ms of pure HBM passes over
-    (4, n_px) f32 intermediates (tools/shade_phase_probe) — here the same
-    formulas run on the (8, 128) VMEM tiles the fragment math already
-    holds, and the phase-B output shrinks 33 MB f32 -> 8 MB i32. Formula
-    order matches pallas_shade_final_tiled's XLA tail exactly (composite
-    over background, then frac resolve, then pipeline.linear_to_srgb_u8's
-    encode). cam row 1 carries the background RGB.
-    """
-    rgb, alpha = _shade_block_body(
-        cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
-        lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
-        pool_rowmajor=pool_rowmajor,
-    )
-    frac = frac_ref[...]
-    packed = jnp.zeros_like(tri_ref[...])
+def _resolve_pack(rgb, alpha, frac, cam_ref, tri_i32):
+    """Composite over the background, MSAA-coverage resolve, sRGB encode,
+    and u8 quantization on in-VMEM tiles; returns packed i32 r|g<<8|b<<16.
+    Formula order matches pallas_shade_final_tiled's XLA tail exactly
+    (composite over background, then frac resolve, then
+    pipeline.linear_to_srgb_u8's encode). cam row 1 carries the background
+    RGB."""
+    packed = jnp.zeros_like(tri_i32)
     for c in range(3):
         bg = cam_ref[1, c]
         comp = rgb[c] * alpha + bg * (1.0 - alpha)
@@ -191,7 +182,95 @@ def _shade_resolve_kernel(
                          1.055 * jnp.power(v, 1.0 / 2.4) - 0.055)
         u8 = (srgb * 255.0 + 0.5).astype(jnp.int32)
         packed = packed | (u8 << (8 * c))
-    out_ref[0] = packed
+    return packed
+
+
+def _shade_resolve_kernel(
+    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
+    lights_ref, out_ref, *, max_anisotropy: float, num_lights: int,
+    pool_rowmajor: bool = False,
+):
+    """Single-layer form: the _resolve_pack tail runs INSIDE the kernel;
+    out is (1, 8, 128) i32 packed bytes.
+
+    Exists because the layers==1 tail (composite + frac resolve + sRGB +
+    quantize) as XLA ops costs a measured ~1.5 ms of pure HBM passes over
+    (4, n_px) f32 intermediates (tools/shade_phase_probe) — here the same
+    formulas run on the (8, 128) VMEM tiles the fragment math already
+    holds, and the phase-B output shrinks 33 MB f32 -> 8 MB i32.
+    """
+    rgb, alpha = _shade_block_body(
+        cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
+        lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
+        pool_rowmajor=pool_rowmajor,
+    )
+    out_ref[0] = _resolve_pack(rgb, alpha, frac_ref[...], cam_ref,
+                               tri_ref[...])
+
+
+def _attrs_block_body(
+    attrs_ref, q0_ref, q1_ref, tri_ref, cam_ref, lights_ref,
+    *, num_lights: int, pool_rowmajor: bool = False,
+):
+    """Attrs-boundary block body: per-pixel interpolated attr rows arrive
+    as (ATTR_PAD, 8, 128) f32 (shade_table.compute_fragment_attrs ran in
+    phase A), so this kernel does NO table-column reconstruction, plane
+    evaluation, or pool addressing — just the window fold, filtering, and
+    the BRDF (shade_table.shade_from_attrs). Pool-row handling matches
+    _shade_block_body."""
+    def arow(i):
+        return attrs_ref[i]  # (8, 128) f32
+
+    covered = tri_ref[...] >= 0
+    if pool_rowmajor:
+        qw = q0_ref.shape[1]
+        q0_ref = q0_ref[...].T.reshape(qw, *covered.shape)
+        q1_ref = q1_ref[...].T.reshape(qw, *covered.shape)
+
+    def make_quad(q_ref, cxb, cyb):
+        def quad(slot, k):
+            a = q_ref[k].astype(jnp.int32)
+            b = q_ref[k + 2].astype(jnp.int32)
+            c = q_ref[k + 8].astype(jnp.int32)
+            d = q_ref[k + 10].astype(jnp.int32)
+            return jnp.where(cyb, jnp.where(cxb, d, c),
+                             jnp.where(cxb, b, a))
+
+        return quad
+
+    quad0 = make_quad(q0_ref, arow(A_CX0) != 0.0, arow(A_CY0) != 0.0)
+    quad1 = make_quad(q1_ref, arow(A_CX1) != 0.0, arow(A_CY1) != 0.0)
+    cam3 = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    lights = [
+        tuple(lights_ref[i, j] for j in range(8)) for i in range(num_lights)
+    ]
+    return shade_from_attrs(arow, quad0, quad1, cam3, lights, covered)
+
+
+def _attrs_layer_kernel(
+    attrs_ref, q0_ref, q1_ref, tri_ref, cam_ref, lights_ref, out_ref,
+    *, num_lights: int, pool_rowmajor: bool = False,
+):
+    rgb, alpha = _attrs_block_body(
+        attrs_ref, q0_ref, q1_ref, tri_ref, cam_ref, lights_ref,
+        num_lights=num_lights, pool_rowmajor=pool_rowmajor,
+    )
+    out_ref[0] = rgb[0]
+    out_ref[1] = rgb[1]
+    out_ref[2] = rgb[2]
+    out_ref[3] = alpha
+
+
+def _attrs_resolve_kernel(
+    attrs_ref, q0_ref, q1_ref, tri_ref, frac_ref, cam_ref, lights_ref,
+    out_ref, *, num_lights: int, pool_rowmajor: bool = False,
+):
+    rgb, alpha = _attrs_block_body(
+        attrs_ref, q0_ref, q1_ref, tri_ref, cam_ref, lights_ref,
+        num_lights=num_lights, pool_rowmajor=pool_rowmajor,
+    )
+    out_ref[0] = _resolve_pack(rgb, alpha, frac_ref[...], cam_ref,
+                               tri_ref[...])
 
 
 def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
@@ -233,6 +312,146 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
 
     r0, r1 = pool_row_indices(colx, sx, sy, max_anisotropy, slot=0)
     return trowT, r0, r1
+
+
+def shade_attrs_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
+    """Phase A of the ATTRS-boundary two-phase shade: table gather +
+    addressing + full per-pixel interpolation.
+
+    Like shade_addr_chunk (same table row gather, staged in VMEM by this
+    program), but instead of shipping the raw transposed table columns
+    across the phase boundary it evaluates EVERYTHING phase B needs per
+    pixel (shade_table.compute_fragment_attrs): footprint fractions, window
+    fold cases, mip lerp, interpolated world pos / normal / tangent, and
+    the material factors. The boundary shrinks (2*ROW, N) u16 = 256 B/px
+    -> (ATTR_PAD, N) f32 = 128 B/px, and the phase-B kernel loses all
+    plane/addressing math. Per-pixel values are computed by the SAME
+    helper expressions as the column path, so downstream results are
+    bit-identical (pinned by tests).
+    """
+    t = jnp.maximum(tri_id, 0)
+    trow = gather_rows(table, t)  # (N, 2*ROW) u16
+    trowT = trow.T  # fuses into the gather (shade_addr_chunk docstring)
+
+    def colx(c):
+        hi = trowT[c].astype(jnp.uint32) << 16
+        lo = trowT[ROW + c].astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N,)
+
+    rows, r0, r1 = compute_fragment_attrs(colx, sx, sy, max_anisotropy)
+    rows += [jnp.zeros_like(rows[0])] * (ATTR_PAD - ATTR_ROWS)
+    return jnp.stack(rows, axis=0), r0, r1  # (ATTR_PAD, N) f32
+
+
+def shade_final_attrs_chunk(
+    attrs,
+    r0,
+    r1,
+    tri_id,
+    quad_pool,
+    camera_position,
+    lights,
+    interpret: bool = False,
+    block: int = 1024,
+    frac=None,
+    background=None,
+    pool_rowmajor: bool = False,
+):
+    """Phase B of the ATTRS-boundary two-phase shade: pool gathers + the
+    attrs fragment kernel. Mirrors shade_final_chunk (same output forms,
+    same pool staging) minus the table columns and sx/sy — the attrs rows
+    carry everything else."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = tri_id.shape[0]
+    covered = tri_id >= 0
+    q0 = gather_rows(quad_pool, r0)  # (N, W) u16
+    q1 = gather_rows(quad_pool, r1)
+    qw = quad_pool.shape[1]
+
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+
+    def pad_last(x):
+        if pad:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+        return x
+
+    def pad_first(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x
+
+    lights = jnp.asarray(lights, jnp.float32).reshape(-1, 8)
+    num_lights = lights.shape[0]
+    cam = jnp.zeros((2, 4), jnp.float32).at[0, :3].set(camera_position)
+    if background is not None:
+        cam = cam.at[1, :3].set(jnp.asarray(background, jnp.float32)[:3])
+
+    nb = n_pad // 128
+    attrsb = pad_last(attrs).reshape(ATTR_PAD, nb, 128)
+    if pool_rowmajor:
+        q0b = pad_first(q0)
+        q1b = pad_first(q1)
+    else:
+        q0b = pad_first(q0).T.reshape(qw, nb, 128)
+        q1b = pad_first(q1).T.reshape(qw, nb, 128)
+
+    grid = (n_pad // block,)
+    bb = block // 128
+
+    def px_spec():
+        return pl.BlockSpec((bb, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    resolve = frac is not None
+    kernel = functools.partial(
+        _attrs_resolve_kernel if resolve else _attrs_layer_kernel,
+        num_lights=num_lights,
+        pool_rowmajor=pool_rowmajor,
+    )
+    if pool_rowmajor:
+        pool_spec = pl.BlockSpec((block, qw), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        pool_spec = pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((ATTR_PAD, bb, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pool_spec,
+        pool_spec,
+        px_spec(),
+    ]
+    args = [attrsb, q0b, q1b, pad_first(tri_id).reshape(nb, 128)]
+    if resolve:
+        in_specs.append(px_spec())
+        args.append(pad_first(frac).reshape(nb, 128))
+    in_specs += [
+        pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_lights, 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [cam, lights]
+
+    out_ch = 1 if resolve else 4
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_ch, bb, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_ch, nb, 128), jnp.int32 if resolve else jnp.float32),
+        interpret=interpret,
+    )(*args)
+    if resolve:
+        return out.reshape(n_pad)[:n]
+    out = out.reshape(4, n_pad)
+    rgb = out[:3, :n]
+    alpha = out[3, :n]
+    return rgb, alpha, covered
 
 
 def shade_final_chunk(

@@ -482,38 +482,18 @@ def _filter_slot(quad, slot, fx, fy, srgb):
     return (chan(0, srgb), chan(8, srgb), chan(16, srgb), chan(24, False))
 
 
-def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
-                   covered):
-    """Everything after the table + pool gathers (the fragment shader body).
-
-    col is a table-column accessor (see _anchored_attrs); quad0/quad1 are
-    (slot, lane) accessors over the gathered AND fold_window-rotated pool
-    rows for mip level l0/l1 — the caller decides whether the three slots
-    share one gathered row (identical samplers) or have their own (mixed
-    samplers). cam3 is a 3-tuple of camera-position scalars. Returns
-    (rgb 3-tuple, alpha) of vectors shaped like col's outputs."""
-    slot_tex = []
-    for slot, srgb in ((0, True), (1, False), (2, False)):
-        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
-        _r0, fx0, fy0, _cx0, _cy0 = _level_addr(tp, tp["l0"])
-        _r1, fx1, fy1, _cx1, _cy1 = _level_addr(tp, tp["l1"])
-        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
-        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
-        lfrac = tp["lfrac"]
-        slot_tex.append(tuple(
-            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
-        ))
-    base_tex, mr_tex, nrm_tex = slot_tex
-
-    base_rgba = tuple(col(_C_BASE + c) * base_tex[c] for c in range(4))
-    metallic = col(_C_MR) * mr_tex[2]
-    roughness = col(_C_MR + 1) * mr_tex[1]
-    normal_scale = col(_C_NSCALE)
-
-    _inv_w, attr = _anchored_attrs(col, sx, sy)
-    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
-    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
-    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
+def fragment_brdf_alpha(base_tex, mr_tex, nrm_tex, base_f, mr_f,
+                        normal_scale, wp, nr, tg, amode, acut, cam3, lights,
+                        covered):
+    """The fragment shader body AFTER texturing: factor application, TBN +
+    normal mapping (fragment.glsl:59-73), BRDF light loop, and glTF
+    alphaMode resolution. Single source for the column-accessor path
+    (shade_gathered) and the interpolated-attrs path (shade_from_attrs) —
+    inputs are plain vectors of any shape, results are bitwise identical
+    between the two callers because the expressions are shared here."""
+    base_rgba = tuple(base_f[c] * base_tex[c] for c in range(4))
+    metallic = mr_f[0] * mr_tex[2]
+    roughness = mr_f[1] * mr_tex[1]
 
     # ---- TBN + normal mapping (fragment.glsl:59-73) -------------------------
     n = _rnorm(*nr)
@@ -539,15 +519,119 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
 
     # effective alpha by glTF alphaMode: OPAQUE -> 1, MASK -> step(cutoff),
     # BLEND -> textured alpha; uncovered samples contribute nothing
-    mode = col(_C_AMODE)
     a = base_rgba[3]
     alpha = jnp.where(
-        mode == 0.0,
+        amode == 0.0,
         1.0,
-        jnp.where(mode == 1.0, (a >= col(_C_ACUT)).astype(jnp.float32), a),
+        jnp.where(amode == 1.0, (a >= acut).astype(jnp.float32), a),
     )
     alpha = jnp.where(covered, alpha, jnp.zeros_like(alpha))
     return radiance, alpha
+
+
+def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
+                   covered):
+    """Everything after the table + pool gathers (the fragment shader body).
+
+    col is a table-column accessor (see _anchored_attrs); quad0/quad1 are
+    (slot, lane) accessors over the gathered AND fold_window-rotated pool
+    rows for mip level l0/l1 — the caller decides whether the three slots
+    share one gathered row (identical samplers) or have their own (mixed
+    samplers). cam3 is a 3-tuple of camera-position scalars. Returns
+    (rgb 3-tuple, alpha) of vectors shaped like col's outputs."""
+    slot_tex = []
+    for slot, srgb in ((0, True), (1, False), (2, False)):
+        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
+        _r0, fx0, fy0, _cx0, _cy0 = _level_addr(tp, tp["l0"])
+        _r1, fx1, fy1, _cx1, _cy1 = _level_addr(tp, tp["l1"])
+        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
+        lfrac = tp["lfrac"]
+        slot_tex.append(tuple(
+            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
+        ))
+    base_tex, mr_tex, nrm_tex = slot_tex
+
+    _inv_w, attr = _anchored_attrs(col, sx, sy)
+    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
+    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
+    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
+
+    return fragment_brdf_alpha(
+        base_tex, mr_tex, nrm_tex,
+        tuple(col(_C_BASE + c) for c in range(4)),
+        (col(_C_MR), col(_C_MR + 1)),
+        col(_C_NSCALE), wp, nr, tg, col(_C_AMODE), col(_C_ACUT),
+        cam3, lights, covered,
+    )
+
+
+# Interpolated-attrs phase boundary (ops.shade_kernel attrs path): phase A
+# evaluates the planes and addressing ONCE per pixel and ships these
+# per-pixel rows to phase B instead of the full (2*ROW,) u16 table columns —
+# halving the phase-boundary HBM traffic (128 f32+u16 rows -> 32 f32 rows)
+# and removing the plane math from the memory-bound fragment kernel.
+# Identical-sampler scenes only (the kernel path's existing precondition).
+A_FX0, A_FY0, A_FX1, A_FY1, A_LFRAC = 0, 1, 2, 3, 4
+A_CX0, A_CY0, A_CX1, A_CY1 = 5, 6, 7, 8  # window fold cases as 0.0/1.0
+A_WPOS, A_NRM, A_TAN = 9, 12, 15  # interpolated world pos / normal / tangent
+A_BASE, A_MR, A_NSCALE, A_AMODE, A_ACUT = 19, 23, 25, 26, 27
+ATTR_ROWS = 28
+ATTR_PAD = 32  # pow2 row count for dense (8, 128) kernel tiles
+
+
+def compute_fragment_attrs(col, sx, sy, max_anisotropy):
+    """Per-pixel fragment inputs from a table-column accessor: the attr-row
+    list (ATTR_ROWS vectors, layout above) plus the two pool block-row
+    indices. Every expression is the SAME helper the column path uses
+    (_texture_params/_level_addr/_anchored_attrs), so downstream results
+    are bit-identical to shade_gathered's."""
+    tp = _texture_params(col, sx, sy, max_anisotropy, slot=0)
+    r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
+    r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
+    _inv_w, attr = _anchored_attrs(col, sx, sy)
+    rows = [
+        fx0, fy0, fx1, fy1, tp["lfrac"],
+        cx0.astype(jnp.float32), cy0.astype(jnp.float32),
+        cx1.astype(jnp.float32), cy1.astype(jnp.float32),
+    ]
+    rows += [attr(_C_WPOS + 3 * c) for c in range(3)]
+    rows += [attr(_C_NRM + 3 * c) for c in range(3)]
+    rows += [attr(_C_TAN + 3 * c) for c in range(4)]
+    rows += [col(_C_BASE + c) for c in range(4)]
+    rows += [col(_C_MR), col(_C_MR + 1), col(_C_NSCALE)]
+    rows += [col(_C_AMODE), col(_C_ACUT)]
+    assert len(rows) == ATTR_ROWS
+    return rows, r0, r1
+
+
+def shade_from_attrs(arow, quad0, quad1, cam3, lights, covered):
+    """shade_gathered's fragment body from interpolated attr rows (arow(i)
+    returns attr row i; quad0/quad1 as in shade_gathered). Identical-sampler
+    scenes: the three texture slots share the footprint geometry, so one
+    (fx, fy, lfrac) set serves all slots — exactly what the column path
+    computes when the per-slot sampler codes coincide."""
+    fx0, fy0 = arow(A_FX0), arow(A_FY0)
+    fx1, fy1 = arow(A_FX1), arow(A_FY1)
+    lfrac = arow(A_LFRAC)
+    slot_tex = []
+    for slot, srgb in ((0, True), (1, False), (2, False)):
+        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
+        slot_tex.append(tuple(
+            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
+        ))
+    base_tex, mr_tex, nrm_tex = slot_tex
+    return fragment_brdf_alpha(
+        base_tex, mr_tex, nrm_tex,
+        tuple(arow(A_BASE + c) for c in range(4)),
+        (arow(A_MR), arow(A_MR + 1)),
+        arow(A_NSCALE),
+        tuple(arow(A_WPOS + c) for c in range(3)),
+        tuple(arow(A_NRM + c) for c in range(3)),
+        tuple(arow(A_TAN + c) for c in range(4)),
+        arow(A_AMODE), arow(A_ACUT), cam3, lights, covered,
+    )
 
 
 def shade_table_samples(

@@ -404,7 +404,45 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     wplane = anchored(wa, wb, wc, det_w0)
     zw = jnp.stack([zplane, wplane], axis=1)
 
+    # ---- slim-body safety flag (raster kernel fast path) -------------------
+    # safe marks triangles whose per-sample w_recip > 0 and 0 <= depth <= 1
+    # tests are STATICALLY guaranteed to pass at every covered sample: 1/w
+    # and z/w are affine in screen space, so interior values lie within the
+    # vertex hull — if all vertex w are positive and all vertex depths sit
+    # inside [0, 1] by more than the f32 plane-evaluation wobble, the kernel
+    # may skip both tests for the whole triangle (ops/raster_pallas slim
+    # window body) with bit-identical output. The margin bounds the eval
+    # error of a*(sx-ax) + b*(sy-ay) + c over the bbox: a few roundings of
+    # (|a|*bbox_w + |b|*bbox_h + |c|); tol = 2^-16 is ~2^8 times the worst
+    # 3-FMA rounding chain, so a dropped test could not have fired even at
+    # knife-edge samples. Near-plane crossers (any_behind) always take the
+    # full-test body.
+    bw_f = (bbox_cols[2] - bbox_cols[0]).astype(jnp.float32) + 2.0
+    bh_f = (bbox_cols[3] - bbox_cols[1]).astype(jnp.float32) + 2.0
+    tol = jnp.float32(2.0 ** -16)
+    werr = (
+        jnp.abs(wplane[:, 0]) * bw_f + jnp.abs(wplane[:, 1]) * bh_f
+        + jnp.abs(wplane[:, 2])
+    ) * tol
+    wmax = jnp.maximum(jnp.maximum(w[0], w[1]), w[2])
+    wr_min = det / jnp.maximum(wmax, 1e-12)
+    dverts = [z[i] / safe_w[i] for i in range(3)]
+    dmin = jnp.minimum(jnp.minimum(dverts[0], dverts[1]), dverts[2])
+    dmax = jnp.maximum(jnp.maximum(dverts[0], dverts[1]), dverts[2])
+    derr = (
+        jnp.abs(zplane[:, 0]) * bw_f + jnp.abs(zplane[:, 1]) * bh_f
+        + jnp.abs(zplane[:, 2])
+    ) * tol
+    safe = (
+        valid
+        & ~any_behind
+        & (wr_min > werr)
+        & (dmin > derr)
+        & (dmax < 1.0 - derr)
+    )
+
     return {
+        "safe": safe,
         "edge": edge,
         "edge_raster": edge_raster,
         "zw": zw,

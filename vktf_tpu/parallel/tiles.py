@@ -154,7 +154,8 @@ def render_frame_sharded(
     mat16 = inst_matrix.reshape(-1, 16)
 
     raster_keys = (
-        "edge", "edge_raster", "zw", "anchor", "inv_det", "valid", "bbox"
+        "edge", "edge_raster", "zw", "anchor", "inv_det", "valid", "bbox",
+        "safe",
     )
 
     if debug_visibility == "winner":
