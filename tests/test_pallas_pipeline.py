@@ -335,3 +335,64 @@ def test_raster_safe_slim_bit_identical(tmp_path):
         outs.append(tuple(np.asarray(o) for o in out))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_prepare_scene_cache_bit_identical(tmp_path):
+    """The split-stage program's cross-frame scene-state cache (camera-
+    independent prepare half: node transforms, world lights, the (T,16)
+    instance-matrix rows, world AABBs — pipeline._maybe_scene_update) must
+    reproduce the fused prepare bit-for-bit, reuse its state while the
+    scene pytree is unchanged, and invalidate when node transforms swap."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import PallasFrameProgram
+
+    from helpers import build_scene, checker_png_bytes, default_camera
+
+    w = GltfWriter()
+    img = w.add_image_bytes(checker_png_bytes(), "image/png")
+    tex = w.add_texture(img, w.add_sampler())
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0),
+                         base_color_texture=tex, metallic_factor=0.2,
+                         roughness_factor=0.5)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(16, 24), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=4, shading_rate="pixel",
+                backend="pallas", pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12)
+    cached = PallasFrameProgram(meta, RenderConfig(
+        prepare_scene_cache=True, **base))
+    fused = PallasFrameProgram(meta, RenderConfig(
+        prepare_scene_cache=False, **base))
+    vp, pos = camera.view_projection_transform, camera.position
+    sa, la = cached._prepare(scene, vp, pos)
+    sb, lb = fused._prepare(scene, vp, pos)
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_array_equal(np.asarray(sa[k]), np.asarray(sb[k]))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # reuse while the scene pytree is unchanged
+    assert cached._maybe_scene_update(scene) is cached._maybe_scene_update(
+        scene)
+    # swapping node transforms invalidates and changes the state
+    state = cached._maybe_scene_update(scene)
+    nl = np.asarray(scene.node_local).copy()
+    nl[:, :3, 3] += 1.0
+    moved = dataclasses.replace(scene, node_local=jnp.asarray(nl))
+    state2 = cached._maybe_scene_update(moved)
+    assert state2 is not state
+    assert not np.array_equal(np.asarray(state2[0]), np.asarray(state[0]))
+    # whole frames agree
+    np.testing.assert_array_equal(np.asarray(cached(scene, vp, pos)),
+                                  np.asarray(fused(scene, vp, pos)))

@@ -184,6 +184,15 @@ class RenderConfig:
     # affects only raster locality, never output, so staleness is exact;
     # 0 re-sorts every frame.
     resort_threshold: float = 0.03
+    # Cache the CAMERA-INDEPENDENT half of prepare (node transform
+    # propagation, world lights, the (T,16) instance-matrix row gather,
+    # world AABBs) across frames in the split-stage program, recomputed
+    # only when the scene pytree changes identity (jax arrays are
+    # immutable, so same-object means same values — the analogue of the
+    # reference recomputing Scene::Update only for dirty transforms).
+    # None = auto (on for the split-stage pallas program). A/B:
+    # python tools/frame_ab.py prepare_scene_cache=0 prepare_scene_cache=1
+    prepare_scene_cache: Optional[bool] = None
 
     # Number of devices to shard framebuffer tiles across (1 = single chip).
     num_devices: int = 1

@@ -853,6 +853,36 @@ class PallasFrameProgram:
             )
             return setup, lights
 
+        # Camera-independent half of prepare, cached across frames (see
+        # _maybe_scene_update): node transform propagation (Model::Update,
+        # model.cppm:163-194), world lights (scene.cppm:183-205), the
+        # (T,16) instance-matrix row gather, and world AABBs. Split from
+        # the camera half below; together they compute exactly
+        # prepare_frame's pallas branch.
+        def scene_update(scene):
+            node_global = propagate_transforms(
+                scene.node_local, scene.node_parent, meta.level_slices
+            )
+            lights = gather_world_lights(
+                node_global, scene.light_node, scene.light_type,
+                scene.light_color,
+            )
+            inst_matrix = node_global[scene.inst_node]
+            mrows = inst_matrix.reshape(-1, 16)[scene.tri_instance]
+            world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
+            return mrows, lights, world_aabbs
+
+        def prepare_cam(scene, mrows, world_aabbs, view_projection):
+            setup = dict(triangle_setup_cm(
+                scene.tri_corner, mrows, view_projection,
+                config.width, config.height,
+            ))
+            setup["mrows"] = mrows
+            planes = frustum_planes(view_projection)
+            visible = aabbs_intersect_frustum(world_aabbs, planes)
+            setup["valid"] = setup["valid"] & visible[scene.tri_instance]
+            return setup
+
         def perm_fn(setup):
             return stream_perm(setup, chunk=config.pallas_chunk)
 
@@ -917,13 +947,49 @@ class PallasFrameProgram:
             self._shade_addr = jax.jit(shade_addr)
             self._shade_final = jax.jit(shade_final)
 
-        self._prepare = jax.jit(prepare)
+        cache_scene = config.prepare_scene_cache
+        if cache_scene is None:
+            cache_scene = True
+        self._prepare_fused = jax.jit(prepare)
+        self._scene_update = jax.jit(scene_update)
+        self._prepare_cam = jax.jit(prepare_cam)
+        self._scene_key = None
+        self._scene_state = None
+        if cache_scene:
+            def prepare_cached(scene, view_projection, camera_position):
+                mrows, lights, aabbs = self._maybe_scene_update(scene)
+                setup = self._prepare_cam(scene, mrows, aabbs,
+                                          view_projection)
+                return setup, lights
+
+            self._prepare = prepare_cached
+        else:
+            self._prepare = self._prepare_fused
         self._perm_fn = jax.jit(perm_fn)
         self._raster = jax.jit(raster)
         self._table = jax.jit(table_fn)
         self._shade = jax.jit(shade)
         self._perm = None
         self._sort_vp = None
+
+    def _maybe_scene_update(self, scene):
+        """Cross-frame cache of the camera-independent prepare half.
+
+        jax arrays are immutable, so identity of every input array
+        scene_update reads implies identical values; animation that swaps
+        in new node transforms (a new node_local array / a rebuilt scene
+        pytree) naturally invalidates. The strong refs in _scene_key keep
+        id() stable against reuse-after-GC.
+        """
+        key = (scene.node_local, scene.node_parent, scene.light_node,
+               scene.light_type, scene.light_color, scene.inst_node,
+               scene.tri_instance, scene.inst_aabb)
+        if self._scene_state is None or any(
+            a is not b for a, b in zip(key, self._scene_key)
+        ):
+            self._scene_state = self._scene_update(scene)
+            self._scene_key = key
+        return self._scene_state
 
     def _maybe_resort(self, setup, view_projection):
         vp = np.asarray(view_projection, dtype=np.float64)
