@@ -238,3 +238,57 @@ def test_huffman_spec_fixture_zero_runs():
     table = read_huffman_table(r)
     # two symbols with length 1: canonical codes 0 and 1 by symbol order
     assert table._by_code == {(1, 0): 0, (1, 1): 19}
+
+
+def test_etc1s_block_math_spec_fixture():
+    """Decode hand-constructed ETC1S blocks against pixel values computed
+    BY HAND from the public ETC1 specification (Khronos Data Format /
+    OES_compressed_ETC1_RGB8_texture) — fully independent of this module's
+    encoder and of its ETC1_MODIFIERS constant:
+
+      * 5->8 bit base expansion is (c << 3) | (c >> 2),
+      * intensity tables (a, b) per index: 0:(2,8) 1:(5,17) 2:(9,29)
+        3:(13,42) 4:(18,60) 5:(24,80) 6:(33,106) 7:(47,183),
+      * per-pixel modifiers in ascending (darkest..lightest) selector
+        order: [-b, -a, +a, +b] (basisu's unpacked-selector convention),
+      * results clamp to [0, 255].
+
+    Every expected pixel below is a literal computed on paper from those
+    rules, so a systematically-wrong table or expansion fails here even
+    though the module's encoder/decoder round-trip would still agree.
+    """
+    from vktf_tpu.loaders.basis import decode_etc1s_blocks
+
+    endpoints = np.asarray(
+        [
+            [16, 8, 24, 2],  # base8 (132, 66, 198), table 2 -> (9, 29)
+            [31, 0, 31, 7],  # base8 (255, 0, 255), table 7 -> (47, 183)
+            [0, 31, 2, 0],   # base8 (0, 255, 16),  table 0 -> (2, 8)
+        ],
+        np.int32,
+    )
+    # selector codebook: s0 = row-repeating [0, 1, 2, 3] (raster order
+    # y*4+x within the block), s1 = all 3 (lightest)
+    selectors = np.asarray(
+        [[0, 1, 2, 3] * 4, [3] * 16], np.uint8
+    )
+    endpoint_ids = [[0, 1, 2]]  # one block row, three blocks (12x4 px)
+    selector_ids = [[0, 1, 0]]
+    img = decode_etc1s_blocks(
+        endpoint_ids, selector_ids, endpoints, selectors, 12, 4
+    )
+    assert img.shape == (4, 12, 4)
+    assert np.all(img[..., 3] == 255)
+
+    # block 0: base (132, 66, 198) +/- table-2 modifiers (-29, -9, +9, +29)
+    assert tuple(img[0, 0, :3]) == (103, 37, 169)   # sel 0: -29
+    assert tuple(img[1, 1, :3]) == (123, 57, 189)   # sel 1: -9
+    assert tuple(img[2, 2, :3]) == (141, 75, 207)   # sel 2: +9
+    assert tuple(img[3, 3, :3]) == (161, 95, 227)   # sel 3: +29
+    # block 1: base (255, 0, 255), sel 3 everywhere: +183 clamps high
+    assert np.all(img[:, 4:8, 0] == 255)
+    assert np.all(img[:, 4:8, 1] == 183)
+    assert np.all(img[:, 4:8, 2] == 255)
+    # block 2: base (0, 255, 16), table 0: sel 0 (-8) clamps R low
+    assert tuple(img[0, 8, :3]) == (0, 247, 8)      # sel 0: -8
+    assert tuple(img[0, 11, :3]) == (8, 255, 24)    # sel 3: +8
