@@ -18,21 +18,28 @@ medians and ns/index.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
 
 
 def device_time(fn, *args, n: int, rpc_s: float) -> float:
-    acc = jnp.zeros((), jnp.float32)
+    # Consume the FULL output (fold every lane into the accumulator):
+    # slicing the result (e.g. out[-64:]) lets XLA fuse the slice into the
+    # gather and skip most rows entirely — the first run of this script
+    # reported 0.1-0.5 ns/idx fantasy numbers that way.
+    acc = jnp.zeros((), jnp.int32)
     np.asarray(acc)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-        acc = acc + jnp.sum(out.ravel()[-64:].astype(jnp.float32))
+        acc = acc + out
     np.asarray(acc)
     return (time.time() - t0 - rpc_s) / n
 
@@ -65,7 +72,9 @@ def main():
     rpc_s = (time.time() - t0) / 4
     print(f"rpc {rpc_s*1e3:.1f} ms", flush=True)
 
-    gather = jax.jit(lambda t, i: t[i])
+    # the reduction rides inside the jit so the gather cannot be sliced away
+    gather = jax.jit(
+        lambda t, i: jnp.sum(t[i].astype(jnp.int32), dtype=jnp.int32))
 
     variants = {}
 
@@ -95,7 +104,7 @@ def main():
     for table, idx in variants.items():
         pass
     for name, (table, idx) in variants.items():
-        np.asarray(gather(table, idx)[:1, :1])
+        np.asarray(gather(table, idx))
 
     meds = {k: [] for k in variants}
     for rep in range(args.reps):

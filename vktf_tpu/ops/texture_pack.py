@@ -1,9 +1,17 @@
 """Material texel pool: block-packed, material-combined texture storage.
 
-TPU row-gather cost is dominated by a TABLE ROW-COUNT cliff (measured on
-v5e, tools/microbench5/6: 2M random row gathers cost ~3.2 ms from tables
-under ~400k rows, then jump 4-7x — 13 ms at 1.5M rows — regardless of index
-coherence). Classic per-texel sampling (4 taps x 2 mips x 3 textures = 24
+TPU row-gather cost is dominated by a VMEM-STAGING cliff (measured on
+v5e; model refined round 2 by tools/gather_scale_ab.py + cliff probes):
+XLA stages a gather operand into VMEM when it fits, and staged gathers
+cost a flat ~2 ns/index regardless of table size, index coherence (random
+== sorted == iota), or live width. What counts against the budget is the
+operand's STAGED bytes — rows x minor dim padded to 128 u16 lanes — with
+the cliff measured between 117 MB (458,752 x 256 B rows: fast) and 122 MB
+(475,136 rows: slow, ~10.7 ns/idx, 4-5x). A 64 MB table of 1M narrow rows
+is just as slow (1M x 32 u16 lanes pads to 256 MB staged), which is why
+this looks like a row-count cliff at any fixed row width — the earlier
+~400k-row model from tools/microbench5/6 was this rule observed at 128
+lanes. Classic per-texel sampling (4 taps x 2 mips x 3 textures = 24
 gathers/sample) is unaffordable; round 1's quad pool (one row per texel
 position holding the 2x2 footprint of all 3 textures = 12 u32) already got
 a trilinear sample of the whole material down to TWO row gathers, but its
@@ -53,6 +61,14 @@ from vktf_tpu.log import Log, default_log
 
 BLOCK_U32 = 48  # 3 textures x 16 texels
 ROW_U32 = 64  # padded row width (pow2)
+
+# Largest pool row count whose (rows, 128)-u16-lane staged form still fits
+# XLA's VMEM gather-staging budget on v5e (117 MB; 475k rows = 122 MB
+# already falls off, ~4-5x slower per gather — cliff probes, 2026-08).
+# Production phase-B programs carry extra VMEM pressure (kernel scratch),
+# so the default clamp keeps a small margin below the bare-probe cliff;
+# the 4K flythrough pool (420,536 rows) measures staged-fast in situ.
+FAST_GATHER_ROWS = 458_752
 
 WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
 _WRAP_CODES = {"repeat": WRAP_REPEAT, "clamp_to_edge": WRAP_CLAMP, "mirrored_repeat": WRAP_MIRROR}
@@ -180,6 +196,7 @@ def build_material_pool(
     materials: list[dict],
     log: Log | None = None,
     max_pool_bytes: int = 4 << 30,
+    max_pool_rows: int = FAST_GATHER_ROWS,
 ) -> MaterialPool:
     """Pack per-material texture triplets.
 
@@ -225,9 +242,13 @@ def build_material_pool(
             )
         sizes_m[m] = size
 
-    # budget clamp: halve the largest chains until the pool fits both the
-    # byte budget and the f32-exact row ceiling
-    max_rows = min((1 << 24) - 1, max_pool_bytes // (4 * ROW_U32))
+    # budget clamp: halve the largest chains until the pool fits the byte
+    # budget, the f32-exact row ceiling, AND the VMEM gather-staging cliff
+    # (FAST_GATHER_ROWS — past it every per-pixel mip gather runs ~4-5x
+    # slower from HBM; a slightly blurrier texture beats that, and callers
+    # that disagree can pass max_pool_rows=1 << 24)
+    max_rows = min((1 << 24) - 1, max_pool_bytes // (4 * ROW_U32),
+                   max_pool_rows)
     orig_sizes = sizes_m.copy()
     while sum(_chain_block_rows(int(s)) for s in sizes_m) > max_rows and (
         sizes_m.max() > 1
@@ -297,11 +318,13 @@ def build_material_pool(
             f"material pool has {rows.shape[0]} block rows (>= 2^24); texel "
             "addresses would lose f32 exactness — reduce texture sizes"
         )
-    if rows.shape[0] > 400_000:
+    if rows.shape[0] > FAST_GATHER_ROWS:
+        # only reachable when the caller raised max_pool_rows past the cliff
         log.error(
-            f"material pool has {rows.shape[0]} block rows — past the ~400k "
-            "TPU gather row-count cliff (tools/microbench6); texture "
-            "sampling will be gather-bound (~4x slower per mip gather)"
+            f"material pool has {rows.shape[0]} block rows — past the "
+            f"~{FAST_GATHER_ROWS} VMEM gather-staging cliff (117 MB staged; "
+            "tools/gather_scale_ab.py); texture sampling will be "
+            "gather-bound (~4-5x slower per mip gather)"
         )
     # Store the pool as a u16 VIEW of the u32 lanes (little-endian: lane k
     # = u16[2k] | u16[2k+1] << 16): identical bits, but TPU row gathers of
