@@ -52,3 +52,23 @@ def test_pool_unbudgeted_unchanged():
     pool = build_material_pool(mats, log)
     assert pool.width0[0] == 32
     assert "over budget" not in err.getvalue()
+
+def test_pool_rows_clamp_to_gather_cliff():
+    """max_pool_rows (default FAST_GATHER_ROWS, the measured VMEM
+    gather-staging cliff — tools/gather_scale_ab.py) participates in the
+    clamp exactly like the byte budget: chains halve until under it."""
+    out, err = io.StringIO(), io.StringIO()
+    log = Log(out_stream=out, err_stream=err)
+    mats = [
+        {"base": _tex(64), "mr": _tex(64), "normal": _tex(64), "sampler": {}},
+        {"base": _tex(8), "mr": _tex(8), "normal": _tex(8), "sampler": {}},
+    ]
+    pool = build_material_pool(mats, log, max_pool_rows=600)
+    assert pool.quads.shape[0] <= 600
+    assert pool.width0[0] < 64
+    assert pool.width0[1] == 8
+    assert "over budget" in err.getvalue()
+    # raising the row limit past the cliff keeps the pool unclamped but
+    # logs the gather-cliff advisory once rows exceed FAST_GATHER_ROWS
+    # (not reachable with tiny fixtures; just check no advisory here)
+    assert "gather-staging cliff" not in err.getvalue()
