@@ -55,3 +55,21 @@ def test_window_display_none_skips_probe(monkeypatch):
     monkeypatch.setenv("DISPLAY", ":9999")
     w = Window("t", 32, 16, display=None)
     assert w._display is None
+
+
+def test_window_default_is_headless():
+    # library default must not acquire X side effects implicitly; only the
+    # viewer CLI opts into display="auto" (code-review r2s4)
+    w = Window("t", 8, 8)
+    assert w.has_display is False
+
+
+def test_interactive_without_display_refuses():
+    # script=None (interactive) + no reachable display would render an
+    # un-closable loop; start() must refuse before engine construction
+    import pytest
+
+    from vktf_tpu.game import start
+
+    with pytest.raises(RuntimeError, match="interactive"):
+        start(["missing.gltf"], width=8, height=8, script=None, display=None)

@@ -101,8 +101,6 @@ def main():
     add("iota", rows, np.arange(n) % rows)  # pure sequential
 
     # warm up all compiled forms once
-    for table, idx in variants.items():
-        pass
     for name, (table, idx) in variants.items():
         np.asarray(gather(table, idx))
 

@@ -113,6 +113,13 @@ def start(
                            display=display)
     if script is not None:
         window.attach_script(script)
+    elif not window.has_display:
+        # interactive mode with neither a script nor a real display would
+        # render forever with no way to press ESC or close the window
+        raise RuntimeError(
+            "interactive mode needs a reachable display (set $DISPLAY / "
+            "--display x11) or an input script"
+        )
     engine = Engine(window, config or RenderConfig(width=width, height=height))
     scene = engine.load(asset_paths)
     if scene is None:

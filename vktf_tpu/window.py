@@ -47,7 +47,7 @@ class Window:
         width: int = 1920,
         height: int = 1080,
         frame_dir: Optional[str | Path] = None,
-        display: Optional[str] = "auto",
+        display: Optional[str] = None,
     ):
         self.title = title
         self._width = width
@@ -65,7 +65,9 @@ class Window:
         self.last_frame: Optional[np.ndarray] = None
         # optional real display (the reference's GLFW window,
         # window.cppm:28-214): "auto" attaches an X11 window when $DISPLAY
-        # is reachable, "x11" requires one, None stays headless.
+        # is reachable, "x11" requires one, None (the library default —
+        # embedders and tests must not acquire X side effects implicitly;
+        # the viewer CLI passes "auto") stays headless.
         self._display = None
         if display == "auto" or display == "x11":
             from vktf_tpu.x11 import X11Display
@@ -94,8 +96,16 @@ class Window:
     def is_closed(self) -> bool:
         return self._closed
 
+    @property
+    def has_display(self) -> bool:
+        """True when a real on-screen present sink is attached."""
+        return self._display is not None
+
     def close(self) -> None:
         self._closed = True
+        if self._display is not None:
+            self._display.close()
+            self._display = None
 
     # -- input polling (window.cppm:60-96) ------------------------------------
     def is_key_pressed(self, key: str) -> bool:

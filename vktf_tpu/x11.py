@@ -95,6 +95,8 @@ def _load_xlib():
         ctypes.c_uint, ctypes.c_uint,
     ]
     lib.XFlush.argtypes = [ctypes.c_void_p]
+    lib.XImageByteOrder.argtypes = [ctypes.c_void_p]
+    lib.XFree.argtypes = [ctypes.c_void_p]
     lib.XPending.argtypes = [ctypes.c_void_p]
     lib.XNextEvent.argtypes = [ctypes.c_void_p, ctypes.POINTER(_XEvent)]
     lib.XLookupKeysym.restype = ctypes.c_ulong
@@ -138,8 +140,14 @@ class X11Display:
         dpy = lib.XOpenDisplay(None)
         if not dpy:
             return False
+        # the present path packs 4-byte little-endian BGRX (rgba_to_bgrx),
+        # so only 24/32-bit LSBFirst servers are supported; anything else
+        # (16-bit, 30-bit deep color, big-endian) falls back to headless
+        # rather than blitting scrambled pixels
+        depth = lib.XDefaultDepth(dpy, lib.XDefaultScreen(dpy))
+        lsb_first = lib.XImageByteOrder(dpy) == 0
         lib.XCloseDisplay(dpy)
-        return True
+        return depth in (24, 32) and lsb_first
 
     def __init__(self, title: str, width: int, height: int):
         self._lib = lib = _load_xlib()
@@ -151,6 +159,13 @@ class X11Display:
         self.width, self.height = width, height
         screen = lib.XDefaultScreen(self._dpy)
         self._depth = lib.XDefaultDepth(self._dpy, screen)
+        if self._depth not in (24, 32) or lib.XImageByteOrder(self._dpy) != 0:
+            lib.XCloseDisplay(self._dpy)
+            self._dpy = None
+            raise RuntimeError(
+                f"unsupported X visual (depth {self._depth}); the BGRX "
+                "present path needs a 24/32-bit little-endian server"
+            )
         self._visual = lib.XDefaultVisual(self._dpy, screen)
         root = lib.XRootWindow(self._dpy, screen)
         self._win = lib.XCreateSimpleWindow(
@@ -168,12 +183,16 @@ class X11Display:
         self._wm_delete = lib.XInternAtom(
             self._dpy, b"WM_DELETE_WINDOW", 0
         )
+        self._wm_protocols = lib.XInternAtom(
+            self._dpy, b"WM_PROTOCOLS", 0
+        )
         atom = ctypes.c_ulong(self._wm_delete)
         lib.XSetWMProtocols(self._dpy, self._win, ctypes.byref(atom), 1)
         lib.XMapWindow(self._dpy, self._win)
         self._gc = lib.XCreateGC(self._dpy, self._win, 0, None)
         self._buf: Optional[ctypes.Array] = None
         self._img = None
+        self._img_size = (0, 0)
         lib.XFlush(self._dpy)
 
     # -- presentation --------------------------------------------------------
@@ -182,12 +201,19 @@ class X11Display:
         bgrx = rgba_to_bgrx(np.asarray(frame))
         h, w = bgrx.shape[:2]
         data = bgrx.tobytes()
-        if self._buf is None or len(self._buf) != len(data):
+        if (self._buf is None or len(self._buf) != len(data)
+                or (w, h) != self._img_size):
+            if self._img is not None:
+                # free only the Xlib-malloc'd XImage struct; the data
+                # pointer is this object's ctypes buffer (XDestroyImage
+                # would free() it and corrupt the Python heap)
+                self._lib.XFree(self._img)
             self._buf = ctypes.create_string_buffer(len(data))
             self._img = self._lib.XCreateImage(
                 self._dpy, self._visual, self._depth, _ZPixmap, 0,
                 ctypes.cast(self._buf, ctypes.c_char_p), w, h, 32, 0,
             )
+            self._img_size = (w, h)
         ctypes.memmove(self._buf, data, len(data))
         self._lib.XPutImage(
             self._dpy, self._win, self._gc, self._img, 0, 0, 0, 0, w, h
@@ -228,12 +254,20 @@ class X11Display:
                 y = ctypes.c_int((ev.pad[8] >> 32) & 0xFFFFFFFF).value
                 events.append(("motion", float(x), float(y)))
             elif kind == _ClientMessage:
-                if (ev.pad[7] & 0xFFFFFFFF) == self._wm_delete:
+                # XClientMessageEvent (LP64): message_type at long-offset 5,
+                # data.l[0] at 7. Gate on WM_PROTOCOLS — an unrelated
+                # ClientMessage (XEmbed, Xdnd) whose first data long happens
+                # to equal the atom id must not close the viewer.
+                if (ev.pad[5] == self._wm_protocols
+                        and (ev.pad[7] & 0xFFFFFFFF) == self._wm_delete):
                     events.append(("close",))
         return events
 
     def close(self) -> None:
         if getattr(self, "_dpy", None):
+            if self._img is not None:
+                self._lib.XFree(self._img)  # struct only; data is ours
+                self._img = None
             self._lib.XDestroyWindow(self._dpy, self._win)
             self._lib.XCloseDisplay(self._dpy)
             self._dpy = None
