@@ -343,30 +343,40 @@ def shade_attrs_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
     return jnp.stack(rows, axis=0), r0, r1  # (ATTR_PAD, N) f32
 
 
-def shade_final_attrs_chunk(
-    attrs,
+def _shade_final_call(
+    lead,
+    lead_rows,
+    px_extra,
+    kernels,
+    kernel_kwargs,
     r0,
     r1,
     tri_id,
     quad_pool,
     camera_position,
     lights,
-    interpret: bool = False,
-    block: int = 1024,
-    frac=None,
-    background=None,
-    pool_rowmajor: bool = False,
+    interpret,
+    block,
+    frac,
+    background,
+    pool_rowmajor,
 ):
-    """Phase B of the ATTRS-boundary two-phase shade: pool gathers + the
-    attrs fragment kernel. Mirrors shade_final_chunk (same output forms,
-    same pool staging) minus the table columns and sx/sy — the attrs rows
-    carry everything else."""
+    """Shared phase-B scaffolding for the two boundary forms.
+
+    Everything except the leading component-major tensor (u16 table
+    columns vs f32 interpolated attrs), the per-pixel extras (sx/sy for
+    the cols form), and the kernel pair is identical between
+    shade_final_chunk and shade_final_attrs_chunk: pool row gathers,
+    padding/blocking, BlockSpec plumbing, the resolve-vs-layer dispatch,
+    and the output slicing. One builder so a spec/padding fix cannot
+    silently miss one of the two (code-review r2s4).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, W) u16
+    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 96 live of W=128 lanes
     q1 = gather_rows(quad_pool, r1)
     qw = quad_pool.shape[1]
 
@@ -390,8 +400,11 @@ def shade_final_attrs_chunk(
         cam = cam.at[1, :3].set(jnp.asarray(background, jnp.float32)[:3])
 
     nb = n_pad // 128
-    attrsb = pad_last(attrs).reshape(ATTR_PAD, nb, 128)
+    leadb = pad_last(lead).reshape(lead_rows, nb, 128)
     if pool_rowmajor:
+        # keep the gather's natural (N, qw) layout; the kernel transposes
+        # per block in VMEM (see _shade_block_body) instead of XLA paying
+        # an HBM relayout copy per tensor (tools/relayout_ab.py)
         q0b = pad_first(q0)
         q1b = pad_first(q1)
     else:
@@ -399,7 +412,7 @@ def shade_final_attrs_chunk(
         q1b = pad_first(q1).T.reshape(qw, nb, 128)
 
     grid = (n_pad // block,)
-    bb = block // 128
+    bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
 
     def px_spec():
         return pl.BlockSpec((bb, 128), lambda i: (i, 0),
@@ -407,9 +420,10 @@ def shade_final_attrs_chunk(
 
     resolve = frac is not None
     kernel = functools.partial(
-        _attrs_resolve_kernel if resolve else _attrs_layer_kernel,
+        kernels[1] if resolve else kernels[0],
         num_lights=num_lights,
         pool_rowmajor=pool_rowmajor,
+        **kernel_kwargs,
     )
     if pool_rowmajor:
         pool_spec = pl.BlockSpec((block, qw), lambda i: (i, 0),
@@ -418,13 +432,16 @@ def shade_final_attrs_chunk(
         pool_spec = pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((ATTR_PAD, bb, 128), lambda i: (0, i, 0),
+        pl.BlockSpec((lead_rows, bb, 128), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
         pool_spec,
         pool_spec,
         px_spec(),
     ]
-    args = [attrsb, q0b, q1b, pad_first(tri_id).reshape(nb, 128)]
+    args = [leadb, q0b, q1b, pad_first(tri_id).reshape(nb, 128)]
+    for x in px_extra:
+        in_specs.append(px_spec())
+        args.append(pad_first(x).reshape(nb, 128))
     if resolve:
         in_specs.append(px_spec())
         args.append(pad_first(frac).reshape(nb, 128))
@@ -452,6 +469,32 @@ def shade_final_attrs_chunk(
     rgb = out[:3, :n]
     alpha = out[3, :n]
     return rgb, alpha, covered
+
+
+def shade_final_attrs_chunk(
+    attrs,
+    r0,
+    r1,
+    tri_id,
+    quad_pool,
+    camera_position,
+    lights,
+    interpret: bool = False,
+    block: int = 1024,
+    frac=None,
+    background=None,
+    pool_rowmajor: bool = False,
+):
+    """Phase B of the ATTRS-boundary two-phase shade: pool gathers + the
+    attrs fragment kernel. Mirrors shade_final_chunk (same output forms,
+    same pool staging) minus the table columns and sx/sy — the attrs rows
+    carry everything else."""
+    return _shade_final_call(
+        attrs, ATTR_PAD, (),
+        (_attrs_layer_kernel, _attrs_resolve_kernel), {},
+        r0, r1, tri_id, quad_pool, camera_position, lights,
+        interpret, block, frac, background, pool_rowmajor,
+    )
 
 
 def shade_final_chunk(
@@ -487,108 +530,13 @@ def shade_final_chunk(
         coverage resolve, and the sRGB u8 encode all run IN the kernel
         (_shade_resolve_kernel); returns packed (n,) i32 r|g<<8|b<<16.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = tri_id.shape[0]
-    covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 96 live of W=128 lanes
-    q1 = gather_rows(quad_pool, r1)
-    qw = quad_pool.shape[1]
-
-    n_pad = -(-n // block) * block
-    pad = n_pad - n
-
-    def pad_last(x):
-        if pad:
-            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
-        return x
-
-    def pad_first(x):
-        if pad:
-            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-        return x
-
-    lights = jnp.asarray(lights, jnp.float32).reshape(-1, 8)
-    num_lights = lights.shape[0]
-    cam = jnp.zeros((2, 4), jnp.float32).at[0, :3].set(camera_position)
-    if background is not None:
-        cam = cam.at[1, :3].set(jnp.asarray(background, jnp.float32)[:3])
-
-    nb = n_pad // 128
-    colsb = pad_last(cols).reshape(2 * ROW, nb, 128)
-    if pool_rowmajor:
-        # keep the gather's natural (N, qw) layout; the kernel transposes
-        # per block in VMEM (see _shade_block_body) instead of XLA paying
-        # an HBM relayout copy per tensor (tools/relayout_ab.py)
-        q0b = pad_first(q0)
-        q1b = pad_first(q1)
-    else:
-        q0b = pad_first(q0).T.reshape(qw, nb, 128)
-        q1b = pad_first(q1).T.reshape(qw, nb, 128)
-
-    grid = (n_pad // block,)
-    bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
-
-    def px_spec():
-        return pl.BlockSpec((bb, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    resolve = frac is not None
-    kernel = functools.partial(
-        _shade_resolve_kernel if resolve else _shade_layer_kernel,
-        max_anisotropy=max_anisotropy,
-        num_lights=num_lights,
-        pool_rowmajor=pool_rowmajor,
+    return _shade_final_call(
+        cols, 2 * ROW, (sx, sy),
+        (_shade_layer_kernel, _shade_resolve_kernel),
+        {"max_anisotropy": max_anisotropy},
+        r0, r1, tri_id, quad_pool, camera_position, lights,
+        interpret, block, frac, background, pool_rowmajor,
     )
-    if pool_rowmajor:
-        pool_spec = pl.BlockSpec((block, qw), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        pool_spec = pl.BlockSpec((qw, bb, 128), lambda i: (0, i, 0),
-                                 memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((2 * ROW, bb, 128), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pool_spec,
-        pool_spec,
-        px_spec(),
-        px_spec(),
-        px_spec(),
-    ]
-    args = [
-        colsb, q0b, q1b,
-        pad_first(tri_id).reshape(nb, 128),
-        pad_first(sx).reshape(nb, 128),
-        pad_first(sy).reshape(nb, 128),
-    ]
-    if resolve:
-        in_specs.append(px_spec())
-        args.append(pad_first(frac).reshape(nb, 128))
-    in_specs += [
-        pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_lights, 8), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args += [cam, lights]
-
-    out_ch = 1 if resolve else 4
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((out_ch, bb, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (out_ch, nb, 128), jnp.int32 if resolve else jnp.float32),
-        interpret=interpret,
-    )(*args)
-    if resolve:
-        return out.reshape(n_pad)[:n]
-    out = out.reshape(4, n_pad)
-    rgb = out[:3, :n]
-    alpha = out[3, :n]
-    return rgb, alpha, covered
 
 
 def shade_table_layer_kernel(
