@@ -35,6 +35,16 @@ class TestDataView:
         assert np.shares_memory(v, arr)  # view, not copy
         assert size_bytes(arr) == 48
 
+    def test_none_raises(self):
+        # the reference's null-with-size death test (data_view_test.cpp:60-62)
+        import pytest
+
+        with pytest.raises(TypeError):
+            as_view(None)
+        with pytest.raises(TypeError):
+            as_view(object())
+
+
 
 class TestBoundingBox:
     def test_translate(self):

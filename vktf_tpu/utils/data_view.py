@@ -21,9 +21,14 @@ def as_view(data: Any, dtype=None) -> np.ndarray:
     (flattened). Mirrors DataView's implicit constructors
     (data_view.cppm:37-55).
     """
+    if data is None:
+        # the reference's null-with-size death test (data_view_test.cpp:60-62)
+        raise TypeError("as_view(None): a view must reference real data")
     if np.isscalar(data):
         return np.asarray([data], dtype=dtype)
     arr = np.asarray(data, dtype=dtype)
+    if arr.dtype == object:
+        raise TypeError(f"as_view: not a contiguous numeric view: {type(data)}")
     return arr.reshape(-1)
 
 
