@@ -223,3 +223,50 @@ def test_glb_container(tmp_path):
     glb_path.write_bytes(glb)
     asset = load_gltf(glb_path)
     assert asset.meshes[0].primitives[0].positions.shape == (24, 3)
+
+
+def test_truncation_fuzz_fails_cleanly(tmp_path):
+    """Every prefix-truncation of a valid .glb and .gltf either loads with
+    skip+log or raises GltfError — never an unhandled exception (the
+    two-tier failure policy, SURVEY §5.3: fatal throw vs skip-and-log)."""
+    w = GltfWriter()
+    w.add_mesh(box_mesh())
+    w.add_scene([w.add_node(mesh=0)])
+    gltf_path = w.write(tmp_path / "box.gltf")
+    gltf = json.loads(gltf_path.read_text())
+    import base64 as b64
+    import struct
+
+    payload = b64.b64decode(gltf["buffers"][0]["uri"].split(",", 1)[1])
+    del gltf["buffers"][0]["uri"]
+    json_chunk = json.dumps(gltf).encode()
+    json_chunk += b" " * (-len(json_chunk) % 4)
+    bin_chunk = payload + b"\0" * (-len(payload) % 4)
+    total = 12 + 8 + len(json_chunk) + 8 + len(bin_chunk)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, total)
+        + struct.pack("<II", len(json_chunk), 0x4E4F534A)
+        + json_chunk
+        + struct.pack("<II", len(bin_chunk), 0x004E4942)
+        + bin_chunk
+    )
+    text = gltf_path.read_bytes()
+    rng = np.random.default_rng(7)
+    cases = sorted(
+        {int(c) for c in rng.integers(0, len(glb), 24)}
+        | {0, 1, 11, 12, 19, 20, len(glb) - 1}
+    )
+    for cut in cases:
+        p = tmp_path / f"t{cut}.glb"
+        p.write_bytes(glb[:cut])
+        try:
+            load_gltf(p)
+        except GltfError:
+            pass  # the fatal tier
+    for cut in sorted({int(c) for c in rng.integers(0, len(text), 16)}):
+        p = tmp_path / f"t{cut}.gltf"
+        p.write_bytes(text[:cut])
+        try:
+            load_gltf(p)
+        except GltfError:
+            pass

@@ -272,3 +272,39 @@ class TestPerSlotSamplers:
         w.add_scene([w.add_node(mesh=w.add_mesh(plane_mesh(2.0), material=mat))])
         _scene, meta, _aux = build_scene(w.write(tmp_path / "same.gltf"))
         assert not meta.mixed_samplers
+
+
+def test_ktx2_truncation_fuzz_fails_cleanly(tmp_path):
+    """Every prefix-truncation of valid BasisLZ and zstd .ktx2 files either
+    decodes, skips with a logged error (None), or raises KtxError — never a
+    backend exception (struct.error, zstandard.ZstdError, zlib.error). The
+    loader's two-tier policy must hold for arbitrary malformed bytes
+    (ktx_texture.cppm:62-94's role, model.cppm:301-321 skip-and-log)."""
+    import io
+
+    import numpy as np
+
+    from vktf_tpu.loaders.images import generate_mips
+    from vktf_tpu.loaders.ktx import KtxError, load_ktx
+    from vktf_tpu.log import Log
+    from vktf_tpu.models.export import write_ktx2, write_ktx2_basis
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 4), dtype=np.uint8)
+    levels = generate_mips(img, srgb=True)
+    for name in ("basis", "zstd"):
+        p = tmp_path / f"{name}.ktx2"
+        if name == "basis":
+            write_ktx2_basis(p, levels, True)
+        else:
+            write_ktx2(p, levels, True, supercompression=2)
+        blob = p.read_bytes()
+        cuts = {int(c) for c in rng.integers(0, len(blob), 48)}
+        cuts |= {0, 11, 12, 47, 48, 79, 80, len(blob) - 1}
+        for cut in sorted(cuts):
+            q = tmp_path / f"{name}{cut}.ktx2"
+            q.write_bytes(blob[:cut])
+            try:
+                load_ktx(q, log=Log(io.StringIO(), io.StringIO()))
+            except KtxError:
+                pass  # the fatal tier

@@ -346,6 +346,8 @@ _GLB_MAGIC = 0x46546C67  # 'glTF'
 
 
 def _parse_glb(blob: bytes) -> tuple[dict, Optional[bytes]]:
+    if len(blob) < 12:  # header: magic, version, length (truncation fuzz)
+        raise GltfError("GLB truncated: missing 12-byte header")
     magic, version, _length = struct.unpack_from("<III", blob, 0)
     if magic != _GLB_MAGIC:
         raise GltfError("not a GLB container")
@@ -358,9 +360,19 @@ def _parse_glb(blob: bytes) -> tuple[dict, Optional[bytes]]:
         chunk_len, chunk_type = struct.unpack_from("<II", blob, offset)
         offset += 8
         chunk = blob[offset : offset + chunk_len]
+        if len(chunk) < chunk_len:
+            raise GltfError(
+                f"GLB truncated: chunk needs {chunk_len} bytes, "
+                f"{len(chunk)} remain"
+            )
         offset += chunk_len + (-chunk_len % 4)
         if chunk_type == 0x4E4F534A:  # 'JSON'
-            gltf_json = json.loads(chunk)
+            try:
+                gltf_json = json.loads(chunk)
+            except ValueError as error:
+                raise GltfError("GLB JSON chunk is corrupt") from error
+            if not isinstance(gltf_json, dict):
+                raise GltfError("GLB JSON chunk is not an object")
         elif chunk_type == 0x004E4942:  # 'BIN\0'
             binary = chunk
     if gltf_json is None:

@@ -95,7 +95,11 @@ def _parse_dfd(blob: bytes, offset: int, length: int) -> tuple[int, int]:
 
 
 def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int):
-    """Undo zstd/zlib level supercompression (shared by all payload kinds)."""
+    """Undo zstd/zlib level supercompression (shared by all payload kinds).
+
+    Corrupt/truncated streams surface as KtxError (the loader's fatal
+    tier), not as backend-specific exceptions (zstandard.ZstdError,
+    zlib.error) — pinned by the truncation fuzz in tests."""
     if scheme == SUPERCOMPRESSION_ZSTD:
         from vktf_tpu import native
 
@@ -107,9 +111,12 @@ def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int):
         if out is None:
             import zstandard
 
-            out = zstandard.ZstdDecompressor().decompress(
-                payload, max_output_size=uncompressed_length or 1 << 30
-            )
+            try:
+                out = zstandard.ZstdDecompressor().decompress(
+                    payload, max_output_size=uncompressed_length or 1 << 30
+                )
+            except zstandard.ZstdError as error:
+                raise KtxError(f"zstd level data corrupt: {error}") from error
         return out
     if scheme == SUPERCOMPRESSION_ZLIB:
         from vktf_tpu import native
@@ -122,7 +129,10 @@ def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int):
         if out is None:
             import zlib
 
-            out = zlib.decompress(payload)
+            try:
+                out = zlib.decompress(payload)
+            except zlib.error as error:
+                raise KtxError(f"zlib level data corrupt: {error}") from error
         return out
     return payload
 
@@ -189,7 +199,24 @@ def _parse_basis(
 
 def parse_ktx2(blob: bytes, name: str = "<memory>", log: Optional[Log] = None) -> Optional[KtxTexture]:
     """Parse a KTX2 blob; returns None (with logged error) for unsupported
-    supercompression/formats, raises KtxError for malformed containers."""
+    supercompression/formats, raises KtxError for malformed containers.
+
+    The KtxError contract covers ARBITRARY malformed bytes (truncation
+    fuzz in tests/test_textures.py): low-level parse failures from
+    struct/zlib/slicing are re-raised as KtxError so callers only ever
+    see the loader's two-tier policy (fatal KtxError vs skip+log)."""
+    import zlib
+
+    try:
+        return _parse_ktx2_impl(blob, name, log)
+    except KtxError:
+        raise
+    except (struct.error, ValueError, IndexError, EOFError,
+            zlib.error) as error:
+        raise KtxError(f"{name}: malformed KTX2 container: {error}") from error
+
+
+def _parse_ktx2_impl(blob: bytes, name: str, log: Optional[Log]) -> Optional[KtxTexture]:
     log = log or default_log()
     if blob[:12] != _KTX2_IDENTIFIER:
         raise KtxError(f"{name}: not a KTX2 file")
