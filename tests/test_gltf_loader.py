@@ -270,3 +270,13 @@ def test_truncation_fuzz_fails_cleanly(tmp_path):
             load_gltf(p)
         except GltfError:
             pass
+
+
+def test_non_object_json_raises(tmp_path):
+    # valid JSON that is not a glTF object must be the fatal tier, not an
+    # AttributeError downstream (code-review r2s4)
+    for body in ("[]", "null", "3"):
+        p = tmp_path / f"x{len(body)}.gltf"
+        p.write_text(body)
+        with pytest.raises(GltfError):
+            load_gltf(p)

@@ -308,3 +308,34 @@ def test_ktx2_truncation_fuzz_fails_cleanly(tmp_path):
                 load_ktx(q, log=Log(io.StringIO(), io.StringIO()))
             except KtxError:
                 pass  # the fatal tier
+
+
+def test_ktx2_hostile_header_lengths_fail_cleanly(tmp_path):
+    """Header-claimed sizes must be bounded BEFORE anything allocates:
+    a corrupt uncompressedByteLength (2^62) or implausible dimensions
+    raise KtxError instead of MemoryError/OOM (code-review r2s4)."""
+    import struct
+
+    import numpy as np
+
+    from vktf_tpu.loaders.images import generate_mips
+    from vktf_tpu.loaders.ktx import KtxError, parse_ktx2
+    from vktf_tpu.models.export import write_ktx2
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (16, 16, 4), dtype=np.uint8)
+    p = tmp_path / "t.ktx2"
+    write_ktx2(p, generate_mips(img, srgb=True), True, supercompression=2)
+    blob = bytearray(p.read_bytes())
+
+    # level 0 index entry at byte 80: offset, byteLength, uncompressedLength
+    hostile = bytearray(blob)
+    struct.pack_into("<Q", hostile, 80 + 16, 1 << 62)
+    with pytest.raises(KtxError):
+        parse_ktx2(bytes(hostile), "hostile-len")
+
+    # implausible dimensions (width u32 at byte 12 + 8)
+    hostile = bytearray(blob)
+    struct.pack_into("<I", hostile, 12 + 8, 1 << 24)
+    with pytest.raises(KtxError):
+        parse_ktx2(bytes(hostile), "hostile-dims")

@@ -97,9 +97,7 @@ def main():
         rows[f"addr[{n}]"] = (progs[n]._shade_addr, (tri_id, depth, table))
         rows[f"final[{n}]"] = (
             progs[n]._shade_final, (addr[n], scene, lights, cam_pos))
-        rows[f"frame[{n}]"] = (
-            (lambda pr: lambda s, v, c: pr(s, v, c))(progs[n]),
-            (scene, vp, cam_pos))
+        rows[f"frame[{n}]"] = (progs[n], (scene, vp, cam_pos))
 
     meds = {k: [] for k in rows}
     for _ in range(args.reps):

@@ -641,6 +641,10 @@ def load_gltf(path: str | Path, log: Log | None = None) -> Asset:
             gltf = json.loads(blob)
         except json.JSONDecodeError as e:
             raise GltfError(f"failed to parse glTF JSON {path}") from e
+        if not isinstance(gltf, dict):
+            # valid JSON but not a glTF object ([], null, 3, ...): the same
+            # guard the GLB chunk path applies
+            raise GltfError(f"glTF JSON in {path} is not an object")
 
     buffers = _BufferCache(gltf, path.parent, glb_chunk)
     samplers = _build_samplers(gltf)

@@ -94,12 +94,24 @@ def _parse_dfd(blob: bytes, offset: int, length: int) -> tuple[int, int]:
     return 0, 0
 
 
-def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int):
+def _decompress_level(payload: bytes, scheme: int, uncompressed_length: int,
+                      expected_length: Optional[int] = None):
     """Undo zstd/zlib level supercompression (shared by all payload kinds).
 
     Corrupt/truncated streams surface as KtxError (the loader's fatal
     tier), not as backend-specific exceptions (zstandard.ZstdError,
-    zlib.error) — pinned by the truncation fuzz in tests."""
+    zlib.error) — pinned by the truncation fuzz in tests.
+
+    `expected_length` bounds the HEADER-CLAIMED uncompressedByteLength
+    before anything allocates: a hostile u64 (e.g. 2^62) would otherwise
+    drive np.empty/max_output_size into MemoryError/OOM territory — the
+    caller knows the level's true byte size from the image dimensions."""
+    if (uncompressed_length and expected_length is not None
+            and uncompressed_length > expected_length):
+        raise KtxError(
+            f"level claims {uncompressed_length} uncompressed bytes; "
+            f"dimensions imply at most {expected_length}"
+        )
     if scheme == SUPERCOMPRESSION_ZSTD:
         from vktf_tpu import native
 
@@ -176,8 +188,10 @@ def _parse_basis(
                 offset, byte_length, uncompressed = struct.unpack_from(
                     "<3Q", blob, level_index_offset + 24 * level
                 )
+                lw, lh = max(width >> level, 1), max(height >> level, 1)
                 payload = _decompress_level(
-                    blob[offset : offset + byte_length], scheme, uncompressed
+                    blob[offset : offset + byte_length], scheme, uncompressed,
+                    expected_length=16 * ((lw + 3) // 4) * ((lh + 3) // 4),
                 )
                 img = basis.decode_uastc(
                     payload, max(width >> level, 1), max(height >> level, 1), log
@@ -236,6 +250,14 @@ def _parse_ktx2_impl(blob: bytes, name: str, log: Optional[Log]) -> Optional[Ktx
         return None
     height = max(height, 1)
     level_count = max(level_count, 1)
+    # hostile-header allocation bound: every decode path allocates
+    # O(width*height*4) per level from these fields alone
+    if width > 65536 or height > 65536 or width * height > 1 << 30:
+        raise KtxError(
+            f"{name}: implausible dimensions {width}x{height}"
+        )
+    if level_count > 17:  # log2(65536) + 1
+        raise KtxError(f"{name}: implausible level count {level_count}")
     # index section: dfd (2 u32), kvd (2 u32), sgd (2 u64) at bytes 48..79
     dfd_offset, dfd_length, _kvd_off, _kvd_len = struct.unpack_from("<4I", blob, 48)
     sgd_offset, sgd_length = struct.unpack_from("<2Q", blob, 64)
@@ -265,13 +287,16 @@ def _parse_ktx2_impl(blob: bytes, name: str, log: Optional[Log]) -> Optional[Ktx
             "<3Q", blob, level_index_offset + 24 * level
         )
         payload = blob[offset : offset + byte_length]
+        level_w = max(width >> level, 1)
+        level_h = max(height >> level, 1)
         if scheme in (SUPERCOMPRESSION_ZSTD, SUPERCOMPRESSION_ZLIB):
-            payload = _decompress_level(payload, scheme, uncompressed_length)
+            payload = _decompress_level(
+                payload, scheme, uncompressed_length,
+                expected_length=level_w * level_h * channels,
+            )
         elif scheme != SUPERCOMPRESSION_NONE:
             log.error(f"Failed to load KTX texture {name}: unknown supercompression {scheme}")
             return None
-        level_w = max(width >> level, 1)
-        level_h = max(height >> level, 1)
         # KTX2 rows are tightly packed (mipPadding only between levels)
         expected = level_w * level_h * channels
         if len(payload) < expected:

@@ -62,12 +62,15 @@ from vktf_tpu.log import Log, default_log
 BLOCK_U32 = 48  # 3 textures x 16 texels
 ROW_U32 = 64  # padded row width (pow2)
 
-# Largest pool row count whose (rows, 128)-u16-lane staged form still fits
-# XLA's VMEM gather-staging budget on v5e (117 MB; 475k rows = 122 MB
-# already falls off, ~4-5x slower per gather — cliff probes, 2026-08).
-# Production phase-B programs carry extra VMEM pressure (kernel scratch),
-# so the default clamp keeps a small margin below the bare-probe cliff;
-# the 4K flythrough pool (420,536 rows) measures staged-fast in situ.
+# Largest pool row count MEASURED fast as a (rows, 128)-u16-lane gather
+# operand on v5e (117 MB staged; the next probe point, 475k rows =
+# 122 MB, falls off the VMEM staging path, ~4-5x slower per gather —
+# cliff probes, 2026-08). The true cliff lies somewhere in (458752,
+# 475136]; this clamp sits at the last PROVEN-fast point, not below it,
+# so a pool clamped exactly here could in principle still cross the
+# effective in-situ threshold under a production program's extra VMEM
+# pressure — the closest in-situ evidence is the 4K flythrough pool
+# (420,536 rows) measuring staged-fast inside the real phase-B program.
 FAST_GATHER_ROWS = 458_752
 
 WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
