@@ -339,3 +339,24 @@ def test_ktx2_hostile_header_lengths_fail_cleanly(tmp_path):
     struct.pack_into("<I", hostile, 12 + 8, 1 << 24)
     with pytest.raises(KtxError):
         parse_ktx2(bytes(hostile), "hostile-dims")
+
+
+def test_corrupt_ktx2_texture_degrades_not_aborts(tmp_path):
+    """A malformed .ktx2 referenced by a scene falls back to the default
+    texture (model.cppm:301-321 skip-and-log) instead of aborting
+    engine.load — KtxError previously escaped through flatten's decode
+    thread pool (code-review r2s4 follow-up)."""
+    import io
+
+    import numpy as np
+
+    from vktf_tpu.loaders.gltf import Texture
+    from vktf_tpu.loaders.images import decode_texture
+    from vktf_tpu.log import Log
+
+    # unit tier: decode_texture returns None with a logged error
+    blob = b"\xabKTX 20\xbb\r\n\x1a\n" + b"\x00" * 4  # truncated header
+    out, err = io.StringIO(), io.StringIO()
+    tex = Texture(name="bad", data=blob, filepath=None, sampler=None)
+    assert decode_texture(tex, "base_color", Log(out, err)) is None
+    assert "bad" in err.getvalue()

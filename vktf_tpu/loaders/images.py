@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 from vktf_tpu.loaders.gltf import Texture
-from vktf_tpu.loaders.ktx import KtxTexture, parse_ktx2
+from vktf_tpu.loaders.ktx import KtxError, KtxTexture, parse_ktx2
 from vktf_tpu.log import Log, default_log
 
 
@@ -130,7 +130,16 @@ def decode_texture(
         return None
 
     if blob[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
-        ktx: Optional[KtxTexture] = parse_ktx2(blob, name=name, log=log)
+        try:
+            ktx: Optional[KtxTexture] = parse_ktx2(blob, name=name, log=log)
+        except KtxError as error:
+            # KtxError is the fatal tier for DIRECT load_ktx callers; for a
+            # texture embedded in a scene the policy is the reference's
+            # skip-with-default (model.cppm:301-321) — a malformed .ktx2
+            # must not abort the whole engine.load (it previously escaped
+            # through the decode thread pool's f.result() in flatten)
+            log.error(f"Failed to parse KTX texture {name}: {error}")
+            return None
         if ktx is None:
             return None
         levels = ktx.levels
