@@ -280,3 +280,48 @@ def test_non_object_json_raises(tmp_path):
         p.write_text(body)
         with pytest.raises(GltfError):
             load_gltf(p)
+
+
+def test_hostile_fields_raise_gltf_error(tmp_path):
+    """Structured corruption of glTF JSON fields must surface as the fatal
+    tier (GltfError), never a backend exception — and a node cycle must be
+    rejected at LOAD time (it previously HUNG transform propagation at
+    scene flatten). cgltf_validate's role, gltf_asset.cppm:466-470."""
+    import copy
+
+    w = GltfWriter()
+    w.add_mesh(box_mesh())
+    w.add_scene([w.add_node(mesh=0)])
+    base = json.loads((w.write(tmp_path / "base.gltf")).read_text())
+
+    mutations = {
+        "acc_count_huge": lambda g: g["accessors"][0].__setitem__("count", 1 << 40),
+        "acc_count_neg": lambda g: g["accessors"][0].__setitem__("count", -5),
+        "bv_offset_huge": lambda g: g["bufferViews"][0].__setitem__("byteOffset", 1 << 40),
+        "acc_bad_type": lambda g: g["accessors"][0].__setitem__("type", "MAT9"),
+        "acc_bad_comp": lambda g: g["accessors"][0].__setitem__("componentType", 9999),
+        "node_child_self": lambda g: g["nodes"][0].__setitem__("children", [0]),
+        "node_child_oob": lambda g: g["nodes"][0].__setitem__("children", [99]),
+        "root_is_child": lambda g: (
+            g["nodes"].append({"children": [0]}),
+            g["scenes"][0]["nodes"].append(1),
+        )[0],
+        "mesh_oob": lambda g: g["nodes"][0].__setitem__("mesh", 99),
+        "scene_oob": lambda g: g.__setitem__("scene", 99),
+        "prim_attr_oob": lambda g: g["meshes"][0]["primitives"][0][
+            "attributes"
+        ].__setitem__("POSITION", 99),
+        "acc_str_count": lambda g: g["accessors"][0].__setitem__("count", "many"),
+        "nodes_not_list": lambda g: g.__setitem__("nodes", 7),
+        "cycle_2": lambda g: (
+            g["nodes"].append({"children": [2]}),
+            g["nodes"].append({"children": [1]}),
+        )[0],
+    }
+    for name, mutate in mutations.items():
+        g = copy.deepcopy(base)
+        mutate(g)
+        p = tmp_path / f"{name}.gltf"
+        p.write_text(json.dumps(g))
+        with pytest.raises(GltfError):
+            load_gltf(p)

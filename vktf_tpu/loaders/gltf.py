@@ -593,6 +593,68 @@ def _node_local_transform(node_def: dict) -> np.ndarray:
     return m
 
 
+def _validate_graph(nodes, meshes, scenes, default_scene) -> None:
+    """Structural validation of the node graph (cgltf_validate's role,
+    gltf_asset.cppm:466-470 — but always on, not debug-only).
+
+    The glTF spec requires the nodes to form disjoint strict TREES. A
+    cycle (e.g. a node listing itself as a child) would otherwise HANG
+    transform propagation at scene flatten (found by the hostile-field
+    fuzz: node_child_self looped forever), and out-of-range node/mesh/
+    scene indices would crash flatten with raw IndexError."""
+    n = len(nodes)
+    for i, node in enumerate(nodes):
+        if node.mesh is not None and not (
+            isinstance(node.mesh, int) and 0 <= node.mesh < len(meshes)
+        ):
+            raise GltfError(
+                f"node {i} references mesh {node.mesh!r} of {len(meshes)}"
+            )
+        for c in node.children:
+            if not (isinstance(c, int) and 0 <= c < n):
+                raise GltfError(f"node {i} child {c!r} out of range ({n})")
+    has_parent = [False] * n
+    for i, node in enumerate(nodes):
+        for c in node.children:
+            if has_parent[c]:
+                raise GltfError(
+                    f"node {c} has multiple parents; the node graph must "
+                    "be a forest"
+                )
+            has_parent[c] = True
+    # with in-degree <= 1 established, any node unreachable from an
+    # in-degree-0 root lies on (or under) a cycle
+    reached = [False] * n
+    stack = [i for i in range(n) if not has_parent[i]]
+    while stack:
+        i = stack.pop()
+        if reached[i]:
+            continue
+        reached[i] = True
+        stack.extend(nodes[i].children)
+    if not all(reached):
+        bad = [i for i in range(n) if not reached[i]][:4]
+        raise GltfError(f"node graph contains a cycle (nodes {bad} ...)")
+    for si, scene in enumerate(scenes):
+        for r in scene.root_nodes:
+            if not (isinstance(r, int) and 0 <= r < n):
+                raise GltfError(
+                    f"scene {si} root node {r!r} out of range ({n})"
+                )
+            if has_parent[r]:
+                # spec: scene.nodes must reference ROOT nodes; a child
+                # listed as a root would render its subtree twice
+                raise GltfError(
+                    f"scene {si} root node {r} is another node's child"
+                )
+    if default_scene is not None and not (
+        isinstance(default_scene, int) and 0 <= default_scene < len(scenes)
+    ):
+        raise GltfError(
+            f"default scene {default_scene!r} out of range ({len(scenes)})"
+        )
+
+
 def _build_nodes(gltf: dict, lights: list[Optional[Light]]) -> list[Node]:
     nodes = []
     for node_def in gltf.get("nodes", []):
@@ -646,6 +708,20 @@ def load_gltf(path: str | Path, log: Log | None = None) -> Asset:
             # guard the GLB chunk path applies
             raise GltfError(f"glTF JSON in {path} is not an object")
 
+    try:
+        return _build_asset(gltf, path, glb_chunk, log)
+    except GltfError:
+        raise
+    except (KeyError, IndexError, ValueError, TypeError) as e:
+        # parser boundary: hostile field values (bad enums, counts past the
+        # buffer, wrong JSON types, out-of-range indices) surface as the
+        # fatal tier, not as backend exceptions — pinned by the
+        # hostile-field fuzz in tests/test_gltf_loader.py
+        raise GltfError(f"malformed glTF structure in {path}: {e}") from e
+
+
+def _build_asset(gltf: dict, path: Path, glb_chunk: Optional[bytes],
+                 log: Log) -> Asset:
     buffers = _BufferCache(gltf, path.parent, glb_chunk)
     samplers = _build_samplers(gltf)
     textures = _build_textures(gltf, samplers, path.parent, buffers, log)
@@ -673,6 +749,8 @@ def load_gltf(path: str | Path, log: Log | None = None) -> Asset:
     default_scene = gltf.get("scene")
     if default_scene is None and scenes:
         default_scene = 0
+
+    _validate_graph(nodes, meshes, scenes, default_scene)
 
     return Asset(
         name=path.stem,
