@@ -103,39 +103,63 @@ void vktf_generate_mips(const uint8_t* base, int32_t h, int32_t w,
 }
 
 // ---------------------------------------------------------------------------
-// Block-pool packing (ops/texture_pack.py row layout: stride-2 4x4 blocks)
+// Block-pool packing (ops/texture_pack.py: stride-2 fused-mip 3x3 blocks)
 // ---------------------------------------------------------------------------
 
 static inline int32_t wrap_index(int32_t i, int32_t size, int32_t mode) {
-  if (mode == 0) return i % size;                             // repeat
+  // negative-safe: slot B anchors at bx-1, which is -1 on the first block
+  // (C++ % is negative for negative operands; match numpy's floor-mod)
+  if (mode == 0) {                                            // repeat
+    const int32_t m = i % size;
+    return m < 0 ? m + size : m;
+  }
   if (mode == 1) return std::min(std::max(i, 0), size - 1);   // clamp
-  const int32_t m = i % (2 * size);                           // mirrored
-  return m >= size ? 2 * size - 1 - m : m;
+  const int32_t p = 2 * size;                                 // mirrored
+  int32_t m = i % p;
+  if (m < 0) m += p;
+  return m >= size ? p - 1 - m : m;
 }
 
-// base/mr/nrm: packed-u32 levels of size w*w; out: bw*bw rows of 64 u32
-// (bw = max(w/2, 1)), lane t*16 + i*4 + j = texture t texel
-// (wrap_t(2bx + j), wrap_t(2by + i)) under texture t's OWN sampler wrap
-// (wraps = [wu0, wv0, wu1, wv1, wu2, wv2]); lanes 48..63 zero.
-void vktf_pack_blocks_level(const uint32_t* base, const uint32_t* mr,
-                            const uint32_t* nrm, int32_t w,
-                            const int32_t* wraps, uint32_t* out) {
-  const uint32_t* tex[3] = {base, mr, nrm};
+// cur0..2: packed-u32 level-l arrays of size w*w; nxt0..2: level-(l+1)
+// arrays of size max(w/2,1)^2, or null for the last level (slot B zero).
+// out: bw*bw rows of 64 u32 (bw = max(w/2, 1)):
+//   slot A lane t*9 + i*3 + j      = texture t level-l   texel
+//     (wrap_t(2bx + j, w), wrap_t(2by + i, w))
+//   slot B lane 27 + t*9 + i*3 + j = texture t level-l+1 texel
+//     (wrap_t(bx - 1 + j, w1), wrap_t(by - 1 + i, w1)), w1 = max(w/2, 1)
+// under texture t's OWN sampler wrap (wraps = [wu0, wv0, ..., wv2]);
+// lanes 54..63 zero.
+void vktf_pack_blocks_level(const uint32_t* cur0, const uint32_t* cur1,
+                            const uint32_t* cur2, const uint32_t* nxt0,
+                            const uint32_t* nxt1, const uint32_t* nxt2,
+                            int32_t w, const int32_t* wraps, uint32_t* out) {
+  const uint32_t* cur[3] = {cur0, cur1, cur2};
+  const uint32_t* nxt[3] = {nxt0, nxt1, nxt2};
   const int32_t bw = std::max(w >> 1, 1);
+  const int32_t w1 = bw;  // level-(l+1) width == the block-grid width
   for (int32_t by = 0; by < bw; ++by) {
     for (int32_t bx = 0; bx < bw; ++bx) {
       uint32_t* row = out + ((int64_t)by * bw + bx) * 64;
       for (int t = 0; t < 3; ++t) {
         const int32_t wrap_u = wraps[2 * t], wrap_v = wraps[2 * t + 1];
-        for (int32_t i = 0; i < 4; ++i) {
+        for (int32_t i = 0; i < 3; ++i) {
           const int32_t ty = wrap_index(2 * by + i, w, wrap_v);
-          for (int32_t j = 0; j < 4; ++j) {
+          for (int32_t j = 0; j < 3; ++j) {
             const int32_t tx = wrap_index(2 * bx + j, w, wrap_u);
-            row[t * 16 + i * 4 + j] = tex[t][(int64_t)ty * w + tx];
+            row[t * 9 + i * 3 + j] = cur[t][(int64_t)ty * w + tx];
+          }
+        }
+        if (nxt[t]) {
+          for (int32_t i = 0; i < 3; ++i) {
+            const int32_t ny = wrap_index(by - 1 + i, w1, wrap_v);
+            for (int32_t j = 0; j < 3; ++j) {
+              const int32_t nx = wrap_index(bx - 1 + j, w1, wrap_u);
+              row[27 + t * 9 + i * 3 + j] = nxt[t][(int64_t)ny * w1 + nx];
+            }
           }
         }
       }
-      for (int k = 48; k < 64; ++k) row[k] = 0;
+      for (int k = 54; k < 64; ++k) row[k] = 0;
     }
   }
 }

@@ -39,11 +39,20 @@ def test_block_pack_matches_numpy():
     rng = np.random.default_rng(5)
     for w in (16, 2, 1):
         lvls = [rng.integers(0, 2**32, (w, w), dtype=np.uint32) for _ in range(3)]
+        w1 = max(w >> 1, 1)
+        nxt = [rng.integers(0, 2**32, (w1, w1), dtype=np.uint32)
+               for _ in range(3)]
         for wraps in ([(0, 0)] * 3, [(1, 2), (0, 0), (2, 1)],
                       [(2, 1), (1, 0), (0, 2)]):
-            got = native.pack_blocks_level(*lvls, wraps)
-            want = tp._pack_blocks_level_np(lvls, w, wraps)
+            # fused-mip row: slot A from lvls, slot B from the next level
+            got = native.pack_blocks_level(lvls, nxt, wraps)
+            want = tp._pack_blocks_level_np(lvls, w, wraps, nxt)
             np.testing.assert_array_equal(got, want)
+            # last level: slot B stays zero
+            got = native.pack_blocks_level(lvls, None, wraps)
+            want = tp._pack_blocks_level_np(lvls, w, wraps, None)
+            np.testing.assert_array_equal(got, want)
+            assert (want[:, tp.SLOT_U32:tp.BLOCK_U32] == 0).all()
 
 
 def test_accessor_unpack_normalized():

@@ -252,6 +252,105 @@ class TestPerSlotSamplers:
         )
         assert_images_close(produced, expected)
 
+    def _fused_scene(self, tmp_path, wrap, mag=9729, min=9987):
+        """Small textured scene exercising the fused-mip edge cases: uvs far
+        outside [0,1] (wrap saturation), a deep perspective plane (lod spans
+        the whole chain incl. the top, where l1 == l0), an 8px chain."""
+        from vktf_tpu.models.gltf_writer import GltfWriter
+        from vktf_tpu.models.primitives import plane_mesh
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import checker_png_bytes
+
+        w = GltfWriter()
+        img = w.add_image_bytes(checker_png_bytes(8, cell=2), "image/png")
+        s = w.add_sampler(mag=mag, min=min, wrap_s=wrap, wrap_t=wrap)
+        mat = w.add_material(
+            base_color_texture=w.add_texture(img, s),
+            metallic_roughness_texture=w.add_texture(img, s),
+            normal_texture=w.add_texture(img, s),
+            metallic_factor=0.3, roughness_factor=0.6,
+        )
+        geom = plane_mesh(40.0)  # deep plane: lod reaches the chain top
+        geom["uvs"] = geom["uvs"] * 4.0 - 1.5  # far outside [0,1]
+        sun = w.add_light("directional", color=(2.5, 2.5, 2.5))
+        w.add_scene([
+            w.add_node(mesh=w.add_mesh(geom, material=mat),
+                       translation=(0.0, 0.0, -2.0)),
+            w.add_node(light=sun, rotation=(-0.3827, 0.0, 0.0, 0.9239)),
+        ])
+        return w.write(tmp_path / f"fused_{wrap}_{mag}_{min}.gltf")
+
+    @pytest.mark.parametrize("wrap,mag,min", [
+        (10497, 9729, 9987),   # repeat, trilinear
+        (33071, 9729, 9987),   # clamp_to_edge (dx-rule saturation cases)
+        (10497, 9728, 9984),   # repeat, nearest mag/min + nearest mip
+    ])
+    def test_fused_pool_matches_classic_bitwise(self, tmp_path, wrap, mag,
+                                                min):
+        """The fused-mip single-gather path (shade_fused_pool=True, the
+        default) is BIT-IDENTICAL to the classic two-gather path for
+        repeat/clamp wrap — including clamp saturation at both edges, uvs
+        far outside [0,1], lod at the chain top (l1 == l0 -> slot-A reuse),
+        and nearest filter/mip modes (ops/texture_pack.py fused-mip
+        layout)."""
+        import dataclasses
+
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.ops.pipeline import make_frame_fn
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene, default_camera
+
+        path = self._fused_scene(tmp_path, wrap, mag=mag, min=min)
+        scene, meta, _aux = build_scene(path)
+        assert not meta.mirror_wrap and not meta.mixed_samplers
+        camera = default_camera(position=(0.0, 1.2, 6.0),
+                                direction=(0.0, -0.18, -1.0))
+        base = RenderConfig(width=96, height=64, msaa_samples=4,
+                            tile_shape=(32, 64), backend="pallas",
+                            shading_rate="pixel")
+        frames = []
+        for fused in (True, False):
+            config = dataclasses.replace(base, shade_fused_pool=fused)
+            fn = make_frame_fn(meta, config)
+            frames.append(np.asarray(
+                fn(scene, camera.view_projection_transform, camera.position)
+            ))
+        np.testing.assert_array_equal(frames[0], frames[1])
+
+    def test_mirror_wrap_gates_fused_pool_off(self, tmp_path):
+        """MIRRORED_REPEAT sets SceneMeta.mirror_wrap (a reflection can push
+        the l+1 footprint outside the fused row's slot-B window), and
+        resolved_fused_pool refuses to enable the fused path for such
+        scenes even when the flag asks for it."""
+        from vktf_tpu.config import RenderConfig
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene
+
+        path = self._fused_scene(tmp_path, 33648)  # mirrored_repeat
+        _scene, meta, _aux = build_scene(path)
+        assert meta.mirror_wrap
+        config = RenderConfig(shade_fused_pool=True)
+        assert not config.resolved_fused_pool(
+            mirror_wrap=meta.mirror_wrap,
+            mixed_samplers=meta.mixed_samplers,
+        )
+        # repeat/clamp scenes resolve ON by default
+        path2 = self._fused_scene(tmp_path, 10497)
+        _scene2, meta2, _aux2 = build_scene(path2)
+        assert not meta2.mirror_wrap
+        assert RenderConfig().resolved_fused_pool(
+            mirror_wrap=meta2.mirror_wrap,
+            mixed_samplers=meta2.mixed_samplers,
+        )
+
     def test_identical_samplers_stay_single_gather(self, tmp_path):
         """Scenes whose materials share samplers across slots keep
         mixed_samplers=False (the 1-gather-per-level fast path)."""

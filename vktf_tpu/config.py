@@ -158,6 +158,16 @@ class RenderConfig:
     # tools/frame_ab.py shade_pool_rowmajor=0 vs =1).
     shade_pool_rowmajor: Optional[bool] = None
 
+    # Deferred shade (kernel impl): sample BOTH trilinear mip levels from
+    # ONE fused-mip pool row per pixel (slot A = level l 3x3, slot B =
+    # level l+1 3x3 — ops/texture_pack.py) instead of one row gather per
+    # level. Bit-identical to the two-gather form for REPEAT/CLAMP wrap
+    # with identical per-slot samplers; pipelines gate it off automatically
+    # for mirror-wrap or mixed-sampler scenes (SceneMeta.mirror_wrap /
+    # .mixed_samplers) and under the attrs boundary. None = auto (on).
+    # A/B: python tools/frame_ab.py shade_fused_pool=0 shade_fused_pool=1
+    shade_fused_pool: Optional[bool] = None
+
     # Clear values (reference: engine.cppm:520 clears black, depth 1.0).
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     clear_depth: float = 1.0
@@ -263,6 +273,20 @@ class RenderConfig:
 
             interpret = jax.devices()[0].platform != "tpu"
         return not interpret
+
+    def resolved_fused_pool(self, *, mirror_wrap: bool = False,
+                            mixed_samplers: bool = False) -> bool:
+        """Resolve shade_fused_pool (None = auto: on) against the static
+        scene properties that make the single-gather form inexact: mirror
+        wrap (the l+1 footprint can escape the anchored slot-B window —
+        ops/texture_pack.py docstring) and per-slot samplers (slots need
+        their own rows). The explicit flag cannot force fused on for such
+        scenes; it can force it OFF for A/B."""
+        if mirror_wrap or mixed_samplers:
+            return False
+        if self.shade_fused_pool is not None:
+            return self.shade_fused_pool
+        return True
 
     def resolved_backend(self) -> str:
         """Resolve "auto" against the live device (the device-capability

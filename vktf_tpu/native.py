@@ -66,7 +66,9 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.vktf_pack_blocks_level.restype = None
     lib.vktf_pack_blocks_level.argtypes = [
-        _u32p, _u32p, _u32p, ctypes.c_int32, _i32p, _u32p,
+        _u32p, _u32p, _u32p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # next level | NULL
+        ctypes.c_int32, _i32p, _u32p,
     ]
     lib.vktf_unpack_accessor.restype = ctypes.c_int32
     lib.vktf_unpack_accessor.argtypes = [
@@ -111,26 +113,38 @@ def generate_mips(base: np.ndarray, srgb: bool) -> Optional[list[np.ndarray]]:
     return levels
 
 
-def pack_blocks_level(base: np.ndarray, mr: np.ndarray, nrm: np.ndarray,
-                      wraps) -> Optional[np.ndarray]:
-    """Native block-pool rows (bw*bw, 64) for one pow2-square level; None if
-    the library is unavailable (ops/texture_pack.py stride-2 4x4 layout).
+def pack_blocks_level(packed, packed_next, wraps) -> Optional[np.ndarray]:
+    """Native fused-mip block-pool rows (bw*bw, 64) for one pow2-square
+    level; None if the library is unavailable (ops/texture_pack.py stride-2
+    3x3+3x3 layout: slot A = level l, slot B = level l+1).
 
+    packed: [base, mr, normal] level-l u32 arrays; packed_next: the
+    level-(l+1) triple, or None for the last level (slot B stays zero).
     wraps: per-slot [(wrap_u, wrap_v)] x 3 — each texture bakes its own
     sampler's wrap mode into the out-of-range block texels."""
     lib = _load()
     if lib is None or not hasattr(lib, "vktf_pack_blocks_level"):
         return None
-    w = int(base.shape[0])
+    w = int(packed[0].shape[0])
     bw = max(w >> 1, 1)
     out = np.zeros((bw * bw, 64), np.uint32)
     wrap_arr = np.ascontiguousarray(np.asarray(wraps, np.int32).reshape(6))
+    cur = [np.ascontiguousarray(p.reshape(-1), np.uint32) for p in packed]
+    if packed_next is None:
+        nxt_ptrs = [None, None, None]
+        nxt_keepalive = []
+    else:
+        nxt_keepalive = [
+            np.ascontiguousarray(p.reshape(-1), np.uint32)
+            for p in packed_next
+        ]
+        nxt_ptrs = [p.ctypes.data_as(ctypes.c_void_p) for p in nxt_keepalive]
     lib.vktf_pack_blocks_level(
-        np.ascontiguousarray(base.reshape(-1), np.uint32),
-        np.ascontiguousarray(mr.reshape(-1), np.uint32),
-        np.ascontiguousarray(nrm.reshape(-1), np.uint32),
+        cur[0], cur[1], cur[2],
+        nxt_ptrs[0], nxt_ptrs[1], nxt_ptrs[2],
         w, wrap_arr, out.reshape(-1),
     )
+    del nxt_keepalive
     return out
 
 

@@ -169,13 +169,17 @@ def _shade_flat(tri_id_flat, sx_flat, sy_flat, scene, setup, world, lights,
     )
 
 
-def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool):
+def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool,
+                    fused_pool: bool = False):
     """Resolve the deferred-shade implementation (config.shade_impl).
 
     Returns fn(tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights)
     -> (rgb (3, N), alpha (N,), covered (N,)). Default is the single-kernel
     Pallas form; mixed-sampler scenes (3x pool gathers per mip) stay on the
-    XLA form, as does an explicit shade_impl="xla"."""
+    XLA form, as does an explicit shade_impl="xla". fused_pool (kernel impl
+    only): one fused-mip pool gather serves both trilinear levels — callers
+    resolve it against the scene's static sampler properties
+    (RenderConfig.resolved_fused_pool)."""
     from vktf_tpu.ops.shade_table import shade_table_layer
 
     impl = config.shade_impl
@@ -192,7 +196,7 @@ def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool):
             return shade_table_layer_kernel(
                 tri_c, sx_c, sy_c, table, quad_pool, camera_position,
                 lights, max_anisotropy=config.max_anisotropy,
-                interpret=interpret,
+                interpret=interpret, fused_pool=fused_pool,
             )
 
         return fn
@@ -314,7 +318,8 @@ def _flat_pad_chunks(x, n_px, shade_chunk, n_pad, fill=0):
             for c in range(n_pad // shade_chunk)]
 
 
-def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
+def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
+                            fused_pool: bool = False):
     """Phase A of the two-program deferred shade (tile-layout, kernel impl).
 
     Winner/coverage reduction + the shade-TABLE row gather + pool row
@@ -339,15 +344,21 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
     sxp = _flat_pad_chunks(sx, n_px, shade_chunk, n_pad)
     syp = _flat_pad_chunks(sy, n_px, shade_chunk, n_pad)
 
+    fused = fused_pool and not attrs_mode  # attrs boundary stays classic
     ids_p, trows, r0s, r1s = [], [], [], []
     for l in range(layers):
         idp = _flat_pad_chunks(id_px[l], n_px, shade_chunk, n_pad, fill=-1)
         for tri_c, sx_c, sy_c in zip(idp, sxp, syp):
-            chunk_fn = shade_attrs_chunk if attrs_mode else shade_addr_chunk
-            trow, r0, r1 = chunk_fn(
-                tri_c, sx_c, sy_c, table,
-                max_anisotropy=config.max_anisotropy,
-            )
+            if attrs_mode:
+                trow, r0, r1 = shade_attrs_chunk(
+                    tri_c, sx_c, sy_c, table,
+                    max_anisotropy=config.max_anisotropy,
+                )
+            else:
+                trow, r0, r1 = shade_addr_chunk(
+                    tri_c, sx_c, sy_c, table,
+                    max_anisotropy=config.max_anisotropy, fused_pool=fused,
+                )
             trows.append(trow)
             r0s.append(r0)
             r1s.append(r1)
@@ -368,7 +379,8 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig):
 
 
 def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
-                             config: RenderConfig):
+                             config: RenderConfig,
+                             fused_pool: bool = False):
     """Phase B of the two-program deferred shade: pool gathers + kernel +
     composite + resolve. Its only gather operand is the quad pool, which
     XLA stages into VMEM. Bit-identical to pallas_shade_resolve_tiled's
@@ -389,6 +401,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
     layers = len(addr["ids"]) // n_chunks
     background = jnp.asarray(config.clear_color, jnp.float32)
 
+    fused = fused_pool and not attrs_mode  # must match pallas_shade_addr_tiled
+
     def final_chunk(i, c, **kw):
         if attrs_mode:
             return shade_final_attrs_chunk(
@@ -402,7 +416,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
             addr["ids"][i], addr["sx"][c], addr["sy"][c], quad_pool,
             camera_position, lights,
             max_anisotropy=config.max_anisotropy, interpret=interpret,
-            pool_rowmajor=config.resolved_pool_rowmajor(), **kw,
+            pool_rowmajor=config.resolved_pool_rowmajor(), fused_pool=fused,
+            **kw,
         )
 
     if layers == 1 and config.shade_resolve_fuse:
@@ -449,7 +464,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
 
 def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
                                camera_position, *, config: RenderConfig,
-                               per_slot_samplers: bool = False):
+                               per_slot_samplers: bool = False,
+                               fused_pool: bool = False):
     """Tile-layout shade + MSAA resolve + sRGB encode (single-chip path).
 
     Consumes the rasterizer's RAW per-tile blocks (num_tiles, S*th, tw)
@@ -512,7 +528,7 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
             )
         return x.reshape(n_pad // shade_chunk, shade_chunk)
 
-    shade_layer = _shade_layer_fn(config, per_slot_samplers)
+    shade_layer = _shade_layer_fn(config, per_slot_samplers, fused_pool)
 
     def shade_one(args):
         tri_c, sx_c, sy_c = args
@@ -554,7 +570,8 @@ def pallas_shade_resolve_tiled(tri_id, depth, scene, table, lights,
 
 def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
                          *, config: RenderConfig, y0=0, depth=None,
-                         per_slot_samplers: bool = False):
+                         per_slot_samplers: bool = False,
+                         fused_pool: bool = False):
     """Shade-table shading + MSAA resolve + sRGB encode of a visibility block.
 
     tri_id: (S, h, w) winner ids — or (L, S, h, w) depth-peeled layers,
@@ -570,7 +587,7 @@ def pallas_shade_resolve(tri_id, scene, table, lights, camera_position,
     offsets = np.asarray(SAMPLE_OFFSETS[config.msaa_samples], np.float32)
     background = jnp.asarray(config.clear_color, jnp.float32)
     y_off = jnp.asarray(y0, jnp.float32)
-    shade_layer = _shade_layer_fn(config, per_slot_samplers)
+    shade_layer = _shade_layer_fn(config, per_slot_samplers, fused_pool)
 
     def shade_chunked(layer_ids, sx_flat, sy_flat):
         """Shade each layer of flat samples; returns (rgb (L,3,N), a (L,N)).
@@ -751,17 +768,23 @@ def render_frame(
                 build_shade_table_pallas(setup, scene, inst_matrix,
                                          interpret=interpret)
             )
+        fused_pool = config.resolved_fused_pool(
+            mirror_wrap=meta.mirror_wrap,
+            mixed_samplers=meta.mixed_samplers,
+        )
         with jax.named_scope("vktf.shade_resolve"):
             if tiled_resolve:
                 rgba = pallas_shade_resolve_tiled(
                     tri_id, depth, scene, table, lights, camera_position,
                     config=config, per_slot_samplers=meta.mixed_samplers,
+                    fused_pool=fused_pool,
                 )
             else:
                 rgba = pallas_shade_resolve(
                     tri_id, scene, table, lights, camera_position,
                     config=config, depth=depth,
                     per_slot_samplers=meta.mixed_samplers,
+                    fused_pool=fused_pool,
                 )
         return rgba[:, :height, :width]
 
@@ -904,17 +927,24 @@ class PallasFrameProgram:
                 setup, scene, None, interpret=interpret
             )
 
+        fused_pool = config.resolved_fused_pool(
+            mirror_wrap=meta.mirror_wrap,
+            mixed_samplers=meta.mixed_samplers,
+        )
+
         def shade(tri_id, depth, table, scene, lights, camera_position):
             if tiled_resolve:
                 rgba = pallas_shade_resolve_tiled(
                     tri_id, depth, scene, table, lights, camera_position,
                     config=config, per_slot_samplers=meta.mixed_samplers,
+                    fused_pool=fused_pool,
                 )
             else:
                 rgba = pallas_shade_resolve(
                     tri_id, scene, table, lights, camera_position,
                     config=config, depth=depth,
                     per_slot_samplers=meta.mixed_samplers,
+                    fused_pool=fused_pool,
                 )
             return rgba[:, :height, :width]
 
@@ -934,13 +964,14 @@ class PallasFrameProgram:
         if self._two_phase:
             def shade_addr(tri_id, depth, table):
                 return pallas_shade_addr_tiled(
-                    tri_id, depth, table, config=config
+                    tri_id, depth, table, config=config,
+                    fused_pool=fused_pool,
                 )
 
             def shade_final(addr, scene, lights, camera_position):
                 rgba = pallas_shade_final_tiled(
                     addr, scene.quad_pool, lights, camera_position,
-                    config=config,
+                    config=config, fused_pool=fused_pool,
                 )
                 return rgba[:, :height, :width]
 

@@ -43,17 +43,20 @@ from vktf_tpu.ops.shade_table import (
     A_CY1,
     ROW,
     compute_fragment_attrs,
+    fused_window_addr,
     gather_rows,
     pool_row_indices,
     pool_window_addr,
     shade_from_attrs,
     shade_gathered,
 )
+from vktf_tpu.ops.texture_pack import SLOT_B_U16
 
 
 def _shade_block_body(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
     *, max_anisotropy: float, num_lights: int, pool_rowmajor: bool = False,
+    fused_pool: bool = False,
 ):
     """One block of samples: gathered rows in, (rgb 3-tuple, alpha) out.
 
@@ -68,6 +71,12 @@ def _shade_block_body(
     f32 here — 3 VPU ops on a dense tile); q0/q1: (128, 8, 128) u16 pool
     block rows (mip l0/l1), lane-major; tri/sx/sy: (8, 128); cam: (1, 4)
     f32 (row 0 = camera xyz); lights: (num_lights, 8) f32.
+
+    fused_pool: the ONE-gather trilinear path (repeat/clamp scenes with
+    identical per-slot samplers): q1_ref is None and the mip-l1 taps come
+    from the SAME gathered row's slot B (texture_pack fused-mip layout) —
+    or from slot A again where l1 == l0 (chain top), reproducing the
+    classic path's degenerate lerp bit-for-bit.
     """
 
     def col(c):
@@ -89,18 +98,16 @@ def _shade_block_body(
         # worse, form c there).
         qw = q0_ref.shape[1]
         q0_ref = q0_ref[...].T.reshape(qw, *sx.shape)
-        q1_ref = q1_ref[...].T.reshape(qw, *sx.shape)
+        if q1_ref is not None:
+            q1_ref = q1_ref[...].T.reshape(qw, *sx.shape)
 
-    # in-block window addressing (recomputes the row indices the host used
-    # for the gathers; only (cx, cy) are consumed here)
-    a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=0)
-
-    def make_quad(q_ref, cx, cy):
+    def make_quad(q_ref, cx, cy, base: int = 0):
         """Folded-row accessor: the 2x2 window select happens PER TAP as
-        static-lane selects (x stride 2 u16 lanes, y stride 8) — in VMEM
-        this is four (8, 128) tile reads + three selects, with no
-        materialized roll. u16 -> i32 zero-extend per tap (only the ~16
-        touched lanes convert, not all 128).
+        static-lane selects (x stride 2 u16 lanes, y stride 6 in the 3x3
+        slot layout) — in VMEM this is four (8, 128) tile reads + three
+        selects, with no materialized roll. base selects the level slot
+        (0 = slot A, SLOT_B_U16 = slot B of the fused-mip row). u16 -> i32
+        zero-extend per tap (only the touched lanes convert, not all 128).
 
         A bf16-stored pool is also accepted (bitcast back to u16 here in
         VMEM, inside the kernel where XLA cannot commute it onto the gather
@@ -122,17 +129,33 @@ def _shade_block_body(
             return t.astype(jnp.int32)
 
         def quad(slot, k):
-            a = lane(k)
-            b = lane(k + 2)
-            c = lane(k + 8)
-            d = lane(k + 10)
+            a = lane(base + k)
+            b = lane(base + k + 2)
+            c = lane(base + k + 6)
+            d = lane(base + k + 8)
             return jnp.where(cyb, jnp.where(cxb, d, c),
                              jnp.where(cxb, b, a))
 
         return quad
 
-    quad0 = make_quad(q0_ref, a0[3], a0[4])
-    quad1 = make_quad(q1_ref, a1[3], a1[4])
+    if fused_pool:
+        a0, (_fx1, _fy1, dx1, dy1, l1_eq) = fused_window_addr(
+            col, sx, sy, max_anisotropy
+        )
+        quad0 = make_quad(q0_ref, a0[3], a0[4])
+        quad_b = make_quad(q0_ref, dx1, dy1, base=SLOT_B_U16)
+
+        def quad1(slot, k):
+            # l1 == l0 (lod at the chain top): slot A with the l0 fold case
+            # IS the l1 footprint (fx1 == fx0 there), so the mip lerp
+            # degenerates exactly as in the classic two-gather path
+            return jnp.where(l1_eq, quad0(slot, k), quad_b(slot, k))
+    else:
+        # in-block window addressing (recomputes the row indices the host
+        # used for the gathers; only (cx, cy) are consumed here)
+        a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=0)
+        quad0 = make_quad(q0_ref, a0[3], a0[4])
+        quad1 = make_quad(q1_ref, a1[3], a1[4])
 
     cam3 = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
     # static light unroll from scalar reads (the light-count specialization
@@ -147,16 +170,22 @@ def _shade_block_body(
 
 
 def _shade_layer_kernel(
-    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
-    out_ref, *, max_anisotropy: float, num_lights: int,
-    pool_rowmajor: bool = False,
+    cols_ref, *refs, max_anisotropy: float, num_lights: int,
+    pool_rowmajor: bool = False, fused_pool: bool = False,
 ):
     """Layer form: out (4, 8, 128) f32 = (rgb linear, effective alpha) for
-    the host-side K-layer composite (pallas_shade_final_tiled layers > 1)."""
+    the host-side K-layer composite (pallas_shade_final_tiled layers > 1).
+    fused_pool drops the q1 ref (one pool gather serves both mips)."""
+    if fused_pool:
+        q0_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref, out_ref = refs
+        q1_ref = None
+    else:
+        (q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
+         out_ref) = refs
     rgb, alpha = _shade_block_body(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
-        pool_rowmajor=pool_rowmajor,
+        pool_rowmajor=pool_rowmajor, fused_pool=fused_pool,
     )
     out_ref[0] = rgb[0]
     out_ref[1] = rgb[1]
@@ -186,9 +215,8 @@ def _resolve_pack(rgb, alpha, frac, cam_ref, tri_i32):
 
 
 def _shade_resolve_kernel(
-    cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
-    lights_ref, out_ref, *, max_anisotropy: float, num_lights: int,
-    pool_rowmajor: bool = False,
+    cols_ref, *refs, max_anisotropy: float, num_lights: int,
+    pool_rowmajor: bool = False, fused_pool: bool = False,
 ):
     """Single-layer form: the _resolve_pack tail runs INSIDE the kernel;
     out is (1, 8, 128) i32 packed bytes.
@@ -198,11 +226,19 @@ def _shade_resolve_kernel(
     (4, n_px) f32 intermediates (tools/shade_phase_probe) — here the same
     formulas run on the (8, 128) VMEM tiles the fragment math already
     holds, and the phase-B output shrinks 33 MB f32 -> 8 MB i32.
+    fused_pool drops the q1 ref (one pool gather serves both mips).
     """
+    if fused_pool:
+        (q0_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref, lights_ref,
+         out_ref) = refs
+        q1_ref = None
+    else:
+        (q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
+         lights_ref, out_ref) = refs
     rgb, alpha = _shade_block_body(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
-        pool_rowmajor=pool_rowmajor,
+        pool_rowmajor=pool_rowmajor, fused_pool=fused_pool,
     )
     out_ref[0] = _resolve_pack(rgb, alpha, frac_ref[...], cam_ref,
                                tri_ref[...])
@@ -231,8 +267,8 @@ def _attrs_block_body(
         def quad(slot, k):
             a = q_ref[k].astype(jnp.int32)
             b = q_ref[k + 2].astype(jnp.int32)
-            c = q_ref[k + 8].astype(jnp.int32)
-            d = q_ref[k + 10].astype(jnp.int32)
+            c = q_ref[k + 6].astype(jnp.int32)
+            d = q_ref[k + 8].astype(jnp.int32)
             return jnp.where(cyb, jnp.where(cxb, d, c),
                              jnp.where(cxb, b, a))
 
@@ -273,11 +309,14 @@ def _attrs_resolve_kernel(
                                tri_ref[...])
 
 
-def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
+def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0,
+                     fused_pool: bool = False):
     """Phase A of the two-phase deferred shade: table gather + addressing.
 
     Gathers each sample's shade-table row and computes the two texture-pool
-    block-row indices (mip l0/l1). Returns (colsT (2*ROW, N) u16, r0, r1)
+    block-row indices (mip l0/l1) — or only r0 with r1=None when fused_pool
+    (the fused-mip row serves both levels; the l1 addressing is dead code
+    XLA eliminates). Returns (colsT (2*ROW, N) u16, r0, r1)
     — the table rows cross the phase boundary TRANSPOSED to component-major
     but still as u16 hi/lo halves; the shade kernel reads dense (8, 128)
     tiles and does the f32 combine on them in VMEM (3 VPU ops per column).
@@ -311,6 +350,8 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0):
         return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N,)
 
     r0, r1 = pool_row_indices(colx, sx, sy, max_anisotropy, slot=0)
+    if fused_pool:
+        return trowT, r0, None
     return trowT, r0, r1
 
 
@@ -360,6 +401,7 @@ def _shade_final_call(
     frac,
     background,
     pool_rowmajor,
+    fused_pool: bool = False,
 ):
     """Shared phase-B scaffolding for the two boundary forms.
 
@@ -370,14 +412,17 @@ def _shade_final_call(
     padding/blocking, BlockSpec plumbing, the resolve-vs-layer dispatch,
     and the output slicing. One builder so a spec/padding fix cannot
     silently miss one of the two (code-review r2s4).
+
+    fused_pool (cols form only): ONE pool gather — the fused-mip row at r0
+    carries both trilinear levels (r1 is None and no q1 tensor exists).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 96 live of W=128 lanes
-    q1 = gather_rows(quad_pool, r1)
+    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 108 live of W=128 lanes
+    q1 = None if fused_pool else gather_rows(quad_pool, r1)
     qw = quad_pool.shape[1]
 
     n_pad = -(-n // block) * block
@@ -406,10 +451,10 @@ def _shade_final_call(
         # per block in VMEM (see _shade_block_body) instead of XLA paying
         # an HBM relayout copy per tensor (tools/relayout_ab.py)
         q0b = pad_first(q0)
-        q1b = pad_first(q1)
+        q1b = None if fused_pool else pad_first(q1)
     else:
         q0b = pad_first(q0).T.reshape(qw, nb, 128)
-        q1b = pad_first(q1).T.reshape(qw, nb, 128)
+        q1b = None if fused_pool else pad_first(q1).T.reshape(qw, nb, 128)
 
     grid = (n_pad // block,)
     bb = block // 128  # (8) pixel rows of 128 lanes per kernel block
@@ -435,10 +480,13 @@ def _shade_final_call(
         pl.BlockSpec((lead_rows, bb, 128), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
         pool_spec,
-        pool_spec,
-        px_spec(),
     ]
-    args = [leadb, q0b, q1b, pad_first(tri_id).reshape(nb, 128)]
+    args = [leadb, q0b]
+    if not fused_pool:
+        in_specs.append(pool_spec)
+        args.append(q1b)
+    in_specs.append(px_spec())
+    args.append(pad_first(tri_id).reshape(nb, 128))
     for x in px_extra:
         in_specs.append(px_spec())
         args.append(pad_first(x).reshape(nb, 128))
@@ -513,6 +561,7 @@ def shade_final_chunk(
     frac=None,
     background=None,
     pool_rowmajor: bool = False,
+    fused_pool: bool = False,
 ):
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
@@ -522,6 +571,11 @@ def shade_final_chunk(
     by XLA). The gathered pool rows are transposed host-side to lane-major
     (XLA fuses the transpose into the gather) — so the kernel reads dense
     (8, 128) tiles for every accessor (see _shade_block_body).
+
+    fused_pool: ONE pool gather per pixel — the fused-mip row at r0
+    carries both trilinear levels (r1 ignored). Exact for repeat/clamp
+    scenes with identical per-slot samplers (texture_pack docstring);
+    callers gate on SceneMeta.mirror_wrap / mixed_samplers.
 
     Two output forms:
       * frac is None (K-layer): returns (rgb (3, n), alpha (n,), covered)
@@ -533,9 +587,10 @@ def shade_final_chunk(
     return _shade_final_call(
         cols, 2 * ROW, (sx, sy),
         (_shade_layer_kernel, _shade_resolve_kernel),
-        {"max_anisotropy": max_anisotropy},
+        {"max_anisotropy": max_anisotropy, "fused_pool": fused_pool},
         r0, r1, tri_id, quad_pool, camera_position, lights,
         interpret, block, frac, background, pool_rowmajor,
+        fused_pool=fused_pool,
     )
 
 
@@ -551,6 +606,7 @@ def shade_table_layer_kernel(
     per_slot_samplers: bool = False,
     interpret: bool = False,
     block: int = 1024,
+    fused_pool: bool = False,
 ):
     """shade_table.shade_table_layer with the post-gather work in one Pallas
     kernel; same signature + returns, bit-identical math. Single-program
@@ -561,11 +617,14 @@ def shade_table_layer_kernel(
 
     per_slot_samplers is not kernelized (3x the gather inputs for a rare
     scene property) — callers route mixed-sampler scenes to the XLA impl.
+    fused_pool: one pool gather serves both mips (shade_final_chunk).
     """
     if per_slot_samplers:
         raise ValueError("mixed-sampler scenes use the XLA shade impl")
-    trow, r0, r1 = shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy)
+    trow, r0, r1 = shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy,
+                                    fused_pool=fused_pool)
     return shade_final_chunk(
         trow, r0, r1, tri_id, sx, sy, quad_pool, camera_position, lights,
         max_anisotropy=max_anisotropy, interpret=interpret, block=block,
+        fused_pool=fused_pool,
     )

@@ -372,13 +372,17 @@ def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0):
 
 def _level_addr(tp, level_i):
     """Pool BLOCK-row index + bilinear fractions + in-block case for one mip
-    level (texture_pack.py stride-2 4x4 block layout).
+    level (texture_pack.py stride-2 fused-mip 3x3 block layout; this
+    function addresses ONE level's slot-A window — the classic two-gather
+    form).
 
     The 2x2 footprint with wrapped corner (x0, y0) lies inside block
     (x0>>1, y0>>1); (cx, cy) = (x0&1, y0&1) selects which 2x2 window of the
-    4x4 block holds the taps. Block rows keep the pool under the ~400k-row
+    3x3 slot holds the taps. Block rows keep the pool under the ~400k-row
     TPU gather cliff (tools/microbench6) that the one-row-per-texel quad
     layout blew past (13 ms -> 3.2 ms per 2M-index gather at Sponza scale).
+    Returns (row, fx, fy, cx, cy, x0, y0) — the wrapped corners feed the
+    fused-mip slot-B case selection (fused_window_addr).
     """
     w0_i = tp["w0_i"]
     wl = jnp.maximum(w0_i >> level_i, 1)
@@ -404,7 +408,7 @@ def _level_addr(tp, level_i):
     offset = 4 * (b0 * b0 - bl * bl) // 3 + extra
     bw = jnp.maximum(w0_i >> (level_i + 1), 1)
     row = tp["base_row_i"] + offset + (y0 >> 1) * bw + (x0 >> 1)
-    return row, fx, fy, x0 & 1, y0 & 1
+    return row, fx, fy, x0 & 1, y0 & 1, x0, y0
 
 
 def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
@@ -417,38 +421,74 @@ def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
 
 def pool_window_addr(col, sx, sy, max_anisotropy, slot: int = 0):
     """Full 2x2-window addressing per mip level for one texture slot:
-    ((row, fx, fy, cx, cy) for l0, same for l1)."""
+    ((row, fx, fy, cx, cy, x0, y0) for l0, same for l1)."""
     tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
     return _level_addr(tp, tp["l0"]), _level_addr(tp, tp["l1"])
 
 
+def fused_window_addr(col, sx, sy, max_anisotropy):
+    """Single-gather trilinear addressing (fused-mip pool rows).
+
+    One row gather — the l0 block row — serves BOTH mip levels: slot A is
+    the l0 3x3, slot B the l1 3x3 anchored at (bx-1, by-1) (texture_pack
+    docstring). Exact for REPEAT/CLAMP wrap only (mirror scenes use the
+    classic pool_window_addr path; SceneMeta.mirror_wrap gates statically).
+
+    Slot-B window case: slot B's columns hold level-l1 texels
+    wrap(bx-1+j, w1), and the sample's l1 footprint corner c1 (the wrapped
+    corner _level_addr computes for l1) equals column dx+0 for
+    dx = 1 if c1 == wrap(bx, w1) else 0 — under repeat/clamp this
+    reproduces the classic path's taps {c1, wrap-baked(c1+1)} bit-for-bit,
+    including the clamp saturation cases (dx = 1 whenever the corner sits
+    on the wrapped block column, which covers the low-edge cols (0,0,1)
+    and high-edge cols (w1-2, w1-1, w1-1) saturations). Since bx is in
+    range, wrap(bx, w1) == bx.
+
+    Returns (a0, (fx1, fy1, dx1, dy1, l1_eq)): a0 = the l0 _level_addr
+    tuple (row to gather + slot-A fold case), and the slot-B parameters —
+    l1_eq flags pixels whose l1 == l0 (lod at the chain top), which must
+    reuse slot A so the mip lerp degenerates exactly as in the classic
+    path."""
+    tp = _texture_params(col, sx, sy, max_anisotropy, slot=0)
+    a0 = _level_addr(tp, tp["l0"])
+    a1 = _level_addr(tp, tp["l1"])
+    bx = a0[5] >> 1
+    by = a0[6] >> 1
+    dx1 = (a1[5] == bx).astype(jnp.int32)
+    dy1 = (a1[6] == by).astype(jnp.int32)
+    l1_eq = tp["l1"] == tp["l0"]
+    return a0, (a1[1], a1[2], dx1, dy1, l1_eq)
+
+
 def fold_window(q, cx, cy):
-    """Pre-shift a gathered 4x4-block pool row so the sample's 2x2 bilinear
-    window sits at the block origin.
+    """Pre-shift a gathered 3x3-block pool slot so the sample's 2x2 bilinear
+    window sits at the slot origin.
 
     TWO static lane rotates + TWO row-wide selects (x texel stride = 2 u16
-    lanes, y stride = 8) replace the per-tap 4-way lane folding that
+    lanes, y stride = 6) replace the per-tap 4-way lane folding that
     selected among the (cx, cy) window cases inside _filter_slot — measured
     3.4x of the whole deferred-shade stage at 1080p Sponza
     (tools/microbench8: 197 -> 58 ms with static-lane taps). Rolled-in
-    lanes from beyond a slot's 32-lane group are never read (taps only
-    touch window lanes 0..11 of each group)."""
+    lanes from beyond a texture's 18-lane group are never read (taps only
+    touch window lanes 0..9 of each group; 9 + the max fold shift 8 = 17
+    stays inside the group)."""
     qx = jnp.where((cx == 1)[:, None], jnp.roll(q, -2, axis=1), q)
-    return jnp.where((cy == 1)[:, None], jnp.roll(qx, -8, axis=1), qx)
+    return jnp.where((cy == 1)[:, None], jnp.roll(qx, -6, axis=1), qx)
 
 
 def _filter_slot(quad, slot, fx, fy, srgb):
-    """One bilinear tap of ONE material texture from a FOLDED block row.
+    """One bilinear tap of ONE material texture from a FOLDED block slot.
 
-    quad(slot, j) returns U16 lane j (0..127) of the slot's gathered pool
-    row — the pool stores each 4x4 block's 48 u32 texels as 96 u16 halves
-    (little-endian; texture_pack.build_material_pool: u32-width gathers
-    measured 6x slower than the identical bytes as u16). Texel t*16+i*4+j
-    lives in u16 lanes 2*(t*16+i*4+j) (RG bytes) and +1 (BA bytes). The
-    caller has already rotated the row so the sample's 2x2 window sits at
-    (i, j) = (0, 0) (fold_window), so every tap is a STATIC lane read.
-    Returns an (r, g, b, a) channel tuple; sRGB decoded per texel BEFORE
-    filtering (Vulkan rules) when srgb.
+    quad(slot, j) returns U16 lane j of the gathered pool row's LEVEL slot
+    (slot A directly, or slot B via a +SLOT_B_U16 lane offset in the
+    accessor) — the pool stores each 3x3 block's 27 u32 texels per slot as
+    54 u16 halves (little-endian; texture_pack.build_material_pool:
+    u32-width gathers measured 6x slower than the identical bytes as u16).
+    Texel t*9+i*3+j lives in u16 lanes 2*(t*9+i*3+j) (RG bytes) and +1 (BA
+    bytes). The caller has already rotated the row so the sample's 2x2
+    window sits at (i, j) = (0, 0) (fold_window), so every tap is a STATIC
+    lane read. Returns an (r, g, b, a) channel tuple; sRGB decoded per
+    texel BEFORE filtering (Vulkan rules) when srgb.
     """
     w00 = (1.0 - fx) * (1.0 - fy)
     w10 = fx * (1.0 - fy)
@@ -456,7 +496,7 @@ def _filter_slot(quad, slot, fx, fy, srgb):
     w11 = fx * fy
 
     def tap_half(half, dy, dx):
-        return quad(slot, 2 * (slot * 16 + dy * 4 + dx) + half)
+        return quad(slot, 2 * (slot * 9 + dy * 3 + dx) + half)
 
     taps_by_half = [
         [tap_half(h, 0, 0), tap_half(h, 0, 1), tap_half(h, 1, 0),
@@ -542,8 +582,8 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
     slot_tex = []
     for slot, srgb in ((0, True), (1, False), (2, False)):
         tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
-        _r0, fx0, fy0, _cx0, _cy0 = _level_addr(tp, tp["l0"])
-        _r1, fx1, fy1, _cx1, _cy1 = _level_addr(tp, tp["l1"])
+        _r0, fx0, fy0 = _level_addr(tp, tp["l0"])[:3]
+        _r1, fx1, fy1 = _level_addr(tp, tp["l1"])[:3]
         s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
         s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
         lfrac = tp["lfrac"]
@@ -587,8 +627,8 @@ def compute_fragment_attrs(col, sx, sy, max_anisotropy):
     (_texture_params/_level_addr/_anchored_attrs), so downstream results
     are bit-identical to shade_gathered's."""
     tp = _texture_params(col, sx, sy, max_anisotropy, slot=0)
-    r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])
-    r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])
+    r0, fx0, fy0, cx0, cy0 = _level_addr(tp, tp["l0"])[:5]
+    r1, fx1, fy1, cx1, cy1 = _level_addr(tp, tp["l1"])[:5]
     _inv_w, attr = _anchored_attrs(col, sx, sy)
     rows = [
         fx0, fy0, fx1, fy1, tp["lfrac"],

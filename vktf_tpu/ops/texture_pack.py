@@ -18,28 +18,43 @@ a trilinear sample of the whole material down to TWO row gathers, but its
 row count equals the texel count (1.5M at Sponza scale) — past the cliff,
 so each of those gathers paid ~13 ms.
 
-This pool packs 4x4-texel BLOCKS on a stride-2 anchor grid instead:
+This pool packs FUSED-MIP 3x3-texel BLOCKS on a stride-2 anchor grid:
 
   * the three textures of a material are resampled to one power-of-two
     square chain (they already match in well-authored assets; resampling is
     logged per the skip-and-log ethos);
-  * each pool row holds a 4x4 texel block of all three textures anchored at
-    even coords (2bx, 2by): lane t*16 + i*4 + j = texture t at texel
-    (2bx + j, 2by + i), wrap-mode-correct out-of-range texels baked in at
-    build time. 48 u32 lanes used, padded to 64;
-  * ANY 2x2 bilinear footprint lies inside exactly one block: its corner
-    (x0, y0) maps to block (x0>>1, y0>>1) with in-block case (x0&1, y0&1),
-    so one filtered trilinear sample of ALL THREE glTF material textures
-    (base color, metallic-roughness, normal — the reference's material
-    descriptor set, material.cppm:138-171) still costs exactly TWO row
-    gathers (one per mip level), while the pool has texels/4 rows —
-    393k for Sponza's 1.57M texel positions, back under the cliff
-    (measured 3.2 ms vs 13 ms per gather);
+  * each pool row of mip level l holds TWO slots covering BOTH trilinear
+    levels (round-2 fused-mip layout; the original layout was a 4x4
+    single-level block and paid a second row gather for mip l+1):
+      - slot A (u32 lanes 0..26): 3x3 texels of LEVEL l anchored at even
+        coords, lane t*9 + i*3 + j = texture t at texel
+        (2bx + j, 2by + i) — ANY 2x2 bilinear footprint at level l lies
+        inside it (its corner (x0, y0) maps to block (x0>>1, y0>>1) with
+        in-block case (x0&1, y0&1), and x0&1 + 1 <= 2);
+      - slot B (u32 lanes 27..53): 3x3 texels of LEVEL l+1 anchored at
+        (bx-1, by-1), lane 27 + t*9 + i*3 + j = texture t at texel
+        (bx-1+j, by-1+i) of level l+1 (wrapped) — for REPEAT/CLAMP wrap
+        modes this covers every possible l+1 bilinear footprint of a
+        sample whose l-level footprint corner lies in block (bx, by)
+        (the l+1 corner is floor((a0 + f0 - 0.5)/2) in {bx-1, bx}), so
+        one filtered TRILINEAR sample of ALL THREE glTF material textures
+        (base color, metallic-roughness, normal — the reference's material
+        descriptor set, material.cppm:138-171) costs exactly ONE row
+        gather. MIRRORED_REPEAT breaks the containment (a reflection can
+        displace the l+1 footprint outside the anchored window), so
+        mirror-wrap scenes take the classic two-gather path (slot A alone
+        serves any wrap mode at any single level) — MaterialPool.mirror
+        is the static scene flag, like .mixed for per-slot samplers.
+      The last level's slot B is zero (never read: l1 == l0 there and the
+      sampler reuses slot A). Out-of-range texels are wrap-mode-correct,
+      baked at build time. 54 u32 lanes used, padded to 64;
   * pow-of-two square chains make the per-level block-row offset a closed
     form (offset(l) = 4*(b0^2 - max(b0>>l,1)^2)/3 + [l == last && last>0],
     b0 = max(w0>>1, 1)), so no per-sample level-offset lookup table is
     needed — everything a sample needs is computable from scalars baked
-    per-triangle into the shade table (ops.shade_table).
+    per-triangle into the shade table (ops.shade_table). Row count is
+    texels/4 (393k for Sponza's 1.57M texel positions — under the cliff;
+    measured 3.2 ms vs 13 ms per gather for the one-row-per-texel form).
 
 Storage is a (P, 64) u32 array fetched with one vectorized 2-D row gather
 per mip level (the only fast gather form on TPU; explicit lax.gather with
@@ -59,8 +74,10 @@ import jax.numpy as jnp
 from vktf_tpu.loaders.images import TextureData, default_texture_data
 from vktf_tpu.log import Log, default_log
 
-BLOCK_U32 = 48  # 3 textures x 16 texels
+SLOT_U32 = 27  # 3 textures x 9 texels per slot (3x3 window)
+BLOCK_U32 = 2 * SLOT_U32  # slot A (level l) + slot B (level l+1)
 ROW_U32 = 64  # padded row width (pow2)
+SLOT_B_U16 = 2 * SLOT_U32  # u16 lane base of slot B (little-endian halves)
 
 # Largest pool row count MEASURED fast as a (rows, 128)-u16-lane gather
 # operand on v5e (117 MB staged; the next probe point, 475k rows =
@@ -92,6 +109,10 @@ class MaterialPool:
     #        | mip_nearest<<6  (exact in f32 shade-table columns)
     sampler_codes: np.ndarray  # (M, 3) int32
     mixed: bool  # True when any material's three slots differ
+    # True when any sampler uses MIRRORED_REPEAT on either axis: the fused
+    # single-gather trilinear path is exact only for repeat/clamp (module
+    # docstring), so mirror scenes route to the classic two-gather path
+    mirror: bool = False
 
 
 def sampler_code(sampler: dict) -> int:
@@ -176,22 +197,35 @@ def _chain_block_rows(size: int) -> int:
 
 
 def _pack_blocks_level_np(packed: list[np.ndarray], w: int,
-                          wraps: list[tuple[int, int]]) -> np.ndarray:
-    """(bw*bw, ROW_U32) block rows for one level (numpy fallback).
+                          wraps: list[tuple[int, int]],
+                          packed_next: list[np.ndarray] | None) -> np.ndarray:
+    """(bw*bw, ROW_U32) fused-mip block rows for one level (numpy fallback).
 
-    wraps: per-slot (wrap_u, wrap_v) — each texture's out-of-range block
-    texels bake with ITS OWN sampler's wrap mode.
+    packed: level-l texel arrays (slot A source); packed_next: level-(l+1)
+    arrays (slot B source), or None for the last level (slot B stays zero —
+    the sampler reuses slot A there, module docstring). wraps: per-slot
+    (wrap_u, wrap_v) — each texture's out-of-range block texels bake with
+    ITS OWN sampler's wrap mode.
     """
     bw = max(w >> 1, 1)
     out = np.zeros((bw, bw, ROW_U32), np.uint32)
     ax = 2 * np.arange(bw)
+    bx = np.arange(bw)
+    w1 = max(w >> 1, 1)
     for t, lvl in enumerate(packed):
         wrap_u, wrap_v = wraps[t]
-        for i in range(4):
+        for i in range(3):
             ty = _wrap_index(ax + i, w, wrap_v)  # (bw,)
-            for j in range(4):
+            for j in range(3):
                 tx = _wrap_index(ax + j, w, wrap_u)
-                out[:, :, t * 16 + i * 4 + j] = lvl[ty][:, tx]
+                out[:, :, t * 9 + i * 3 + j] = lvl[ty][:, tx]
+        if packed_next is not None:
+            nxt = packed_next[t]
+            for i in range(3):
+                ny = _wrap_index(bx - 1 + i, w1, wrap_v)
+                for j in range(3):
+                    nx = _wrap_index(bx - 1 + j, w1, wrap_u)
+                    out[:, :, SLOT_U32 + t * 9 + i * 3 + j] = nxt[ny][:, nx]
     return out.reshape(-1, ROW_U32)
 
 
@@ -227,6 +261,7 @@ def build_material_pool(
     num_levels = np.ones(count, np.int32)
     codes = np.zeros((count, 3), np.int32)
     mixed = False
+    mirror = False
 
     # pre-pass: pick each material's pow2-square chain size
     sizes_m = np.ones(count, np.int64)
@@ -298,19 +333,25 @@ def build_material_pool(
         codes[m] = [sampler_code(s) for s in samplers]
         if codes[m, 0] != codes[m, 1] or codes[m, 0] != codes[m, 2]:
             mixed = True
+        if any(WRAP_MIRROR in wu_wv for wu_wv in wraps):
+            mirror = True
 
         from vktf_tpu import native
 
+        packed_levels = [
+            [_pack_u32(chain[l]) for chain in chains] for l in range(levels)
+        ]
         for l in range(levels):
             w = max(size >> l, 1)
-            packed = [_pack_u32(chain[l]) for chain in chains]
-            rows_native = native.pack_blocks_level(
-                packed[0], packed[1], packed[2], wraps
-            )
+            packed = packed_levels[l]
+            packed_next = packed_levels[l + 1] if l + 1 < levels else None
+            rows_native = native.pack_blocks_level(packed, packed_next,
+                                                   wraps)
             if rows_native is not None:
                 blobs.append(rows_native)
             else:
-                blobs.append(_pack_blocks_level_np(packed, w, wraps))
+                blobs.append(_pack_blocks_level_np(packed, w, wraps,
+                                                   packed_next))
             row_cursor += max(w >> 1, 1) ** 2
 
     rows = np.concatenate(blobs) if blobs else np.zeros((1, ROW_U32), np.uint32)
@@ -352,4 +393,5 @@ def build_material_pool(
         num_levels=num_levels,
         sampler_codes=codes,
         mixed=mixed,
+        mirror=mirror,
     )

@@ -302,6 +302,10 @@ def render_frame_sharded(
             slicer(win_id), scene, table, lights, camera_position,
             config=config, y0=band_y0 + rows0, depth=slicer(win_depth),
             per_slot_samplers=meta.mixed_samplers,
+            fused_pool=config.resolved_fused_pool(
+                mirror_wrap=meta.mirror_wrap,
+                mixed_samplers=meta.mixed_samplers,
+            ),
         )  # (3, rh, pw) u8
         rgba = jax.lax.all_gather(
             rgba_slice, "gp", axis=1, tiled=True

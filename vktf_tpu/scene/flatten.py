@@ -97,6 +97,11 @@ class SceneMeta:
     # the deferred shade then compiles the exact per-slot pool-gather path
     # (3 block gathers per mip level instead of 1 — ops.shade_table).
     mixed_samplers: bool = False
+    # True when any sampler uses MIRRORED_REPEAT on either axis: the
+    # fused-mip single-gather trilinear path is exact only for repeat/clamp
+    # (ops/texture_pack.py docstring), so such scenes compile the classic
+    # two-gather path.
+    mirror_wrap: bool = False
 
 
 def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -516,6 +521,7 @@ def flatten_assets(
         num_vertices=int(positions.shape[0]),
         peel_layers=peel,
         mixed_samplers=material_pool.mixed,
+        mirror_wrap=material_pool.mirror,
     )
     aux = {"texture_entries": texture_entries}
     return scene, meta, aux
