@@ -188,6 +188,10 @@ def main():
             sl(win_id), scene, table, lights, cam_pos,
             config=config, y0=y0, depth=sl(win_depth),
             per_slot_samplers=meta.mixed_samplers,
+            fused_pool=config.resolved_fused_pool(
+                mirror_wrap=meta.mirror_wrap,
+                mixed_samplers=meta.mixed_samplers,
+            ),
         )
 
     shade_jit = jax.jit(shade_slice)
