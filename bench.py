@@ -48,7 +48,7 @@ CAMERAS = {
 def run_bench(preset: str, width: int, height: int, msaa: int,
               frames: int, warmup: int, animate: bool = True,
               backend: str | None = None, depth: int = 4,
-              anisotropy: float = 16.0):
+              anisotropy: float = 16.0, present_format: str = "rgb"):
     import jax
 
     from vktf_tpu.config import RenderConfig
@@ -63,7 +63,8 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
 
     config = RenderConfig(width=width, height=height, msaa_samples=msaa,
                           backend=backend or "auto",
-                          max_anisotropy=anisotropy)
+                          max_anisotropy=anisotropy,
+                          present_format=present_format)
     position, direction = CAMERAS[preset]
     camera = Camera(
         position,
@@ -205,6 +206,11 @@ def main() -> int:
                         help="raster backend (default: pallas on TPU, tiled elsewhere)")
     parser.add_argument("--anisotropy", type=float, default=16.0,
                         help="max sampler anisotropy (1 = off)")
+    parser.add_argument("--present-format", default="rgb",
+                        choices=("rgb", "yuv420"),
+                        help="device-side present encoding for the "
+                             "present/interactive rows (yuv420 = half the "
+                             "device->host bytes; render fps unaffected)")
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--verbose", action="store_true",
                         help="print observability counters to stderr")
@@ -220,7 +226,8 @@ def main() -> int:
         try:
             stats = run_bench(preset, width, height, msaa, args.frames,
                               args.warmup, backend=args.backend, depth=args.depth,
-                              anisotropy=args.anisotropy)
+                              anisotropy=args.anisotropy,
+                              present_format=args.present_format)
         except Exception as exc:  # pragma: no cover - bench robustness
             print(json.dumps({
                 "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",
@@ -231,6 +238,8 @@ def main() -> int:
             }))
             code = 1
             continue
+        extra = ({"present_format": args.present_format}
+                 if args.present_format != "rgb" else {})
         print(json.dumps({
             "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS"
                       f" ({stats['triangles']} tris, {stats['platform']}/{stats['backend']})",
@@ -243,6 +252,7 @@ def main() -> int:
             "mtris_per_s": round(stats["mtris_per_s"], 1),
             "compile_s": round(stats["compile_s"], 1),
             "session_init_s": round(stats["session_init_s"], 1),
+            **extra,
         }))
     if args.verbose:
         from vktf_tpu.utils.profiling import counters

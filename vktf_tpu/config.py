@@ -172,6 +172,14 @@ class RenderConfig:
     clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     clear_depth: float = 1.0
 
+    # Present encoding: what leaves the device per frame (ops/present.py).
+    # "rgb" (default) = the exact planar (3, H, W) uint8 frame — the
+    # reference's lossless present. "yuv420" = device-side BT.601 4:2:0
+    # encode packed into one flat uint8 array (1.5 B/px, half the present
+    # traffic; luma exact, chroma 2x2-subsampled) — for link-bound remote
+    # viewing; the engine decodes on host before the window sinks.
+    present_format: str = "rgb"
+
     # Compute dtypes. Geometry stays f32 (raster precision); shading math f32;
     # texture storage uint8 in HBM, converted post-gather.
     geom_dtype: jnp.dtype = jnp.float32
@@ -218,6 +226,12 @@ class RenderConfig:
             raise ValueError(f"unknown shading_rate {self.shading_rate!r}")
         if self.shade_impl not in (None, "kernel", "xla"):
             raise ValueError(f"unknown shade_impl {self.shade_impl!r}")
+        if self.present_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown present_format {self.present_format!r}")
+        if self.present_format == "yuv420" and (
+            self.width % 2 or self.height % 2
+        ):
+            raise ValueError("yuv420 present requires even width and height")
         if self.tile_shape is None:
             shape = (64, 128) if self.resolved_backend() == "pallas" else (32, 128)
             object.__setattr__(self, "tile_shape", shape)

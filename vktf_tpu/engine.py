@@ -154,13 +154,23 @@ class Engine:
         if len(self._in_flight) >= MAX_RENDER_FRAMES:
             oldest = self._in_flight.popleft()
             with annotate("engine.present"):
-                self.window.present(np.asarray(oldest))
+                self.window.present(self._to_presentable(np.asarray(oldest)))
             self.frame_timer.tick()
+
+    def _to_presentable(self, frame: np.ndarray) -> np.ndarray:
+        """Host-side decode of device present encodings (ops/present.py)."""
+        if self.config.present_format == "yuv420":
+            from vktf_tpu.ops.present import decode_yuv420
+
+            return decode_yuv420(frame, self.config.height, self.config.width)
+        return frame
 
     def wait_idle(self) -> None:
         """Drain in-flight frames (the deviceWaitIdle analogue, engine.cppm:83)."""
         while self._in_flight:
-            self.window.present(np.asarray(self._in_flight.popleft()))
+            self.window.present(
+                self._to_presentable(np.asarray(self._in_flight.popleft()))
+            )
             self.frame_timer.tick()
         summary = self.frame_timer.summary()
         if summary.get("frames", 0) > 1:

@@ -169,11 +169,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         help="max sampler anisotropy (1 = off; the reference "
                              "enables device-max anisotropy when available, "
                              "model.cppm:261-275)")
+    parser.add_argument("--present-format", default="rgb",
+                        choices=("rgb", "yuv420"),
+                        help="device-side present encoding: rgb = exact "
+                             "planar frame; yuv420 = BT.601 4:2:0 (half the "
+                             "device->host present bytes — for remote/"
+                             "link-bound viewing, ops/present.py)")
     args = parser.parse_args(list(sys.argv[1:] if argv is None else argv))
     try:
         config = RenderConfig(
             width=args.width, height=args.height, msaa_samples=args.msaa,
             backend=args.backend, max_anisotropy=args.anisotropy,
+            present_format=args.present_format,
         )
         start(
             args.assets,

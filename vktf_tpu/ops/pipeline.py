@@ -932,6 +932,13 @@ class PallasFrameProgram:
             mixed_samplers=meta.mixed_samplers,
         )
 
+        # device-side present encoding fused into the final stage (the
+        # frame's last producer — no extra program launch or HBM pass)
+        if config.present_format == "yuv420":
+            from vktf_tpu.ops.present import encode_yuv420 as _present_enc
+        else:
+            _present_enc = lambda x: x  # noqa: E731
+
         def shade(tri_id, depth, table, scene, lights, camera_position):
             if tiled_resolve:
                 rgba = pallas_shade_resolve_tiled(
@@ -946,7 +953,7 @@ class PallasFrameProgram:
                     per_slot_samplers=meta.mixed_samplers,
                     fused_pool=fused_pool,
                 )
-            return rgba[:, :height, :width]
+            return _present_enc(rgba[:, :height, :width])
 
         # Two-program shade (phase A stages the shade TABLE in VMEM, phase B
         # the texel POOL — they don't fit together; HBM row gathers measured
@@ -973,7 +980,7 @@ class PallasFrameProgram:
                     addr, scene.quad_pool, lights, camera_position,
                     config=config, fused_pool=fused_pool,
                 )
-                return rgba[:, :height, :width]
+                return _present_enc(rgba[:, :height, :width])
 
             self._shade_addr = jax.jit(shade_addr)
             self._shade_final = jax.jit(shade_final)
@@ -1061,8 +1068,13 @@ def make_frame_fn(meta: SceneMeta, config: RenderConfig):
         return PallasFrameProgram(meta, config)
 
     def frame(scene, view_projection, camera_position):
-        return render_frame(
+        out = render_frame(
             scene, view_projection, camera_position, meta=meta, config=config
         )
+        if config.present_format == "yuv420":
+            from vktf_tpu.ops.present import encode_yuv420
+
+            out = encode_yuv420(out)
+        return out
 
     return jax.jit(frame)
