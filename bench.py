@@ -1,30 +1,54 @@
 #!/usr/bin/env python
 """Benchmark harness: steady-state render FPS on the BASELINE configs.
 
-Prints ONE JSON line:
+Prints ONE JSON line (per requested config):
     {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
 The headline metric matches BASELINE.json's north star: FPS at 1080p on a
 Sponza-scale scene with full PBR + 4x MSAA (the reference publishes no
 numbers of its own, so vs_baseline is measured against the 60-FPS target).
 
+A JSON line lands NO MATTER WHAT (the round-2 driver bench timed out with
+nothing printed — BENCH_r02.json rc=124, parsed=null):
+
+  * timestamped progress markers go to stderr at every phase, so a killed
+    run's tail shows where the time went;
+  * a watchdog THREAD (immune to a main thread blocked inside a tunnel RPC)
+    enforces an internal wall-clock budget (env BENCH_BUDGET_S, default
+    480 s) and flushes the best-so-far JSON before exiting;
+  * SIGTERM/SIGINT handlers flush the same partial JSON when an external
+    timeout fires first;
+  * the measurement ladder is adaptive: a short device loop produces a
+    valid headline measurement as early as possible, and best-of-3 /
+    present / interactive refinements run only while budget remains.
+
+The reference bar is "the app always starts" (engine.cppm:501-563); ours is
+"the bench always reports".
+
 Usage:
     python bench.py                    # headline: sponza @1080p, 4x MSAA
     python bench.py --preset helmet --width 1280 --height 720 --msaa 1
     python bench.py --all              # print one line per BASELINE config
+    python bench.py --mesh 4,2         # sharded frame path on a (gp, sp) mesh
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
 
 BASELINE_TARGET_FPS = 60.0  # BASELINE.json north_star
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_DEADLINE = _T0 + _BUDGET_S
 
 # (preset, width, height, msaa) per BASELINE.json configs
 CONFIGS = {
@@ -44,12 +68,113 @@ CAMERAS = {
     "flythrough": ((-9.0, 1.7, 0.0), (1.0, 0.05, 0.0)),
 }
 
+# ---------------------------------------------------------------------------
+# always-report machinery
+# ---------------------------------------------------------------------------
+
+_emit_lock = threading.Lock()
+_state = {
+    "phase": "startup",          # most recent phase marker
+    "partial": None,             # best-so-far headline dict (not yet printed)
+    "printed": 0,                # completed JSON lines already on stdout
+    "done": False,               # normal completion reached
+}
+
+
+def _mark(phase: str, **kv) -> None:
+    """Timestamped progress marker on stderr (the killed-run breadcrumb)."""
+    _state["phase"] = phase
+    extra = "".join(f" {k}={v}" for k, v in kv.items())
+    sys.stderr.write(f"[bench +{time.time() - _T0:6.1f}s] {phase}{extra}\n")
+    sys.stderr.flush()
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.time()
+
+
+def _set_partial(line: dict) -> None:
+    """Record the best-so-far headline; flushed by watchdog/signal if the
+    run never reaches its normal print."""
+    _state["partial"] = dict(line)
+
+
+def _print_line(line: dict) -> None:
+    with _emit_lock:
+        print(json.dumps(line), flush=True)
+        _state["printed"] += 1
+        _state["partial"] = None
+
+
+def _flush_partial(reason: str) -> None:
+    """Emergency emission: print the best-so-far (or a zero line) exactly
+    once, annotated with where the run died. Safe from any thread."""
+    with _emit_lock:
+        if _state["done"]:
+            return
+        line = _state["partial"]
+        if line is None and _state["printed"] == 0:
+            line = {
+                "metric": "sponza @1920x1080 4xMSAA render FPS",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+            }
+        if line is not None:
+            line = dict(line)
+            line["partial"] = reason
+            line["phase"] = _state["phase"]
+            line["elapsed_s"] = round(time.time() - _T0, 1)
+            print(json.dumps(line), flush=True)
+            _state["printed"] += 1
+            _state["partial"] = None
+        _state["done"] = True
+
+
+def _watchdog() -> None:
+    while True:
+        left = _DEADLINE - time.time()
+        if _state["done"]:
+            return
+        if left <= 0:
+            stuck_in = _state["phase"]
+            sys.stderr.write(
+                f"[bench +{time.time() - _T0:6.1f}s] watchdog fired "
+                f"(budget_s={_BUDGET_S}, stuck in: {stuck_in})\n"
+            )
+            sys.stderr.flush()
+            _flush_partial("budget")
+            os._exit(0)
+        time.sleep(min(left, 2.0))
+
+
+def _on_signal(signum, frame) -> None:  # pragma: no cover - signal path
+    sys.stderr.write(
+        f"[bench +{time.time() - _T0:6.1f}s] signal {signum} "
+        f"(in phase: {_state['phase']})\n"
+    )
+    sys.stderr.flush()
+    _flush_partial(f"signal{signum}")
+    os._exit(0)
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
 
 def run_bench(preset: str, width: int, height: int, msaa: int,
               frames: int, warmup: int, animate: bool = True,
               backend: str | None = None, depth: int = 4,
-              anisotropy: float = 16.0, present_format: str = "rgb"):
+              anisotropy: float = 16.0, present_format: str = "rgb",
+              mesh_shape: tuple[int, int] | None = None,
+              emit=None):
+    """Measure one config. Calls ``emit(stats_dict)`` after every refinement
+    so the watchdog always has the latest valid number to flush."""
+    emit = emit or (lambda stats: None)
+    _mark(f"{preset}: import jax")
     import jax
+    import jax.numpy as jnp
 
     from vktf_tpu.config import RenderConfig
     from vktf_tpu.mathx import Camera, ViewFrustumParams
@@ -59,7 +184,13 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
 
     # the offline-shader-cache analogue (cmake/compile_shader.cmake): repeat
     # bench runs load the compiled frame program instead of recompiling
-    enable_persistent_cache()
+    cache_dir = enable_persistent_cache()
+    try:
+        cache_files = len(os.listdir(cache_dir))
+    except OSError:
+        cache_files = 0
+    _mark(f"{preset}: persistent cache ready", dir=cache_dir,
+          entries=cache_files)
 
     config = RenderConfig(width=width, height=height, msaa_samples=msaa,
                           backend=backend or "auto",
@@ -74,24 +205,45 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     # Force backend init + tunnel session establishment BEFORE anything is
     # timed: on this machine's axon TPU tunnel the first device execution of
     # a process pays a multi-minute session/queue overhead (measured 138 s
-    # for a CACHE-HIT trivial stage — tools note in /tmp/stagelat), which
-    # would otherwise be misattributed to scene build or compile.
-    import jax.numpy as jnp
-
+    # for a CACHE-HIT trivial stage), which would otherwise be misattributed
+    # to scene build or compile. The watchdog covers a full stall here.
+    _mark(f"{preset}: tunnel session probe (can take minutes cold)")
     t0 = time.time()
     np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
     session_init_s = time.time() - t0
+    _mark(f"{preset}: session up", secs=round(session_init_s, 1),
+          platform=jax.devices()[0].platform)
+
+    mesh = None
+    if mesh_shape is not None:
+        from vktf_tpu.parallel import make_render_mesh
+
+        gp, sp = mesh_shape
+        mesh = make_render_mesh(jax.devices()[: gp * sp], gp=gp, sp=sp)
+        _mark(f"{preset}: render mesh", gp=gp, sp=sp,
+              platform=jax.devices()[0].platform)
 
     t0 = time.time()
-    scene = Scene(build_preset(preset), config, camera=camera)
+    scene = Scene(build_preset(preset), config, camera=camera, mesh=mesh)
     build_s = time.time() - t0
+    _mark(f"{preset}: scene built", secs=round(build_s, 1),
+          tris=scene.meta.num_triangles)
 
     # NOTE: frames are materialized to host (np.asarray) like the engine's
     # present path — block_until_ready alone under-reports on remote/tunneled
     # devices where buffer readiness is tracked optimistically.
+    _mark(f"{preset}: compile + first frame")
     t0 = time.time()
     out = np.asarray(scene.render_async())
     compile_s = time.time() - t0
+    try:
+        cache_delta = len(os.listdir(cache_dir)) - cache_files
+    except OSError:
+        cache_delta = 0
+    _mark(f"{preset}: compiled", secs=round(compile_s, 1),
+          cache="miss (wrote new entries)" if cache_delta > 0 else
+                ("hit" if compile_s < 20 else "miss"),
+          new_cache_entries=cache_delta)
 
     def loop(n: int, depth: int = depth) -> float:
         """Steady-state loop, `depth` frames in flight: dispatch frame i+k
@@ -155,40 +307,132 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
     for _ in range(4):
         np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
     rpc_s = (time.time() - t0) / 4
-
-    loop(warmup)
-    device_loop(warmup)
-    # best-of-3: the shared/tunneled TPU's throughput swings 2-20x with
-    # co-tenant load (a 101 ms frame has measured anywhere from 137 to
-    # 254 ms present-to-present minutes apart; a 55 ms frame probed 80+
-    # in a contended window); the best loop is the closest estimate of
-    # the renderer's own steady state, and each loop costs only
-    # frames x frame_ms.
-    dt = min(device_loop(frames) for _ in range(3))
-    present_dt = min(loop(frames), loop(frames))
-    # the INTERACTIVE figure: the engine's real MAX_RENDER_FRAMES=2
-    # configuration (config.py:22) — what a viewer user sees through THIS
-    # tunnel, vs the mailbox-style throughput numbers above (ADVICE r1 /
-    # VERDICT item 10)
-    dt2 = (present_dt if depth == 2
-           else min(loop(frames, depth=2), loop(frames, depth=2)))
+    _mark(f"{preset}: rpc probe", ms=round(rpc_s * 1e3, 1))
 
     tris = scene.meta.num_triangles
-    return {
-        "fps": 1.0 / dt,
-        "frame_ms": dt * 1e3,
-        "present_fps": 1.0 / present_dt,
-        "present_frame_ms": present_dt * 1e3,
-        "interactive_fps": 1.0 / dt2,
-        "interactive_frame_ms": dt2 * 1e3,
-        "mtris_per_s": tris / dt / 1e6,
-        "triangles": tris,
-        "build_s": build_s,
-        "compile_s": compile_s,
-        "session_init_s": session_init_s,
-        "platform": jax.devices()[0].platform,
-        "backend": config.resolved_backend(),
+
+    def stats_from(dt, present_dt=None, dt2=None, quality="first-loop"):
+        s = {
+            "fps": 1.0 / dt,
+            "frame_ms": dt * 1e3,
+            "mtris_per_s": tris / dt / 1e6,
+            "triangles": tris,
+            "build_s": build_s,
+            "compile_s": compile_s,
+            "session_init_s": session_init_s,
+            "platform": jax.devices()[0].platform,
+            "backend": config.resolved_backend(),
+            "quality": quality,
+        }
+        if mesh is not None:
+            s["mesh"] = f"gp{mesh_shape[0]}x sp{mesh_shape[1]}"
+        if present_dt is not None:
+            s["present_fps"] = 1.0 / present_dt
+            s["present_frame_ms"] = present_dt * 1e3
+        if dt2 is not None:
+            s["interactive_fps"] = 1.0 / dt2
+            s["interactive_frame_ms"] = dt2 * 1e3
+        return s
+
+    # --- measurement ladder: cheapest valid number first, refine within
+    # budget. Every rung re-emits so the watchdog can flush it. ---
+    first_n = max(4, min(frames, 8))
+    dt = device_loop(first_n)  # doubles as warmup
+    emit(stats_from(dt))
+    _mark(f"{preset}: first device loop", n=first_n,
+          frame_ms=round(dt * 1e3, 1))
+
+    # full best-of-3: the shared/tunneled TPU's throughput swings 2-20x
+    # with co-tenant load; the best loop is the closest estimate of the
+    # renderer's own steady state. Each loop costs ~frames x frame_ms.
+    loop_cost = frames * dt + rpc_s + 1.0
+    n_loops = 0
+    while n_loops < 3 and _remaining() > loop_cost + 30.0:
+        dt = min(dt, device_loop(frames))
+        n_loops += 1
+        emit(stats_from(dt, quality=f"best-of-{n_loops + 1}"))
+    _mark(f"{preset}: device loops done", loops=n_loops + 1,
+          frame_ms=round(dt * 1e3, 2), budget_left=round(_remaining()))
+
+    present_dt = None
+    dt2 = None
+    # present / interactive rows are tunnel-transport-bound refinements:
+    # only measured while budget clearly remains.
+    present_cost = frames * (dt + 0.04) + 1.0
+    if _remaining() > 2 * present_cost + 30.0:
+        present_dt = min(loop(frames), loop(frames))
+        emit(stats_from(dt, present_dt, quality=f"best-of-{n_loops + 1}"))
+        _mark(f"{preset}: present loops done",
+              present_ms=round(present_dt * 1e3, 1))
+        # the INTERACTIVE figure: the engine's real MAX_RENDER_FRAMES=2
+        # configuration (config.py) — what a viewer user sees through THIS
+        # tunnel, vs the mailbox-style throughput numbers above.
+        if depth == 2:
+            dt2 = present_dt
+        elif _remaining() > 2 * present_cost + 30.0:
+            dt2 = min(loop(frames, depth=2), loop(frames, depth=2))
+            _mark(f"{preset}: interactive loops done",
+                  interactive_ms=round(dt2 * 1e3, 1))
+    else:
+        _mark(f"{preset}: skipping present/interactive rows",
+              budget_left=round(_remaining()))
+
+    return stats_from(dt, present_dt, dt2, quality=f"best-of-{n_loops + 1}")
+
+
+def _format_line(preset, width, height, msaa, stats, present_format,
+                 mesh_shape):
+    extra = {}
+    if present_format != "rgb":
+        extra["present_format"] = present_format
+    if mesh_shape is not None:
+        extra["mesh"] = stats.get("mesh", f"gp{mesh_shape[0]}x sp{mesh_shape[1]}")
+    line = {
+        "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS"
+                  f" ({stats['triangles']} tris, {stats['platform']}/{stats['backend']})",
+        "value": round(stats["fps"], 2),
+        "unit": "fps",
+        "vs_baseline": round(stats["fps"] / BASELINE_TARGET_FPS, 3),
+        "frame_ms": round(stats["frame_ms"], 2),
+        "mtris_per_s": round(stats["mtris_per_s"], 1),
+        "compile_s": round(stats["compile_s"], 1),
+        "session_init_s": round(stats["session_init_s"], 1),
+        **extra,
     }
+    if "present_fps" in stats:
+        line["present_fps"] = round(stats["present_fps"], 2)
+    if "interactive_fps" in stats:
+        line["interactive_fps"] = round(stats["interactive_fps"], 2)
+    if stats.get("quality"):
+        line["loops"] = stats["quality"]
+    return line
+
+
+def _reexec_virtual_mesh(args, n: int) -> int:
+    """--mesh wants more devices than the platform has: re-exec on the
+    virtual CPU mesh (the same mechanism as __graft_entry__.dryrun)."""
+    import re
+    import subprocess
+
+    _mark(f"re-exec on virtual {n}-device CPU mesh")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    kept = re.sub(r"--xla_force_host_platform_device_count=\S+", "",
+                  env.get("XLA_FLAGS", "")).strip()
+    env["XLA_FLAGS"] = (
+        kept + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+    env["BENCH_BUDGET_S"] = str(max(30.0, _remaining() - 10.0))
+    env["VKTF_MESH_REEXEC"] = "1"
+    # the child owns the budget + emission from here; disarm this process's
+    # watchdog/signal flush so only one JSON line lands
+    _state["done"] = True
+    proc = subprocess.run(
+        [sys.executable] + sys.argv,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
+    )
+    return proc.returncode
 
 
 def main() -> int:
@@ -211,53 +455,95 @@ def main() -> int:
                         help="device-side present encoding for the "
                              "present/interactive rows (yuv420 = half the "
                              "device->host bytes; render fps unaffected)")
+    parser.add_argument("--mesh", default=None, metavar="GP,SP",
+                        help="run the SHARDED frame path over a (gp, sp) "
+                             "device mesh (vktf_tpu.parallel). Needs gp*sp "
+                             "devices; falls back to a virtual CPU mesh via "
+                             "re-exec when the platform has fewer.")
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--verbose", action="store_true",
                         help="print observability counters to stderr")
     args = parser.parse_args()
 
+    mesh_shape = None
+    if args.mesh:
+        gp, sp = (int(x) for x in args.mesh.split(","))
+        mesh_shape = (gp, sp)
+
+    if os.environ.get("VKTF_MESH_REEXEC") or os.environ.get("VKTF_FORCE_CPU"):
+        # the environment's sitecustomize programmatically selects the TPU
+        # platform, overriding JAX_PLATFORMS — force CPU via jax.config
+        # before the backend initializes (same trick as tests/conftest.py)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # pragma: no cover - backend already up
+            pass
+
+    _mark("bench start", budget_s=_BUDGET_S,
+          argv=" ".join(sys.argv[1:]) or "(headline)")
+    threading.Thread(target=_watchdog, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):  # pragma: no cover - non-main thread
+            pass
+
+    if mesh_shape is not None and not os.environ.get("VKTF_MESH_REEXEC"):
+        # check device count WITHOUT forcing a full session: jax.devices()
+        # itself initializes the backend, so this costs the session probe —
+        # but only in --mesh mode, which is off the driver's default path.
+        import jax
+
+        n = mesh_shape[0] * mesh_shape[1]
+        if len(jax.devices()) < n:
+            rc = _reexec_virtual_mesh(args, n)
+            _state["done"] = True
+            return rc
+
     presets = sorted(CONFIGS) if args.all else [args.preset]
     code = 0
-    for preset in presets:
+    for i, preset in enumerate(presets):
+        if i > 0 and _remaining() < 120.0:
+            _mark(f"skipping {preset}: budget exhausted",
+                  budget_left=round(_remaining()))
+            break
         _, width, height, msaa = CONFIGS[preset]
         width = args.width or width
         height = args.height or height
         msaa = args.msaa or msaa
+
+        def emit(stats, preset=preset, width=width, height=height, msaa=msaa):
+            _set_partial(_format_line(preset, width, height, msaa, stats,
+                                      args.present_format, mesh_shape))
+
         try:
             stats = run_bench(preset, width, height, msaa, args.frames,
-                              args.warmup, backend=args.backend, depth=args.depth,
+                              args.warmup, backend=args.backend,
+                              depth=args.depth,
                               anisotropy=args.anisotropy,
-                              present_format=args.present_format)
+                              present_format=args.present_format,
+                              mesh_shape=mesh_shape,
+                              emit=emit)
         except Exception as exc:  # pragma: no cover - bench robustness
-            print(json.dumps({
+            _print_line({
                 "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS",
                 "value": 0.0,
                 "unit": "fps",
                 "vs_baseline": 0.0,
                 "error": f"{type(exc).__name__}: {exc}"[:300],
-            }))
+            })
             code = 1
             continue
-        extra = ({"present_format": args.present_format}
-                 if args.present_format != "rgb" else {})
-        print(json.dumps({
-            "metric": f"{preset} @{width}x{height} {msaa}xMSAA render FPS"
-                      f" ({stats['triangles']} tris, {stats['platform']}/{stats['backend']})",
-            "value": round(stats["fps"], 2),
-            "unit": "fps",
-            "vs_baseline": round(stats["fps"] / BASELINE_TARGET_FPS, 3),
-            "frame_ms": round(stats["frame_ms"], 2),
-            "present_fps": round(stats["present_fps"], 2),
-            "interactive_fps": round(stats["interactive_fps"], 2),
-            "mtris_per_s": round(stats["mtris_per_s"], 1),
-            "compile_s": round(stats["compile_s"], 1),
-            "session_init_s": round(stats["session_init_s"], 1),
-            **extra,
-        }))
+        _print_line(_format_line(preset, width, height, msaa, stats,
+                                 args.present_format, mesh_shape))
     if args.verbose:
         from vktf_tpu.utils.profiling import counters
 
         print(f"counters: {counters.snapshot()}", file=sys.stderr)
+    _mark("bench done", elapsed=round(time.time() - _T0, 1))
+    _state["done"] = True
     return code
 
 

@@ -325,3 +325,45 @@ def test_hostile_fields_raise_gltf_error(tmp_path):
         p.write_text(json.dumps(g))
         with pytest.raises(GltfError):
             load_gltf(p)
+
+
+def test_index_oob_skips_primitive(tmp_path):
+    """A hostile index buffer (index >= POSITION count) lands in the
+    skip-and-log tier like the attribute count checks
+    (gltf_asset.cppm:744-760) — previously it passed load_gltf and crashed
+    flatten_assets with a raw numpy IndexError (VERDICT r2 missing #3)."""
+    import base64 as b64
+
+    path = write_box_asset(tmp_path / "box.gltf")
+    g = json.loads(path.read_text())
+    # patch the first u32 of the indices accessor's buffer view to an
+    # out-of-bounds vertex index
+    prim = g["meshes"][0]["primitives"][0]
+    accessor = g["accessors"][prim["indices"]]
+    view = g["bufferViews"][accessor["bufferView"]]
+    payload = bytearray(b64.b64decode(g["buffers"][0]["uri"].split(",", 1)[1]))
+    ofs = view.get("byteOffset", 0) + accessor.get("byteOffset", 0)
+    payload[ofs:ofs + 4] = np.uint32(99999).tobytes()
+    g["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + b64.b64encode(bytes(payload)).decode()
+    )
+    p = tmp_path / "index_oob.gltf"
+    p.write_text(json.dumps(g))
+
+    log, err = make_log()
+    asset = load_gltf(p, log)  # must NOT raise
+    assert "out of bounds" in err.getvalue()
+    assert asset.meshes[0].primitives == []  # primitive skipped
+
+
+def test_flatten_guards_hostile_indices(tmp_path):
+    """No loader escape may surface as a raw IndexError in flatten's
+    tri_corner gather: the flatten-level guard raises the fatal tier."""
+    from vktf_tpu.scene.flatten import flatten_assets
+
+    asset = load_gltf(write_box_asset(tmp_path / "box.gltf"))
+    asset.meshes[0].primitives[0].indices[0, 0] = 99999
+    log, _err = make_log()
+    with pytest.raises(GltfError, match="out of bounds"):
+        flatten_assets([asset], log)

@@ -529,6 +529,17 @@ def _build_meshes(
                     f"{indices.size} not divisible by 3"
                 )
                 continue
+            if indices.size and int(indices.max()) >= positions.shape[0]:
+                # index-bounds validation (the count-check tier of
+                # gltf_asset.cppm:744-760 / cgltf_validate): a hostile index
+                # buffer must land in skip-and-log, never a raw IndexError
+                # downstream in flatten's tri_corner gather
+                log.error(
+                    f"Mesh primitive {mesh.name}[{prim_index}]: index "
+                    f"{int(indices.max())} out of bounds for "
+                    f"{positions.shape[0]} vertices"
+                )
+                continue
             material_index = prim.get("material")
             mesh.primitives.append(
                 Primitive(

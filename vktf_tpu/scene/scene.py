@@ -29,7 +29,12 @@ class Scene:
         config: RenderConfig,
         log: Optional[Log] = None,
         camera: Optional[Camera] = None,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with axes (gp, sp) —
+        the frame function then runs the multi-chip sharded path
+        (vktf_tpu.parallel) instead of the single-chip program. Same
+        signature, same pixels (bit-equal, tests/test_parallel.py)."""
         log = log or default_log()
         self.config = config
         self.render_scene, self.meta, self.aux = flatten_assets(assets, log)
@@ -44,11 +49,16 @@ class Scene:
                 z_far=1.0e6,
             ),
         )
-        # shared program registry: same scene shape + config reuses the
-        # compiled frame function (vktf_tpu.runtime.cache)
-        from vktf_tpu.runtime import frame_program
+        if mesh is not None:
+            from vktf_tpu.parallel import make_sharded_frame_fn
 
-        self._frame_fn = frame_program(self.meta, config)
+            self._frame_fn = make_sharded_frame_fn(self.meta, config, mesh)
+        else:
+            # shared program registry: same scene shape + config reuses the
+            # compiled frame function (vktf_tpu.runtime.cache)
+            from vktf_tpu.runtime import frame_program
+
+            self._frame_fn = frame_program(self.meta, config)
         log.info(
             f"Scene ready: {self.meta.num_triangles} tris, "
             f"{self.meta.num_vertices} verts, {self.meta.num_instances} instances, "
