@@ -124,7 +124,7 @@ def shade_two_phase(bi, bd, tb):
     sub = config.replace(width=pw, height=rh_tiled)
     addr = pallas_shade_addr_tiled(sl(bi), sl(bd), tb, config=sub,
                                    fused_pool=fused)
-    return pallas_shade_final_tiled(addr, scene.material_quads, lights,
+    return pallas_shade_final_tiled(addr, scene.quad_pool, lights,
                                     cam_pos, config=sub, fused_pool=fused)
 
 fn_a = jax.jit(shade_assembled).lower(tri_id, depth, table).compile()

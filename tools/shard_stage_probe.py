@@ -56,7 +56,11 @@ def main():
     from vktf_tpu.config import RenderConfig
     from vktf_tpu.mathx import Camera, ViewFrustumParams
     from vktf_tpu.models.scenes import build_preset
-    from vktf_tpu.ops.pipeline import pallas_shade_resolve, prepare_frame
+    from vktf_tpu.ops.pipeline import (
+        pallas_shade_addr_tiled,
+        pallas_shade_final_tiled,
+        prepare_frame,
+    )
     from vktf_tpu.ops.raster_pallas import rasterize_pallas
     from vktf_tpu.ops.shade_table import build_shade_table_pallas
     from vktf_tpu.ops.vertex import triangle_setup_cm
@@ -148,6 +152,8 @@ def main():
     ]
 
     def raster_shard(su, y0):
+        # assemble=False: the round-3 unified sharded path consumes raw
+        # tile blocks (the two assemble transposes are gone from raster)
         return rasterize_pallas(
             su, band_h, pw, tile_shape=config.tile_shape,
             msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
@@ -156,6 +162,7 @@ def main():
             group_size=config.raster_group_size,
             interleave=config.resolved_interleave(),
             columns=config.raster_columns,
+            assemble=False,
         )
 
     raster_jit = jax.jit(raster_shard)
@@ -181,22 +188,25 @@ def main():
         lambda su, sc: build_shade_table_pallas(su, sc, None)
     )(setup, scene)
 
-    def shade_slice(win_id, win_depth, table, rows0, y0):
-        sl = lambda v: jax.lax.dynamic_slice(
-            v, (0, rows0, 0), (v.shape[0], rh, v.shape[2]))
-        return pallas_shade_resolve(
-            sl(win_id), scene, table, lights, cam_pos,
-            config=config, y0=y0, depth=sl(win_depth),
-            per_slot_samplers=meta.mixed_samplers,
-            fused_pool=config.resolved_fused_pool(
-                mirror_wrap=meta.mirror_wrap,
-                mixed_samplers=meta.mixed_samplers,
-            ),
-        )
+    band_cfg = config.replace(height=band_h)
+    rank_px = band_h * pw // gp
+    fused = config.resolved_fused_pool(
+        mirror_wrap=meta.mirror_wrap, mixed_samplers=meta.mixed_samplers)
+
+    def shade_slice(win_id, win_depth, table, px0, y0):
+        # round-3 unified form (parallel/tiles.py): the production
+        # two-phase tile-layout kernels on a 1/gp flat pixel slice
+        addr = pallas_shade_addr_tiled(
+            win_id, win_depth, table, config=band_cfg, fused_pool=fused,
+            y0=y0.astype(jnp.float32), px_slice=(px0, rank_px))
+        return pallas_shade_final_tiled(
+            addr, scene.quad_pool, lights, cam_pos, config=band_cfg,
+            fused_pool=fused, assemble=False)
 
     shade_jit = jax.jit(shade_slice)
-    # shade cells: per band, per gp-rank row slice; winner ids approximated
-    # by one shard's raster of that band (same shapes/coverage statistics)
+    # shade cells: per band, per gp-rank pixel slice; winner ids
+    # approximated by one shard's raster of that band (same shapes/coverage
+    # statistics)
     band_vis = {0: (tri_id, depth)}
 
     def shade_cells():
@@ -205,8 +215,8 @@ def main():
                 band_vis[b] = raster_jit(shards[0], jnp.int32(b * band_h))
             ti, dp = band_vis[b]
             for r in range(gp):
-                yield (r, b, ti, dp, jnp.int32(r * rh),
-                       jnp.int32(b * band_h + r * rh))
+                yield (r, b, ti, dp, jnp.int32(r * rank_px),
+                       jnp.int32(b * band_h))
 
     stages = [
         ("prep_micro", prep_jit, (tc_micro, stat_micro, tin_micro)),

@@ -319,7 +319,8 @@ def _flat_pad_chunks(x, n_px, shade_chunk, n_pad, fill=0):
 
 
 def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
-                            fused_pool: bool = False):
+                            fused_pool: bool = False, y0=0,
+                            px_slice=None):
     """Phase A of the two-program deferred shade (tile-layout, kernel impl).
 
     Winner/coverage reduction + the shade-TABLE row gather + pool row
@@ -328,6 +329,15 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
     pool are both per-pixel gather operands but only one fits in VMEM at a
     time; HBM row gathers measured 6.6x slower). Returns the phase-boundary
     pytree consumed by pallas_shade_final_tiled.
+
+    Multi-chip hooks (vktf_tpu.parallel): ``y0`` offsets the pixel-center
+    sy coordinates (a band's place in screen space; traced scalar ok), and
+    ``px_slice = (start, count)`` restricts phases A+B to a contiguous
+    slice of the BLOCK-LAYOUT flat pixel stream — the gp ranks of a band
+    each shade 1/gp of its pixels with the same production kernels
+    (winner/coverage stays a cheap replicated reduction; measured
+    tools/shard_shade_ab.py: this two-phase form is ~1.9x faster than the
+    assembled one-program shade at (4,2)-shard pixel counts).
     """
     from vktf_tpu.ops.shade_kernel import shade_addr_chunk, shade_attrs_chunk
 
@@ -339,7 +349,17 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
     th, tw = config.tile_shape
     id_px, frac = _tiled_winner(ids, deps, config)  # (L, n_px), (n_px,)
     sx, sy = _tiled_pixel_coords(config, num_tiles)
+    if not (isinstance(y0, int) and y0 == 0):
+        sy = sy + jnp.asarray(y0, jnp.float32)
     n_px = num_tiles * th * tw
+    if px_slice is not None:
+        start, count = px_slice
+        start = jnp.asarray(start, jnp.int32)
+        id_px = jax.lax.dynamic_slice(id_px, (0, start), (layers, count))
+        frac = jax.lax.dynamic_slice(frac, (start,), (count,))
+        sx = jax.lax.dynamic_slice(sx, (start,), (count,))
+        sy = jax.lax.dynamic_slice(sy, (start,), (count,))
+        n_px = count
     shade_chunk, n_pad = _shade_chunks(n_px, config)
     sxp = _flat_pad_chunks(sx, n_px, shade_chunk, n_pad)
     syp = _flat_pad_chunks(sy, n_px, shade_chunk, n_pad)
@@ -380,11 +400,16 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
 
 def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
                              config: RenderConfig,
-                             fused_pool: bool = False):
+                             fused_pool: bool = False,
+                             assemble: bool = True):
     """Phase B of the two-program deferred shade: pool gathers + kernel +
     composite + resolve. Its only gather operand is the quad pool, which
     XLA stages into VMEM. Bit-identical to pallas_shade_resolve_tiled's
-    kernel path (same math, same chunking)."""
+    kernel path (same math, same chunking).
+
+    assemble=False returns the (3, n_px) u8 pixels in BLOCK-LAYOUT flat
+    order instead of the assembled image — the multi-chip path all_gathers
+    rank slices first and assembles once per band (_tiled_assemble)."""
     from vktf_tpu.ops.shade_kernel import (
         shade_final_attrs_chunk,
         shade_final_chunk,
@@ -439,6 +464,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
             [((packed >> (8 * c)) & 0xFF).astype(jnp.uint8)
              for c in range(3)]
         )
+        if not assemble:
+            return rgb_u8
         return _tiled_assemble(rgb_u8, config)
 
     rgbs, alphas = [], []
@@ -459,6 +486,8 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
         comp = rgbs[l] * alphas[l] + comp * (1.0 - alphas[l])
     frac_f = frac.reshape(1, n_px)
     resolved = comp * frac_f + background[:3, None] * (1.0 - frac_f)
+    if not assemble:
+        return linear_to_srgb_u8(resolved)
     return _tiled_assemble(linear_to_srgb_u8(resolved), config)
 
 
