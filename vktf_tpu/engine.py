@@ -60,9 +60,14 @@ class Engine:
         window: Window,
         config: Optional[RenderConfig] = None,
         log: Optional[Log] = None,
+        mesh=None,
     ):
+        """``mesh``: optional (gp, sp) jax.sharding.Mesh — scenes loaded by
+        this engine render through the multi-chip sharded frame path
+        (vktf_tpu.parallel) instead of the single-chip program."""
         self.log = log or default_log()
         self.window = window
+        self.mesh = mesh
         self.config = config or RenderConfig(width=window.width, height=window.height)
         # Device discovery + ranking — the PhysicalDevice selection analogue
         # (physical_device.cppm:126-142 ranks discrete GPUs highest): rank
@@ -106,7 +111,7 @@ class Engine:
             assets.append(load_gltf(path, self.log))
         if not assets:
             return None
-        return Scene(assets, self.config, self.log)
+        return Scene(assets, self.config, self.log, mesh=self.mesh)
 
     # -- main loop (engine.cppm:76-84) ---------------------------------------
     def run(self, callback: Callable[[float], None]) -> None:

@@ -107,8 +107,13 @@ def start(
     script: Optional[ScriptedInput] = None,
     frame_dir=None,
     display: Optional[str] = "auto",
+    mesh=None,
 ) -> Window:
-    """game::Start port (game.cppm:94-104)."""
+    """game::Start port (game.cppm:94-104).
+
+    ``mesh``: optional (gp, sp) jax.sharding.Mesh — the viewer then renders
+    through the multi-chip sharded frame path (vktf_tpu.parallel), same
+    pixels (bit-equal, tests/test_parallel.py)."""
     window = create_window(width, height, frame_dir=frame_dir,
                            display=display)
     if script is not None:
@@ -120,7 +125,8 @@ def start(
             "interactive mode needs a reachable display (set $DISPLAY / "
             "--display x11) or an input script"
         )
-    engine = Engine(window, config or RenderConfig(width=width, height=height))
+    engine = Engine(window, config or RenderConfig(width=width, height=height),
+                    mesh=mesh)
     scene = engine.load(asset_paths)
     if scene is None:
         raise RuntimeError("no loadable glTF assets provided")
@@ -175,8 +181,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                              "planar frame; yuv420 = BT.601 4:2:0 (half the "
                              "device->host present bytes — for remote/"
                              "link-bound viewing, ops/present.py)")
+    parser.add_argument("--mesh", default=None, metavar="GP,SP",
+                        help="render through the multi-chip sharded frame "
+                             "path over a (gp, sp) device mesh "
+                             "(vktf_tpu.parallel; needs gp*sp devices)")
     args = parser.parse_args(list(sys.argv[1:] if argv is None else argv))
     try:
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from vktf_tpu.engine import rank_devices
+            from vktf_tpu.parallel import make_render_mesh
+
+            gp, sp = (int(x) for x in args.mesh.split(","))
+            mesh = make_render_mesh(
+                rank_devices(jax.devices())[: gp * sp], gp=gp, sp=sp
+            )
         config = RenderConfig(
             width=args.width, height=args.height, msaa_samples=args.msaa,
             backend=args.backend, max_anisotropy=args.anisotropy,
@@ -191,6 +212,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             else fly_through_script(args.frames),
             frame_dir=args.frame_dir,
             display=None if args.display == "off" else args.display,
+            mesh=mesh,
         )
         return 0
     except Exception as error:  # nested-exception unwinding analogue
