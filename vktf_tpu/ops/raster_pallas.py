@@ -211,6 +211,14 @@ _SKIP_EMPTY_WINDOWS = False
 # way; default on (measured win, see config.py raster notes).
 _SAFE_SLIM = True
 
+# Trace-time A/B switch (tools/raster_unroll_ab.py): unroll factor for the
+# per-chunk GROUP fori_loop. The round-3 bound probe measured the empty
+# skeleton at 8.15 ms ≈ 300 ns per group-loop iteration (27k iterations/
+# frame at 1080p Sponza) — loop control, not work. Unrolling trades code
+# size for loop overhead; output is identical (the loop body is
+# iteration-independent up to the accumulator chain).
+_GROUP_UNROLL = 1
+
 # Trace-time A/B switch (tools/binning_frame_ab.py): the keyed-sort
 # hit-list construction (sort(where(hit, chunk_id, INT_MAX)) — half the
 # sort payload of the stable bool argsort) won standalone (4.9 vs 6.6 ms,
@@ -705,7 +713,20 @@ def _raster_kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, chunk // group_size, per_group, 0, unroll=False)
+        n_groups = chunk // group_size
+        u = _GROUP_UNROLL
+        if u <= 1:
+            jax.lax.fori_loop(0, n_groups, per_group, 0, unroll=False)
+        else:
+            # manual partial unroll (Mosaic's fori_loop only supports
+            # unroll=1 or full): u group bodies per loop iteration
+            def per_group_u(q, _):
+                for j in range(u):
+                    per_group(q * u + j, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_groups // u, per_group_u, 0,
+                              unroll=False)
         return 0
 
     jax.lax.fori_loop(0, count, visit, 0, unroll=False)
