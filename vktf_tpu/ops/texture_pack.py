@@ -80,14 +80,14 @@ ROW_U32 = 64  # padded row width (pow2)
 SLOT_B_U16 = 2 * SLOT_U32  # u16 lane base of slot B (little-endian halves)
 
 # Largest pool row count MEASURED fast as a (rows, 128)-u16-lane gather
-# operand on v5e (117 MB staged; the next probe point, 475k rows =
-# 122 MB, falls off the VMEM staging path, ~4-5x slower per gather —
-# cliff probes, 2026-08). The true cliff lies somewhere in (458752,
-# 475136]; this clamp sits at the last PROVEN-fast point, not below it,
-# so a pool clamped exactly here could in principle still cross the
-# effective in-situ threshold under a production program's extra VMEM
-# pressure — the closest in-situ evidence is the 4K flythrough pool
-# (420,536 rows) measuring staged-fast inside the real phase-B program.
+# operand on v5e. Round-3 bisect (tools/gather_cliff_bisect.py, 4096-row
+# = 1 MiB steps): 458,752 rows (exactly 112 MiB staged = 7/8 x 128 MiB)
+# gathers at 2.46 ns/idx; 462,848 rows (+1 MiB) already falls off the
+# VMEM staging path to 10.96 ns/idx. This clamp therefore sits AT the
+# cliff edge, not merely at the last probe point — the former (458752,
+# 475136] uncertainty window is closed. In-situ margin note: the 4K
+# flythrough pool (420,536 rows) measures staged-fast inside the real
+# phase-B program, ~9 MiB under the edge.
 FAST_GATHER_ROWS = 458_752
 
 WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
