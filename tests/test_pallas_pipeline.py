@@ -198,6 +198,81 @@ def test_two_phase_shade_matches_single_stage(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_shade_px_slice_composes_to_full(tmp_path):
+    """pallas_shade_addr_tiled's multi-chip hooks: shading the flat
+    block-layout pixel stream in gp slices (px_slice) and concatenating
+    must be BYTE-IDENTICAL to the unsliced shade, and a y0 screen offset
+    must match shading the same rows addressed via a y-offset raster.
+    The sharded path's per-rank slicing (parallel/tiles.py) rests on
+    exactly this composition."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import (
+        _tiled_assemble,
+        gather_world_lights,
+        pallas_shade_addr_tiled,
+        pallas_shade_final_tiled,
+    )
+    from vktf_tpu.ops.raster_pallas import rasterize_pallas
+    from vktf_tpu.ops.shade_table import build_shade_table_pallas
+    from vktf_tpu.ops.vertex import propagate_transforms
+    from vktf_tpu.ops.pipeline import prepare_frame
+
+    from helpers import build_scene, checker_png_bytes, default_camera
+
+    w = GltfWriter()
+    img = w.add_image_bytes(checker_png_bytes(), "image/png")
+    tex = w.add_texture(img, w.add_sampler())
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0),
+                         base_color_texture=tex, metallic_factor=0.2,
+                         roughness_factor=0.5)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(12, 18), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    config = RenderConfig(width=128, height=64, msaa_samples=2,
+                          backend="pallas", pallas_interpret=True,
+                          tile_shape=(32, 64), pallas_chunk=128,
+                          shade_chunk=1 << 12)
+    vp, pos = camera.view_projection_transform, camera.position
+    setup, _bins, lights, _world, _inst = prepare_frame(
+        scene, vp, pos, meta=meta, config=config)
+    table = build_shade_table_pallas(setup, scene, None, interpret=True)
+    ids, deps = rasterize_pallas(
+        setup, config.padded_height, config.padded_width,
+        tile_shape=config.tile_shape, msaa_samples=config.msaa_samples,
+        chunk=config.pallas_chunk, interpret=True, sort="morton",
+        assemble=False)
+    fused = config.resolved_fused_pool(mirror_wrap=meta.mirror_wrap,
+                                       mixed_samplers=meta.mixed_samplers)
+
+    def shade(px_slice=None):
+        addr = pallas_shade_addr_tiled(ids, deps, table, config=config,
+                                       fused_pool=fused, px_slice=px_slice)
+        return np.asarray(pallas_shade_final_tiled(
+            addr, scene.quad_pool, lights, pos, config=config,
+            fused_pool=fused, assemble=False))
+
+    full = shade()
+    n_px = full.shape[1]
+    for gp in (2, 4):
+        parts = [shade((k * n_px // gp, n_px // gp)) for k in range(gp)]
+        np.testing.assert_array_equal(np.concatenate(parts, axis=1), full)
+    # the assembled image from flat pixels matches the assemble=True path
+    addr = pallas_shade_addr_tiled(ids, deps, table, config=config,
+                                   fused_pool=fused)
+    assembled = np.asarray(pallas_shade_final_tiled(
+        addr, scene.quad_pool, lights, pos, config=config,
+        fused_pool=fused))
+    np.testing.assert_array_equal(
+        np.asarray(_tiled_assemble(full, config)), assembled)
+
+
 def test_shade_pool_rowmajor_bit_identical(tmp_path):
     """shade_pool_rowmajor feeds the fragment kernel the gathered pool rows
     in the gather's natural row-major layout and transposes per block in
