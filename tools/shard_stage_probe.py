@@ -223,14 +223,19 @@ def main():
         ("composite_local", composite_jit, (depth, tri_id)),
     ]
 
-    # no-op RPC cost
+    # no-op RPC cost: MIN over several separated single-shot probes — a
+    # congestion spike during one averaged burst once produced an rpc_s
+    # larger than the stage loops themselves (negative stage times)
     for _ in range(2):
         np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
-    t0 = time.time()
-    for _ in range(4):
+    rpcs = []
+    for _ in range(8):
+        t0 = time.time()
         np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
-    rpc_s = (time.time() - t0) / 4
-    print(f"rpc {rpc_s * 1e3:.1f} ms", flush=True)
+        rpcs.append(time.time() - t0)
+    rpc_s = min(rpcs)
+    print(f"rpc {rpc_s * 1e3:.1f} ms (spread {min(rpcs)*1e3:.1f}-"
+          f"{max(rpcs)*1e3:.1f})", flush=True)
 
     for name, fn, a in stages:
         device_time(fn, *a, n=1, rpc_s=rpc_s)  # warm compile
