@@ -109,6 +109,37 @@ class TestRenderLoop:
         engine.wait_idle()
         assert len(engine._in_flight) == 0
 
+    def test_engine_mesh_renders_sharded_same_pixels(self, tmp_path):
+        """Engine(mesh=...) routes Scene through the multi-chip sharded
+        frame path (the viewer CLI's --mesh); pixels match the plain
+        engine bit-for-bit on the virtual device mesh."""
+        import jax
+
+        from vktf_tpu.parallel import make_render_mesh
+
+        config = RenderConfig(width=128, height=64, msaa_samples=1,
+                              tile_shape=(32, 64), backend="pallas")
+        log = Log(io.StringIO(), io.StringIO())
+        path = write_box(tmp_path)
+
+        window_a = Window(width=128, height=64)
+        plain = Engine(window_a, config, log=log)
+        scene_a = plain.load([path])
+        plain.render(scene_a)
+        plain.render(scene_a)
+        plain.wait_idle()
+
+        mesh = make_render_mesh(jax.devices()[:4], gp=2, sp=2)
+        window_b = Window(width=128, height=64)
+        sharded = Engine(window_b, config, log=log, mesh=mesh)
+        scene_b = sharded.load([path])
+        sharded.render(scene_b)
+        sharded.render(scene_b)
+        sharded.wait_idle()
+
+        np.testing.assert_array_equal(window_a.last_frame,
+                                      window_b.last_frame)
+
     def test_run_loop_with_script(self, tmp_path):
         window = Window(width=64, height=48)
         window.attach_script(ScriptedInput([None] * 3))
