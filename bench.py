@@ -461,9 +461,18 @@ def main() -> int:
                              "devices; falls back to a virtual CPU mesh via "
                              "re-exec when the platform has fewer.")
     parser.add_argument("--all", action="store_true")
+    parser.add_argument("--budget", type=float, default=None,
+                        help="wall-clock budget in seconds (same as env "
+                             "BENCH_BUDGET_S, default 480): the watchdog "
+                             "flushes the best-so-far JSON and exits when "
+                             "it expires")
     parser.add_argument("--verbose", action="store_true",
                         help="print observability counters to stderr")
     args = parser.parse_args()
+    if args.budget is not None:
+        global _BUDGET_S, _DEADLINE
+        _BUDGET_S = float(args.budget)
+        _DEADLINE = _T0 + _BUDGET_S
 
     mesh_shape = None
     if args.mesh:

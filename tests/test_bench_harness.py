@@ -1,0 +1,69 @@
+"""The bench's un-killable property, pinned in CI (VERDICT r2 #1).
+
+BENCH_r02.json was empty because the driver's run died before printing
+anything. These tests run bench.py as a subprocess (CPU-forced, tiny
+config) and assert a parseable JSON line lands on stdout in every exit
+mode: normal completion, watchdog budget expiry, and SIGTERM.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(extra_args, env_extra, timeout=240, send_sigterm_after=None):
+    env = dict(os.environ)
+    env["VKTF_FORCE_CPU"] = "1"
+    env.update(env_extra)
+    proc = subprocess.Popen(
+        [sys.executable, "bench.py", "--preset", "box", "--width", "192",
+         "--height", "96", "--msaa", "1", "--frames", "2", "--warmup", "0",
+         *extra_args],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    if send_sigterm_after is not None:
+        time.sleep(send_sigterm_after)
+        proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=timeout)
+    return proc.returncode, out, err
+
+
+def parse_lines(out):
+    lines = [json.loads(l) for l in out.splitlines() if l.strip()]
+    assert lines, f"no JSON line on stdout:\n{out}"
+    for line in lines:
+        assert "metric" in line and "value" in line and "unit" in line
+    return lines
+
+
+def test_bench_normal_completion_emits_json():
+    rc, out, err = run_bench([], {})
+    assert rc == 0, err[-2000:]
+    line = parse_lines(out)[-1]
+    assert line["value"] > 0
+    assert "partial" not in line
+
+
+def test_bench_budget_expiry_emits_partial_json():
+    # a 1-second budget expires during scene build/compile; the watchdog
+    # THREAD must still land a JSON line and exit 0
+    rc, out, err = run_bench(["--budget", "1"], {})
+    assert rc == 0, err[-2000:]
+    line = parse_lines(out)[-1]
+    assert line.get("partial") == "budget", line
+    assert "phase" in line
+
+
+def test_bench_sigterm_emits_partial_json():
+    rc, out, err = run_bench([], {}, send_sigterm_after=2.0)
+    line = parse_lines(out)[-1]
+    # either the signal handler flushed a partial, or the run was already
+    # past its print (fast machine) — a JSON line exists either way
+    assert "value" in line
