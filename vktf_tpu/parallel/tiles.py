@@ -240,9 +240,15 @@ def render_frame_sharded(
             k: jax.lax.all_gather(setup_micro[k], "sp", axis=0, tiled=True)
             for k in raster_keys
         }
-        table, setup_local = jax.lax.optimization_barrier(
-            (table, setup_local)
-        )
+        # SEPARATE barriers: a joint barrier((table, setup_local)) made the
+        # raster (which consumes only setup_local) depend on the table
+        # all_gather completing. Split, the 59 MB table collective is free
+        # to overlap raster execution under XLA's async collectives — shade
+        # is its first real consumer. Barrier purpose (fusion control) is
+        # preserved; execution order between independent ops is all that
+        # changes, so output is bit-identical.
+        table = jax.lax.optimization_barrier(table)
+        setup_local = jax.lax.optimization_barrier(setup_local)
 
         # sort-first: this device's band, sort-last: its triangle shard
         layers = meta.peel_layers
