@@ -102,6 +102,53 @@ def test_pallas_hierarchy_msaa(tmp_path):
     assert_images_close(produced_px, expected, max_mean=3.5, max_outlier_frac=0.06)
 
 
+def test_pallas_msaa8_matches_oracle_and_shards(tmp_path):
+    """8x MSAA (the reference's PREFERRED sample count, engine.cppm:157-171)
+    had no coverage: golden vs the supersampling oracle at the standard
+    Vulkan 8-sample positions, plus sharded bit-equality at S=8."""
+    import jax
+    import numpy as np
+
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import make_frame_fn
+    from vktf_tpu.parallel import make_render_mesh, make_sharded_frame_fn
+
+    from helpers import build_scene, default_camera
+
+    w = GltfWriter()
+    red = w.add_material(base_color_factor=(0.8, 0.2, 0.2, 1.0),
+                         roughness_factor=0.6)
+    floor_mat = w.add_material(base_color_factor=(0.4, 0.4, 0.4, 1.0),
+                               roughness_factor=0.9)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=red),
+                   rotation=(0.0, 0.2588, 0.0, 0.9659)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=floor_mat),
+                   translation=(0.0, -0.5, 0.0)),
+        w.add_node(light=w.add_light(type="directional", color=(2.5, 2.5, 2.3)),
+                   rotation=(0.46, 0.18, 0.0, 0.87)),
+    ])
+    path = w.write(tmp_path / "m8.gltf")
+    produced, expected = render_both(path, 96, 64, msaa=8, backend="pallas",
+                                     shading_rate="sample")
+    assert produced[..., 0].max() > 40
+    assert_images_close(produced, expected, max_mean=2.5,
+                        max_outlier_frac=0.02)
+
+    # sharded path at S=8 stays bit-equal to single-chip
+    scene, meta, _aux = build_scene(path)
+    camera = default_camera(aspect=96 / 64)
+    config = RenderConfig(width=96, height=64, msaa_samples=8,
+                          tile_shape=(32, 64), backend="pallas",
+                          pallas_chunk=128)
+    vp, pos = camera.view_projection_transform, camera.position
+    single = np.asarray(make_frame_fn(meta, config)(scene, vp, pos))
+    mesh = make_render_mesh(jax.devices()[:4], gp=2, sp=2)
+    sharded = np.asarray(
+        make_sharded_frame_fn(meta, config, mesh)(scene, vp, pos))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_table_build_pallas_matches_xla(tmp_path):
     """build_shade_table_pallas must reproduce build_shade_table to ~1 ULP.
 
