@@ -164,7 +164,7 @@ def _on_signal(signum, frame) -> None:  # pragma: no cover - signal path
 
 
 def run_bench(preset: str, width: int, height: int, msaa: int,
-              frames: int, warmup: int, animate: bool = True,
+              frames: int, animate: bool = True,
               backend: str | None = None, depth: int = 4,
               anisotropy: float = 16.0, present_format: str = "rgb",
               mesh_shape: tuple[int, int] | None = None,
@@ -245,7 +245,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
                 ("hit" if compile_s < 20 else "miss"),
           new_cache_entries=cache_delta)
 
-    def loop(n: int, depth: int = depth) -> float:
+    def loop(n: int, depth: int = depth, render=None) -> float:
         """Steady-state loop, `depth` frames in flight: dispatch frame i+k
         (with an async host copy) before materializing frame i, so transfer,
         dispatch AND the tunnel's RPC round trips (~30 ms each on this
@@ -263,7 +263,7 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
                 # per-frame camera motion — the reference's per-frame
                 # Scene::Update uniform write (scene.cppm:314-329)
                 scene.camera.rotate(0.0, 0.002)
-            frame = scene.render_async()
+            frame = (render or scene.render_async)()
             frame.copy_to_host_async()
             in_flight.append(frame)
             if len(in_flight) >= depth:
@@ -377,7 +377,41 @@ def run_bench(preset: str, width: int, height: int, msaa: int,
         _mark(f"{preset}: skipping present/interactive rows",
               budget_left=round(_remaining()))
 
-    return stats_from(dt, present_dt, dt2, quality=f"best-of-{n_loops + 1}")
+    # PREVIEW interactive row: the viewer's --preview stream (half-res box
+    # downsample + yuv420 = 8x fewer present bytes; exact stills stay
+    # available via Scene.render_still). Same depth-2 engine configuration
+    # as the interactive row — the delta is purely present-encoding.
+    preview_dt = None
+    if (mesh is None and dt2 is not None and config.present_scale == 1
+            and config.present_format == "rgb"
+            and config.width % 4 == 0 and config.height % 4 == 0
+            and _remaining() > 2 * present_cost + 60.0):
+        from vktf_tpu.runtime import frame_program
+
+        preview_cfg = config.replace(present_format="yuv420",
+                                     present_scale=2)
+        preview_fn = frame_program(scene.meta, preview_cfg)
+
+        def preview_render():
+            return preview_fn(scene.render_scene,
+                              scene.camera.view_projection_transform,
+                              scene.camera.position)
+
+        t0 = time.time()
+        np.asarray(preview_render())  # compile outside the timed loops
+        _mark(f"{preset}: preview program ready",
+              secs=round(time.time() - t0, 1))
+        if _remaining() > 2 * present_cost + 30.0:
+            preview_dt = min(loop(frames, depth=2, render=preview_render),
+                             loop(frames, depth=2, render=preview_render))
+            _mark(f"{preset}: preview loops done",
+                  preview_ms=round(preview_dt * 1e3, 1))
+
+    stats = stats_from(dt, present_dt, dt2, quality=f"best-of-{n_loops + 1}")
+    if preview_dt is not None:
+        stats["preview_fps"] = 1.0 / preview_dt
+        stats["preview_frame_ms"] = preview_dt * 1e3
+    return stats
 
 
 def _format_line(preset, width, height, msaa, stats, present_format,
@@ -403,6 +437,8 @@ def _format_line(preset, width, height, msaa, stats, present_format,
         line["present_fps"] = round(stats["present_fps"], 2)
     if "interactive_fps" in stats:
         line["interactive_fps"] = round(stats["interactive_fps"], 2)
+    if "preview_fps" in stats:
+        line["preview_fps"] = round(stats["preview_fps"], 2)
     if stats.get("quality"):
         line["loops"] = stats["quality"]
     return line
@@ -442,7 +478,6 @@ def main() -> int:
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--msaa", type=int, default=None)
     parser.add_argument("--frames", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--depth", type=int, default=4,
                         help="frames in flight (throughput pipelining)")
     parser.add_argument("--backend", default=None,
@@ -529,7 +564,7 @@ def main() -> int:
 
         try:
             stats = run_bench(preset, width, height, msaa, args.frames,
-                              args.warmup, backend=args.backend,
+                              backend=args.backend,
                               depth=args.depth,
                               anisotropy=args.anisotropy,
                               present_format=args.present_format,

@@ -23,7 +23,7 @@ def run_bench(extra_args, env_extra, timeout=240, send_sigterm_after=None):
     env.update(env_extra)
     proc = subprocess.Popen(
         [sys.executable, "bench.py", "--preset", "box", "--width", "192",
-         "--height", "96", "--msaa", "1", "--frames", "2", "--warmup", "0",
+         "--height", "96", "--msaa", "1", "--frames", "2",
          *extra_args],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,

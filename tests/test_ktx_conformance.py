@@ -323,3 +323,118 @@ def test_basislz_with_explicit_vkformat_is_malformed_skip():
     log, err = make_log()
     assert parse_ktx2(blob, "bad", log) is None
     assert "malformed" in err.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# UASTC readiness (VERDICT r3 #7): foreign-mode payloads must reject CLEANLY
+# through the FULL container stack (not just decode_uastc), including under
+# zstd level supercompression, and the register_uastc_transcoder seam must
+# close the gap without any loader change.
+# ---------------------------------------------------------------------------
+
+
+def uastc_blocks(bw, bh, mode_byte, rgba=(10, 20, 30, 255)):
+    blocks = np.zeros((bh, bw, 16), np.uint8)
+    blocks[..., 0] = mode_byte
+    blocks[..., 1:5] = rgba
+    return blocks.tobytes()
+
+
+def test_uastc_foreign_mode_container_skips():
+    """An 8x8 UASTC level whose blocks carry a non-solid mode byte rejects
+    image-wide with the logged mode histogram — through parse_ktx2, not
+    just decode_uastc (basis.UASTC_MODE_COVERAGE documents the per-mode
+    scope)."""
+    blob = basis_container(sgd=b"", payload=uastc_blocks(2, 2, 0x01),
+                           width=8, height=8, model=166, scheme=0)
+    expect_clean_skip(blob, "unsupported block modes")
+
+
+def test_uastc_foreign_mode_zstd_container_skips():
+    """Same rejection with the payload under zstd supercompression
+    (scheme 2): the level inflates correctly first, then the mode check
+    rejects — exercising _decompress_level + decode_uastc end-to-end."""
+    import zstandard
+
+    raw = uastc_blocks(2, 2, 0x11)
+    blob = bytearray(basis_container(
+        sgd=b"", payload=zstandard.ZstdCompressor().compress(raw),
+        width=8, height=8, model=166, scheme=2))
+    # basis_container wrote uncompressedByteLength = compressed length;
+    # patch the level index's third u64 to the true uncompressed size
+    struct.pack_into("<Q", blob, 12 + 36 + 16 + 16 + 16, len(raw))
+    expect_clean_skip(bytes(blob), "unsupported block modes")
+
+
+def test_uastc_registered_transcoder_closes_gap():
+    """Installing a full transcoder via the seam makes the SAME
+    foreign-mode container decode through the unchanged loader stack; the
+    seam restores cleanly."""
+    from vktf_tpu.loaders import basis
+
+    def fake_full_transcoder(data, width, height):
+        bw, bh = (width + 3) // 4, (height + 3) // 4
+        blocks = np.frombuffer(data, np.uint8).reshape(bh, bw, 16)
+        rgba = np.repeat(np.repeat(blocks[..., 1:5], 4, 0), 4, 1)
+        return rgba[:height, :width]
+
+    blob = basis_container(sgd=b"", payload=uastc_blocks(2, 2, 0x01),
+                           width=8, height=8, model=166, scheme=0)
+    prev = basis.register_uastc_transcoder(fake_full_transcoder)
+    try:
+        log, err = make_log()
+        tex = parse_ktx2(blob, "adv", log)
+        assert tex is not None and len(tex.levels) == 1
+        assert tex.levels[0].shape == (8, 8, 4)
+        np.testing.assert_array_equal(tex.levels[0][0, 0], [10, 20, 30, 255])
+        assert err.getvalue() == ""
+    finally:
+        basis.register_uastc_transcoder(prev)
+    # restored: the built-in subset rejects again
+    expect_clean_skip(blob, "unsupported block modes")
+
+
+def test_uastc_registered_transcoder_failure_is_clean_skip():
+    """A transcoder that blows up on hostile bytes stays inside the
+    two-tier policy: skip + logged error, never an uncaught exception."""
+    from vktf_tpu.loaders import basis
+
+    def broken(data, width, height):
+        raise ValueError("internal transcoder bug")
+
+    blob = basis_container(sgd=b"", payload=uastc_blocks(2, 2, 0x01),
+                           width=8, height=8, model=166, scheme=0)
+    prev = basis.register_uastc_transcoder(broken)
+    try:
+        expect_clean_skip(blob, "transcoder failed")
+    finally:
+        basis.register_uastc_transcoder(prev)
+
+
+def test_uastc_foreign_mode_through_gltf_scene_stack(tmp_path):
+    """FULL loader stack: a glTF material referencing a foreign-mode UASTC
+    .ktx2 builds a working scene on the default texture, increments
+    textures.decode_failed, and logs — the reference's reject-material
+    ethos (model.cppm:391-409) at the highest level."""
+    from vktf_tpu.models.gltf_writer import GltfWriter
+    from vktf_tpu.models.primitives import plane_mesh
+    from vktf_tpu.utils.profiling import counters
+
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_scene
+
+    blob = basis_container(sgd=b"", payload=uastc_blocks(2, 2, 0x05),
+                           width=8, height=8, model=166, scheme=0)
+    w = GltfWriter()
+    img = w.add_image_bytes(blob, "image/ktx2")
+    mat = w.add_material(base_color_texture=w.add_texture(img))
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(plane_mesh(1.0), material=mat)),
+        w.add_node(light=w.add_light(type="directional")),
+    ])
+    before = counters.get("textures.decode_failed")
+    scene, meta, aux = build_scene(w.write(tmp_path / "uastc.gltf"))
+    assert counters.get("textures.decode_failed") == before + 1
+    assert scene.tri_corner.shape[1] >= 2  # geometry survived the skip

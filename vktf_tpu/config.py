@@ -179,6 +179,15 @@ class RenderConfig:
     # traffic; luma exact, chroma 2x2-subsampled) — for link-bound remote
     # viewing; the engine decodes on host before the window sinks.
     present_format: str = "rgb"
+    # Preview present stream: device-side box downsample of the presented
+    # frame by this factor (1 = full resolution). At scale 2 the present
+    # traffic drops 4x (8x combined with yuv420) — for link-bound remote
+    # viewing where the device->host transfer, not the render, limits the
+    # interactive rate (BENCH_r03 present_fps 6.3 vs render 24.2). The
+    # RENDER itself stays full-resolution: exact stills remain available
+    # via Scene.render_still() (test-pinned bit-exact), and the host
+    # upsamples the preview for display (ops/present.py).
+    present_scale: int = 1
 
     # Compute dtypes. Geometry stays f32 (raster precision); shading math f32;
     # texture storage uint8 in HBM, converted post-gather.
@@ -228,10 +237,21 @@ class RenderConfig:
             raise ValueError(f"unknown shade_impl {self.shade_impl!r}")
         if self.present_format not in ("rgb", "yuv420"):
             raise ValueError(f"unknown present_format {self.present_format!r}")
+        if self.present_scale not in (1, 2, 4):
+            raise ValueError(
+                f"present_scale must be 1, 2 or 4, got {self.present_scale}"
+            )
+        if self.width % self.present_scale or self.height % self.present_scale:
+            raise ValueError(
+                "present_scale must divide the frame dimensions, got "
+                f"{self.width}x{self.height} / {self.present_scale}"
+            )
         if self.present_format == "yuv420" and (
-            self.width % 2 or self.height % 2
+            (self.width // self.present_scale) % 2
+            or (self.height // self.present_scale) % 2
         ):
-            raise ValueError("yuv420 present requires even width and height")
+            raise ValueError("yuv420 present requires even (preview) "
+                             "width and height")
         if self.tile_shape is None:
             shape = (64, 128) if self.resolved_backend() == "pallas" else (32, 128)
             object.__setattr__(self, "tile_shape", shape)

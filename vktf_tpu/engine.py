@@ -163,11 +163,14 @@ class Engine:
             self.frame_timer.tick()
 
     def _to_presentable(self, frame: np.ndarray) -> np.ndarray:
-        """Host-side decode of device present encodings (ops/present.py)."""
-        if self.config.present_format == "yuv420":
-            from vktf_tpu.ops.present import decode_yuv420
+        """Host-side decode of device present encodings (ops/present.py):
+        yuv420 unpack at preview resolution, then nearest upsample back to
+        the window size when the preview stream (present_scale > 1) is on."""
+        if (self.config.present_format != "rgb"
+                or self.config.present_scale != 1):
+            from vktf_tpu.ops.present import decode_present
 
-            return decode_yuv420(frame, self.config.height, self.config.width)
+            return decode_present(frame, self.config)
         return frame
 
     def wait_idle(self) -> None:

@@ -27,6 +27,7 @@ from vktf_tpu.window import (
     KEY_A,
     KEY_D,
     KEY_ESCAPE,
+    KEY_P,
     KEY_S,
     KEY_W,
     MOUSE_BUTTON_LEFT,
@@ -132,6 +133,25 @@ def start(
         raise RuntimeError("no loadable glTF assets provided")
     mouse_look = MouseLook()
 
+    # 'p' saves an EXACT full-resolution still (Scene.render_still), even
+    # when the preview present stream (present_scale > 1 / yuv420) is on
+    still_count = [0]
+
+    def on_capture(event):
+        if event.key == KEY_P and event.action == PRESS:
+            from pathlib import Path
+
+            from PIL import Image
+
+            frame = np.moveaxis(scene.render_still(), 0, -1)
+            out_dir = Path(frame_dir) if frame_dir else Path.cwd()
+            path = out_dir / f"still_{still_count[0]:05d}.png"
+            Image.fromarray(frame, "RGB").save(path)
+            still_count[0] += 1
+            engine.log.info(f"Saved exact still to {path}")
+
+    window.add_key_event_listener(on_capture)
+
     def frame(delta_time: float) -> None:
         handle_key_events(window, scene.camera, delta_time)
         mouse_look.handle(window, scene.camera)
@@ -181,6 +201,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                              "planar frame; yuv420 = BT.601 4:2:0 (half the "
                              "device->host present bytes — for remote/"
                              "link-bound viewing, ops/present.py)")
+    parser.add_argument("--present-scale", type=int, default=1,
+                        choices=[1, 2, 4],
+                        help="preview present stream: device-side box "
+                             "downsample of the presented frame (4x/16x "
+                             "fewer present bytes; render stays full-res, "
+                             "'p' saves an exact full-res still)")
+    parser.add_argument("--preview", action="store_true",
+                        help="shorthand for --present-scale 2 "
+                             "--present-format yuv420 (8x fewer present "
+                             "bytes for link-bound interactive viewing)")
     parser.add_argument("--mesh", default=None, metavar="GP,SP",
                         help="render through the multi-chip sharded frame "
                              "path over a (gp, sp) device mesh "
@@ -195,13 +225,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             from vktf_tpu.parallel import make_render_mesh
 
             gp, sp = (int(x) for x in args.mesh.split(","))
-            mesh = make_render_mesh(
-                rank_devices(jax.devices())[: gp * sp], gp=gp, sp=sp
-            )
+            devices = rank_devices(jax.devices())
+            if len(devices) < gp * sp:
+                raise SystemExit(
+                    f"--mesh {gp},{sp} needs {gp * sp} devices, have "
+                    f"{len(devices)} ({devices[0].platform}); rehearse on a "
+                    f"virtual mesh with XLA_FLAGS=--xla_force_host_platform_"
+                    f"device_count={gp * sp} VKTF_FORCE_CPU=1"
+                )
+            mesh = make_render_mesh(devices[: gp * sp], gp=gp, sp=sp)
+        present_format, present_scale = args.present_format, args.present_scale
+        if args.preview:
+            present_format, present_scale = "yuv420", max(2, present_scale)
         config = RenderConfig(
             width=args.width, height=args.height, msaa_samples=args.msaa,
             backend=args.backend, max_anisotropy=args.anisotropy,
-            present_format=args.present_format,
+            present_format=present_format, present_scale=present_scale,
         )
         start(
             args.assets,

@@ -961,12 +961,12 @@ class PallasFrameProgram:
             mixed_samplers=meta.mixed_samplers,
         )
 
-        # device-side present encoding fused into the final stage (the
-        # frame's last producer — no extra program launch or HBM pass)
-        if config.present_format == "yuv420":
-            from vktf_tpu.ops.present import encode_yuv420 as _present_enc
-        else:
-            _present_enc = lambda x: x  # noqa: E731
+        # device-side present encoding (preview downsample + optional yuv
+        # pack) fused into the final stage (the frame's last producer — no
+        # extra program launch or HBM pass)
+        from vktf_tpu.ops.present import make_present_encoder
+
+        _present_enc = make_present_encoder(config)
 
         def shade(tri_id, depth, table, scene, lights, camera_position):
             if tiled_resolve:
@@ -1096,14 +1096,14 @@ def make_frame_fn(meta: SceneMeta, config: RenderConfig):
     if config.resolved_backend() == "pallas" and config.split_stages:
         return PallasFrameProgram(meta, config)
 
+    from vktf_tpu.ops.present import make_present_encoder
+
+    _present_enc = make_present_encoder(config)
+
     def frame(scene, view_projection, camera_position):
         out = render_frame(
             scene, view_projection, camera_position, meta=meta, config=config
         )
-        if config.present_format == "yuv420":
-            from vktf_tpu.ops.present import encode_yuv420
-
-            out = encode_yuv420(out)
-        return out
+        return _present_enc(out)
 
     return jax.jit(frame)

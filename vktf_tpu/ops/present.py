@@ -46,6 +46,57 @@ def encoded_size(height: int, width: int) -> int:
     return height * width + 2 * (height // 2) * (width // 2)
 
 
+def downsample_box(frame, scale: int):
+    """Planar (3, H, W) uint8 -> (3, H/scale, W/scale) uint8 device-side
+    box average (exact integer, round-half-up) — the PREVIEW stream
+    reduction. scale must divide H and W. jnp/np dual like encode_yuv420,
+    so this function is its own numpy oracle."""
+    if scale == 1:
+        return frame
+    xp = jnp if isinstance(frame, jnp.ndarray) else np
+    c, h, w = frame.shape
+    assert h % scale == 0 and w % scale == 0, (frame.shape, scale)
+    q = frame.astype(xp.int32).reshape(c, h // scale, scale, w // scale, scale)
+    n = scale * scale
+    return ((q.sum(axis=(2, 4)) + n // 2) // n).astype(xp.uint8)
+
+
+def upsample_nearest(frame: np.ndarray, scale: int) -> np.ndarray:
+    """Host-side nearest 2x/4x upsample of a planar or interleaved preview
+    frame back to window size (numpy)."""
+    if scale == 1:
+        return frame
+    axes = (-2, -1) if frame.shape[0] in (3, 4) else (0, 1)
+    out = np.repeat(frame, scale, axis=axes[0])
+    return np.repeat(out, scale, axis=axes[1])
+
+
+def make_present_encoder(config):
+    """Device-side present encode chain for a RenderConfig: preview
+    downsample (present_scale) then optional yuv420 pack. Fused into the
+    frame's final jitted stage by the callers (ops/pipeline.py,
+    parallel/tiles.py) so it costs no extra program launch. The EXACT
+    full-resolution frame remains available via Scene.render_still()."""
+    scale = getattr(config, "present_scale", 1)
+    yuv = config.present_format == "yuv420"
+
+    def encode(frame):
+        out = downsample_box(frame, scale)
+        return encode_yuv420(out) if yuv else out
+
+    return encode
+
+
+def decode_present(frame: np.ndarray, config) -> np.ndarray:
+    """Host-side inverse of make_present_encoder: yuv decode at preview
+    resolution, then nearest upsample to the full window size."""
+    scale = getattr(config, "present_scale", 1)
+    ph, pw = config.height // scale, config.width // scale
+    if config.present_format == "yuv420":
+        frame = decode_yuv420(frame, ph, pw)
+    return upsample_nearest(frame, scale)
+
+
 def encode_yuv420(frame):
     """Planar (3, H, W) uint8 RGB -> packed (H*W*3//2,) uint8 [Y | Cb | Cr].
 

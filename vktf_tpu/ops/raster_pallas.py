@@ -727,6 +727,10 @@ def _raster_kernel(
 
             jax.lax.fori_loop(0, n_groups // u, per_group_u, 0,
                               unroll=False)
+            # tail: groups the unrolled loop doesn't cover when
+            # u does not divide n_groups (configurable chunk/group_size)
+            for j in range((n_groups // u) * u, n_groups):
+                per_group(j, 0)
         return 0
 
     jax.lax.fori_loop(0, count, visit, 0, unroll=False)

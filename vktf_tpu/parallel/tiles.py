@@ -381,12 +381,18 @@ def render_frame_sharded(
 
 
 def make_sharded_frame_fn(meta: SceneMeta, config: RenderConfig, mesh: Mesh):
-    """Jitted multi-chip frame function (same signature as make_frame_fn)."""
+    """Jitted multi-chip frame function (same signature as make_frame_fn,
+    including the device-side present encode chain — preview downsample +
+    optional yuv420, ops/present.py)."""
+    from vktf_tpu.ops.present import make_present_encoder
+
+    _present_enc = make_present_encoder(config)
 
     def frame(scene, view_projection, camera_position):
-        return render_frame_sharded(
+        out = render_frame_sharded(
             scene, view_projection, camera_position,
             meta=meta, config=config, mesh=mesh,
         )
+        return _present_enc(out)
 
     return jax.jit(frame)

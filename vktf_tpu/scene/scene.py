@@ -78,6 +78,31 @@ class Scene:
             self.camera.position,
         )
 
+    def render_still(self) -> np.ndarray:
+        """EXACT full-resolution (3, H, W) uint8 frame at the current
+        camera, regardless of the present encoding (preview scale /
+        yuv420). The preview stream trades present bytes for rate
+        (config.present_scale); stills bypass it — same pixels as a
+        present_format="rgb", present_scale=1 render, test-pinned
+        (tests/test_present.py). Uses the shared program registry, so the
+        still program compiles once per (scene shape, config)."""
+        if (self.config.present_format == "rgb"
+                and self.config.present_scale == 1):
+            fn = self._frame_fn
+        else:
+            if getattr(self, "_still_fn", None) is None:
+                from vktf_tpu.runtime import frame_program
+
+                exact = self.config.replace(present_format="rgb",
+                                            present_scale=1)
+                self._still_fn = frame_program(self.meta, exact)
+            fn = self._still_fn
+        return np.asarray(fn(
+            self.render_scene,
+            self.camera.view_projection_transform,
+            self.camera.position,
+        ))
+
     def binning_diagnostics(self) -> dict:
         """Dropped-triangle diagnostics for the current camera.
 

@@ -21,6 +21,7 @@ import numpy as np
 # Key identifiers mirror GLFW names used by the game app (game.cppm:40-61).
 KEY_ESCAPE = "escape"
 KEY_W, KEY_A, KEY_S, KEY_D = "w", "a", "s", "d"
+KEY_P = "p"  # exact-still capture in the viewer (game.py)
 MOUSE_BUTTON_LEFT = "mouse_left"
 
 PRESS, RELEASE = "press", "release"
