@@ -514,6 +514,19 @@ def main() -> int:
         gp, sp = (int(x) for x in args.mesh.split(","))
         mesh_shape = (gp, sp)
 
+    # arm the watchdog + signal flush BEFORE anything heavy: `import jax`
+    # below can take seconds, and a SIGTERM landing mid-import would
+    # otherwise kill the process with no JSON line (the un-killability
+    # promise, tests/test_bench_harness.py)
+    _mark("bench start", budget_s=_BUDGET_S,
+          argv=" ".join(sys.argv[1:]) or "(headline)")
+    threading.Thread(target=_watchdog, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):  # pragma: no cover - non-main thread
+            pass
+
     if os.environ.get("VKTF_MESH_REEXEC") or os.environ.get("VKTF_FORCE_CPU"):
         # the environment's sitecustomize programmatically selects the TPU
         # platform, overriding JAX_PLATFORMS — force CPU via jax.config
@@ -523,15 +536,6 @@ def main() -> int:
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # pragma: no cover - backend already up
-            pass
-
-    _mark("bench start", budget_s=_BUDGET_S,
-          argv=" ".join(sys.argv[1:]) or "(headline)")
-    threading.Thread(target=_watchdog, daemon=True).start()
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        try:
-            signal.signal(sig, _on_signal)
-        except (ValueError, OSError):  # pragma: no cover - non-main thread
             pass
 
     if mesh_shape is not None and not os.environ.get("VKTF_MESH_REEXEC"):

@@ -518,3 +518,73 @@ def test_prepare_scene_cache_bit_identical(tmp_path):
     # whole frames agree
     np.testing.assert_array_equal(np.asarray(cached(scene, vp, pos)),
                                   np.asarray(fused(scene, vp, pos)))
+
+
+def test_pair_gather_rowsT_bit_identical_adversarial():
+    """pair_gather_rowsT must equal gather_rows(table, t).T BIT-FOR-BIT on
+    every stream shape: coherent runs, random ids, a worst-case alternating
+    stream where EVERY odd pixel is a 1-px run (residuals = 100% of odd,
+    exceeding the cap -> the cond fallback), and boundary patterns."""
+    import jax
+    import jax.numpy as jnp
+
+    from vktf_tpu.ops.shade_kernel import pair_gather_rowsT
+    from vktf_tpu.ops.shade_table import gather_rows
+
+    rng = np.random.default_rng(7)
+    rows = 977
+    table = jnp.asarray(
+        rng.integers(0, 2**16, (rows, 128), dtype=np.uint16))
+
+    streams = {
+        "coherent": np.repeat(rng.integers(0, rows, 400), 5)[:2048],
+        "random": rng.integers(0, rows, 2048),
+        "alternating": np.tile([3, 901], 1024),  # all odd are residuals
+        "constant": np.full(2048, 42),
+        "run_starts_on_odd": np.repeat(rng.integers(0, rows, 1025), 2)[1:2049],
+    }
+    for name, t_np in streams.items():
+        t = jnp.asarray(t_np.astype(np.int32))
+        ref = np.asarray(jax.jit(lambda tb, tt: gather_rows(tb, tt).T)(
+            table, t))
+        got = np.asarray(jax.jit(
+            lambda tb, tt: pair_gather_rowsT(tb, tt, cap_frac=8))(table, t))
+        np.testing.assert_array_equal(ref, got, err_msg=name)
+
+
+def test_shade_pair_gather_bit_identical(tmp_path):
+    """The shade_pair_gather frame flag must never change a pixel: the
+    two-phase shade with the pair-coherent table gather is asserted
+    bit-identical to the classic per-pixel gather end-to-end."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import PallasFrameProgram, make_frame_fn
+
+    from helpers import build_scene, checker_png_bytes, default_camera
+
+    w = GltfWriter()
+    img = w.add_image_bytes(checker_png_bytes(), "image/png")
+    tex = w.add_texture(img, w.add_sampler())
+    mat = w.add_material(base_color_factor=(1.0, 0.8, 0.6, 1.0),
+                         base_color_texture=tex, metallic_factor=0.2,
+                         roughness_factor=0.5)
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(16, 24), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(4.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=4, shading_rate="pixel",
+                backend="pallas", pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    classic = make_frame_fn(meta, RenderConfig(shade_pair_gather=False,
+                                               **base))
+    paired = make_frame_fn(meta, RenderConfig(shade_pair_gather=True, **base))
+    assert isinstance(paired, PallasFrameProgram) and paired._two_phase
+    vp, pos = camera.view_projection_transform, camera.position
+    np.testing.assert_array_equal(np.asarray(classic(scene, vp, pos)),
+                                  np.asarray(paired(scene, vp, pos)))

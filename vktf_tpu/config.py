@@ -148,6 +148,17 @@ class RenderConfig:
     # python tools/frame_ab.py shade_attrs_boundary=0 shade_attrs_boundary=1
     shade_attrs_boundary: Optional[bool] = None
 
+    # Pair-coherent shade-table gather (phase A): gather only even-position
+    # rows and reconstruct odd positions structurally (left/right-neighbor
+    # selects + a capped residual fix-up) — bit-identical on ANY input via
+    # a cond fallback, ~56% of the gather indices on coherent streams.
+    # MEASURED NEGATIVE on the chip (tools/pair_gather_probe.py: candidate
+    # 31-36 ms vs the 6.8 ms gather it replaces — the selects/interleave
+    # dominate; even the bare half gather is slower than the full one).
+    # None = auto (off); kept runnable as the record of the dead end
+    # (ops/shade_kernel.pair_gather_rowsT docstring).
+    shade_pair_gather: Optional[bool] = None
+
     # Phase-B deferred shade (kernel impl): feed the two gathered texel-pool
     # tensors to the fragment kernel ROW-MAJOR (the gather's natural layout)
     # and transpose per block in VMEM, instead of XLA materializing an HBM
@@ -285,6 +296,13 @@ class RenderConfig:
         hardware A/B decides; tools/attrs_boundary_ab.py)."""
         if self.shade_attrs_boundary is not None:
             return self.shade_attrs_boundary
+        return False
+
+    def resolved_pair_gather(self) -> bool:
+        """Resolve shade_pair_gather (None = auto: off until the chip A/B
+        decides — tools/pair_gather_probe.py / frame_ab.py)."""
+        if self.shade_pair_gather is not None:
+            return self.shade_pair_gather
         return False
 
     def resolved_pool_rowmajor(self) -> bool:

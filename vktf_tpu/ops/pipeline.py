@@ -378,6 +378,7 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
                 trow, r0, r1 = shade_addr_chunk(
                     tri_c, sx_c, sy_c, table,
                     max_anisotropy=config.max_anisotropy, fused_pool=fused,
+                    pair_gather=config.resolved_pair_gather(),
                 )
             trows.append(trow)
             r0s.append(r0)

@@ -309,8 +309,75 @@ def _attrs_resolve_kernel(
                                tri_ref[...])
 
 
+def pair_gather_rowsT(table, t, cap_frac: int = 8):
+    """Pair-coherent shade-table row gather: BIT-IDENTICAL to
+    ``gather_rows(table, t).T`` for even-length ``t``, issuing ~56% of the
+    gather indices on coherent streams (VERDICT r3 #1).
+
+    MEASURED NEGATIVE — do not enable in production. On the chip at the
+    real 2.09M-pixel Sponza stream (tools/pair_gather_probe.py, 3
+    interleaved reps): full production gather 6.8 ms; the stride-2 HALF
+    gather alone 9.6-11.1 ms (a strided-index gather of half the count is
+    SLOWER than the full contiguous-count gather); the structured
+    expansion (two (128, M) u16 selects + lane interleave) 27 ms; the
+    complete bit-exact candidate 31-36 ms — 4.6x the gather it replaces.
+    The lane-dim select/interleave ops move far more than their
+    theoretical bytes, and top_k compaction alone costs 17 ms. Kept (flag
+    default off, bit-exactness pinned by tests/test_pallas_pipeline.py)
+    as the record of the dead end, like gather_rows' bf16_view.
+
+    Adjacent pixels in the block-layout shade order overwhelmingly share
+    the winning triangle (tools/pair_coherence_stats.py: odd==left 82-87%,
+    odd==right 10-12%, residual 3.4-6.1% at Sponza 1080p), and the
+    measured per-index gather issue rate is FLAT vs coherence
+    (tools/gather_scale_ab.py) — so the only winning form gathers FEWER
+    indices and expands structurally:
+
+      even positions: one stride-2 row gather (N/2 indices)
+      odd == left id: reuse the even row (select — no gather)
+      odd == right id (a run starting on the odd pixel): the NEXT even
+        row (shift + select — no gather)
+      residual odd (1-px runs): a capped fix-up gather (cumsum-compacted
+        positions, OOB-dropped column scatter); if residuals exceed the
+        static cap (C = max(1024, N/2 / cap_frac) — bench-camera worst is
+        6.1% of odd vs the 12.5% default cap), a lax.cond falls back to
+        the full odd gather, preserving exactness on ANY input at a
+        bounded (~baseline + expansion overhead) cost.
+
+    Primitive A/B on the chip: tools/pair_gather_probe.py (bit-equality
+    asserted against the production gather on the real winner stream).
+    """
+    n = t.shape[0]
+    assert n % 2 == 0, n
+    m = n // 2
+    cap = max(1024, m // cap_frac)
+    e, o = t[0::2], t[1::2]
+    rowsT = gather_rows(table, e).T  # (2*ROW, M) u16
+    right = jnp.concatenate([rowsT[:, 1:], rowsT[:, -1:]], axis=1)
+    use_l = (o == e)[None, :]
+    odd = jnp.where(use_l, rowsT, right)
+    id_r = jnp.concatenate([e[1:], e[-1:]])
+    resid = (o != e) & (o != id_r)
+    n_resid = jnp.sum(resid.astype(jnp.int32))
+
+    def capped(odd):
+        cnt = jnp.cumsum(resid.astype(jnp.int32)) - 1
+        slot = jnp.where(resid, cnt, cap)  # OOB slots dropped
+        pos = jnp.full((cap,), -1, jnp.int32).at[slot].set(
+            jnp.arange(m, dtype=jnp.int32), mode="drop")
+        fixed = gather_rows(table, o[jnp.maximum(pos, 0)]).T
+        tgt = jnp.where(pos >= 0, pos, m)  # pads scatter OOB -> dropped
+        return odd.at[:, tgt].set(fixed, mode="drop")
+
+    def fallback(_odd):
+        return gather_rows(table, o).T
+
+    odd = jax.lax.cond(n_resid <= cap, capped, fallback, odd)
+    return jnp.stack([rowsT, odd], axis=2).reshape(rowsT.shape[0], n)
+
+
 def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0,
-                     fused_pool: bool = False):
+                     fused_pool: bool = False, pair_gather: bool = False):
     """Phase A of the two-phase deferred shade: table gather + addressing.
 
     Gathers each sample's shade-table row and computes the two texture-pool
@@ -341,8 +408,11 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0,
     which is cheap next to 2M random row reads.
     """
     t = jnp.maximum(tri_id, 0)
-    trow = gather_rows(table, t)  # (N, 2*ROW) u16
-    trowT = trow.T  # (2*ROW, N) u16 — dense; fuses into the gather
+    if pair_gather and t.shape[0] % 2 == 0:
+        trowT = pair_gather_rowsT(table, t)  # bit-identical, fewer indices
+    else:
+        trow = gather_rows(table, t)  # (N, 2*ROW) u16
+        trowT = trow.T  # (2*ROW, N) u16 — dense; fuses into the gather
 
     def colx(c):
         hi = trowT[c].astype(jnp.uint32) << 16
