@@ -459,3 +459,98 @@ def test_corrupt_ktx2_texture_degrades_not_aborts(tmp_path):
     tex = Texture(name="bad", data=blob, filepath=None, sampler=None)
     assert decode_texture(tex, "base_color", Log(out, err)) is None
     assert "bad" in err.getvalue()
+
+
+class TestMultiTapAnisotropy:
+    def _floor_scene(self, tmp_path):
+        from vktf_tpu.models.gltf_writer import GltfWriter
+        from vktf_tpu.models.primitives import plane_mesh
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import checker_png_bytes
+
+        w = GltfWriter()
+        img = w.add_image_bytes(checker_png_bytes(128, cell=4), "image/png")
+        tex = w.add_texture(img, w.add_sampler())
+        mat = w.add_material(base_color_texture=tex, metallic_factor=0.0,
+                             roughness_factor=0.9)
+        floor = w.add_mesh(plane_mesh(20.0), material=mat)
+        sun = w.add_light("directional", color=(2.0, 2.0, 2.0))
+        w.add_scene([
+            w.add_node(mesh=floor, translation=(0.0, 0.0, -1.5)),
+            w.add_node(light=sun, rotation=(-0.3827, 0.0, 0.0, 0.9239)),
+        ])
+        return w.write(tmp_path / "floor.gltf")
+
+    def test_multi_tap_matches_oracle(self, tmp_path):
+        """TRUE N-tap anisotropic filtering (aniso_taps=4, VERDICT r3
+        missing #3): the production multi-tap sampler (XLA shade form)
+        matches the numpy oracle's identical N-tap kernel on a grazing
+        floor, and actually differs from the single-tap approximation."""
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.ops.pipeline import make_frame_fn
+        from vktf_tpu.ops.raster_xla import SAMPLE_OFFSETS
+        from vktf_tpu.ops.reference import render_reference
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import (assert_images_close, build_scene,
+                             default_camera, make_reference)
+
+        scene, meta, aux = build_scene(self._floor_scene(tmp_path))
+        camera = default_camera(position=(0.0, 0.2, 9.5),
+                                direction=(0.0, -0.05, -1.0))
+        config = RenderConfig(width=96, height=64, msaa_samples=1,
+                              tile_shape=(32, 64), backend="pallas",
+                              shading_rate="sample", max_anisotropy=8.0,
+                              aniso_taps=4)
+        fn = make_frame_fn(meta, config)
+        produced = np.moveaxis(
+            np.asarray(fn(scene, camera.view_projection_transform,
+                          camera.position)), 0, -1)
+        expected = render_reference(
+            make_reference(scene, meta, aux),
+            camera.view_projection_transform, camera.position, 96, 64,
+            SAMPLE_OFFSETS[1], max_anisotropy=8.0, aniso_taps=4,
+        )
+        assert_images_close(produced, expected)
+        # the taps change pixels vs the single-tap approximation
+        single = np.moveaxis(
+            np.asarray(make_frame_fn(
+                meta, config.replace(aniso_taps=1))(
+                    scene, camera.view_projection_transform,
+                    camera.position)), 0, -1)
+        assert np.abs(produced.astype(int) - single.astype(int)).max() > 2, (
+            "multi-tap made no difference on a grazing floor"
+        )
+
+    def test_multi_tap_sharded_bit_equal(self, tmp_path):
+        """aniso_taps > 1 routes the SHARDED frame through the assembled
+        XLA fallback (parallel/tiles.py gate) and stays bit-equal to the
+        single-chip multi-tap render."""
+        import jax
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.ops.pipeline import make_frame_fn
+        from vktf_tpu.parallel import make_render_mesh, make_sharded_frame_fn
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene, default_camera
+
+        scene, meta, aux = build_scene(self._floor_scene(tmp_path))
+        camera = default_camera(aspect=96 / 64, position=(0.0, 0.2, 9.5),
+                                direction=(0.0, -0.05, -1.0))
+        config = RenderConfig(width=96, height=64, msaa_samples=2,
+                              tile_shape=(32, 64), backend="pallas",
+                              max_anisotropy=8.0, aniso_taps=2)
+        single = np.asarray(make_frame_fn(meta, config)(
+            scene, camera.view_projection_transform, camera.position))
+        mesh = make_render_mesh(jax.devices(), gp=2)
+        sharded = np.asarray(make_sharded_frame_fn(meta, config, mesh)(
+            scene, camera.view_projection_transform, camera.position))
+        np.testing.assert_array_equal(single, sharded)

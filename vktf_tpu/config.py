@@ -114,6 +114,14 @@ class RenderConfig:
     # enables sampler anisotropy up to the device max whenever the device
     # supports it (model.cppm:261-275), and 16 is the universal device max.
     max_anisotropy: float = 16.0
+    # TRUE multi-tap anisotropic filtering (1 = the single-tap LOD
+    # sharpening above; 2/4/8 = N taps along the major footprint axis with
+    # their own pool gathers, averaged before the BRDF — the reference
+    # sampler's anisotropy, model.cppm:261-275). Taps > 1 route the
+    # deferred shade through the XLA form (like mixed-sampler scenes), at
+    # ~N x the pool-gather cost — an opt-in fidelity knob; the oracle
+    # implements the same kernel, golden-pinned (tests/test_textures.py).
+    aniso_taps: int = 1
 
     # Deferred-shade implementation: "kernel" = XLA row gathers feeding ONE
     # Pallas kernel (ops.shade_kernel; measured 75 -> 48 ms at Sponza-scale
@@ -246,6 +254,10 @@ class RenderConfig:
             raise ValueError(f"unknown shading_rate {self.shading_rate!r}")
         if self.shade_impl not in (None, "kernel", "xla"):
             raise ValueError(f"unknown shade_impl {self.shade_impl!r}")
+        if self.aniso_taps not in (1, 2, 4, 8):
+            raise ValueError(
+                f"aniso_taps must be 1, 2, 4 or 8, got {self.aniso_taps}"
+            )
         if self.present_format not in ("rgb", "yuv420"):
             raise ValueError(f"unknown present_format {self.present_format!r}")
         if self.present_scale not in (1, 2, 4):

@@ -201,6 +201,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                              "planar frame; yuv420 = BT.601 4:2:0 (half the "
                              "device->host present bytes — for remote/"
                              "link-bound viewing, ops/present.py)")
+    parser.add_argument("--aniso-taps", type=int, default=1,
+                        choices=[1, 2, 4, 8],
+                        help="true multi-tap anisotropic filtering (1 = "
+                             "single-tap LOD sharpening; N taps cost ~N x "
+                             "the texture-gather time)")
     parser.add_argument("--present-scale", type=int, default=1,
                         choices=[1, 2, 4],
                         help="preview present stream: device-side box "
@@ -240,6 +245,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         config = RenderConfig(
             width=args.width, height=args.height, msaa_samples=args.msaa,
             backend=args.backend, max_anisotropy=args.anisotropy,
+            aniso_taps=args.aniso_taps,
             present_format=present_format, present_scale=present_scale,
         )
         start(

@@ -182,10 +182,11 @@ def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool,
     (RenderConfig.resolved_fused_pool)."""
     from vktf_tpu.ops.shade_table import shade_table_layer
 
+    multi_tap = config.aniso_taps > 1  # N-tap aniso: XLA form only
     impl = config.shade_impl
     if impl is None:
-        impl = "xla" if per_slot_samplers else "kernel"
-    if impl == "kernel" and not per_slot_samplers:
+        impl = "xla" if (per_slot_samplers or multi_tap) else "kernel"
+    if impl == "kernel" and not per_slot_samplers and not multi_tap:
         from vktf_tpu.ops.shade_kernel import shade_table_layer_kernel
 
         interpret = config.pallas_interpret
@@ -206,6 +207,7 @@ def _shade_layer_fn(config: RenderConfig, per_slot_samplers: bool,
             tri_c, sx_c, sy_c, table, quad_pool, camera_position, lights,
             max_anisotropy=config.max_anisotropy,
             per_slot_samplers=per_slot_samplers,
+            aniso_taps=config.aniso_taps,
         )
 
     return fn
@@ -992,12 +994,13 @@ class PallasFrameProgram:
         # (large scenes).
         impl = config.shade_impl
         if impl is None:
-            impl = "xla" if meta.mixed_samplers else "kernel"
+            impl = ("xla" if (meta.mixed_samplers or config.aniso_taps > 1)
+                    else "kernel")
         skip_mode = config.shade_skip_mode
         if skip_mode is None:
             skip_mode = meta.num_triangles <= 32768
         self._two_phase = (tiled_resolve and impl == "kernel"
-                           and not skip_mode)
+                           and config.aniso_taps == 1 and not skip_mode)
         if self._two_phase:
             def shade_addr(tri_id, depth, table):
                 return pallas_shade_addr_tiled(

@@ -64,11 +64,32 @@ def _sample_bilinear(level: np.ndarray, uv, wrap=("repeat", "repeat"), srgb=Fals
 
 
 def _sample_texture_ref(tex_levels, uv, duvdx, duvdy, wrap, srgb, filters,
-                        max_anisotropy=1.0):
-    """Trilinear sampling with the same LOD rule as the production path."""
+                        max_anisotropy=1.0, aniso_taps=1):
+    """Trilinear sampling with the same LOD rule as the production path.
+
+    aniso_taps > 1: TRUE multi-tap anisotropic filtering — N taps evenly
+    spaced along the major footprint axis (clamped to max_anisotropy minor
+    axes), each trilinear at the minor-axis LOD, averaged — the same
+    kernel as shade_table's multi-tap path (model.cppm:261-275)."""
     h0, w0 = tex_levels[0].shape[:2]
     ddx = np.asarray([duvdx[0] * w0, duvdx[1] * h0])
     ddy = np.asarray([duvdy[0] * w0, duvdy[1] * h0])
+    if aniso_taps > 1:
+        ddx2, ddy2 = float(ddx @ ddx), float(ddy @ ddy)
+        major_uv = np.asarray(duvdx if ddx2 >= ddy2 else duvdy, np.float64)
+        rho_maj = np.sqrt(max(max(ddx2, ddy2), 1e-24))
+        rho_min = np.sqrt(max(min(ddx2, ddy2), 1e-24))
+        scale = min(1.0, max_anisotropy * rho_min / rho_maj)
+        acc = None
+        for i in range(aniso_taps):
+            f = (i + 0.5) / aniso_taps - 0.5
+            s = _sample_texture_ref(
+                tex_levels, np.asarray(uv) + f * scale * major_uv,
+                duvdx, duvdy, wrap, srgb, filters,
+                max_anisotropy=max_anisotropy, aniso_taps=1,
+            )
+            acc = s if acc is None else acc + s
+        return acc / aniso_taps
     rho_max2 = max(max(float(ddx @ ddx), float(ddy @ ddy)), 1e-24)
     if max_anisotropy > 1.0:
         # anisotropy as LOD sharpening (matches ops.shade_table)
@@ -160,6 +181,7 @@ def render_reference(
     background=(0.0, 0.0, 0.0, 1.0),
     max_anisotropy: float = 1.0,
     peel_layers: int = 2,
+    aniso_taps: int = 1,
 ):
     """Render; returns (H, W, 4) uint8 sRGB, matching the production output."""
     vp = np.asarray(view_projection, np.float64)
@@ -277,6 +299,7 @@ def render_reference(
                             tm.get("srgb", srgb_slot),
                             tm,
                             max_anisotropy=max_anisotropy,
+                            aniso_taps=aniso_taps,
                         )
 
                     base = base_factor * sample(0, True)

@@ -312,7 +312,8 @@ def _anchored_attrs(col, sx, sy):
     return inv_w, attr
 
 
-def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0):
+def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0,
+                    tap_shift=None):
     """uv + mip-selection parameters (the sampler's LOD stage) for one
     texture slot.
 
@@ -321,6 +322,15 @@ def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0):
     the wrap modes and nearest/mip snapping come from the SLOT's packed
     sampler code (_C_SAMP0+slot), so each combined image-sampler behaves
     per its own sampler exactly as in the reference (material.cppm:138-171).
+
+    ``tap_shift`` (a static float in [-0.5, 0.5], or None): TRUE multi-tap
+    anisotropic filtering — offset the sample position along the MAJOR
+    footprint axis in uv space by this fraction of the axis. The LOD is
+    already the minor-axis ("sharpened") LOD when max_anisotropy > 1, so
+    averaging taps at shifts (i+0.5)/N - 0.5 reconstructs the reference
+    sampler's N-tap anisotropic footprint (model.cppm:261-275; Vulkan
+    leaves the exact kernel implementation-defined). None keeps the
+    single-tap approximation (and its exact bit patterns) untouched.
     """
     inv_w, attr = _anchored_attrs(col, sx, sy)
     u = attr(_C_UV)
@@ -338,6 +348,18 @@ def _texture_params(col, sx, sy, max_anisotropy, slot: int = 0):
     w0f = col(_C_MW0)
     ddx2 = (du_dx * w0f) ** 2 + (dv_dx * w0f) ** 2
     ddy2 = (du_dy * w0f) ** 2 + (dv_dy * w0f) ** 2
+    if tap_shift is not None:
+        # shift along the major footprint axis (uv space); the axis length
+        # is clamped to max_anisotropy minor-axes so taps never reach past
+        # the footprint the clamped LOD accounts for
+        major_x = ddx2 >= ddy2
+        adu = jnp.where(major_x, du_dx, du_dy)
+        adv = jnp.where(major_x, dv_dx, dv_dy)
+        rho_maj = jnp.sqrt(jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24))
+        rho_min = jnp.sqrt(jnp.maximum(jnp.minimum(ddx2, ddy2), 1e-24))
+        scale = jnp.minimum(1.0, max_anisotropy * rho_min / rho_maj)
+        u = u + tap_shift * scale * adu
+        v = v + tap_shift * scale * adv
     rho_max2 = jnp.maximum(jnp.maximum(ddx2, ddy2), 1e-24)
     if max_anisotropy > 1.0:
         # Anisotropic filtering as LOD sharpening (single-tap approximation
@@ -419,10 +441,13 @@ def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
     return a0[0], a1[0]
 
 
-def pool_window_addr(col, sx, sy, max_anisotropy, slot: int = 0):
+def pool_window_addr(col, sx, sy, max_anisotropy, slot: int = 0,
+                     tap_shift=None):
     """Full 2x2-window addressing per mip level for one texture slot:
-    ((row, fx, fy, cx, cy, x0, y0) for l0, same for l1)."""
-    tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
+    ((row, fx, fy, cx, cy, x0, y0) for l0, same for l1). tap_shift: see
+    _texture_params (multi-tap anisotropy)."""
+    tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot,
+                         tap_shift=tap_shift)
     return _level_addr(tp, tp["l0"]), _level_addr(tp, tp["l1"])
 
 
@@ -569,6 +594,23 @@ def fragment_brdf_alpha(base_tex, mr_tex, nrm_tex, base_f, mr_f,
     return radiance, alpha
 
 
+def _fragment_from_slot_tex(col, sx, sy, slot_tex, cam3, lights, covered):
+    """The fragment body after texture sampling: interpolated world
+    attrs + BRDF (shared by the single-tap and multi-tap paths)."""
+    base_tex, mr_tex, nrm_tex = slot_tex
+    _inv_w, attr = _anchored_attrs(col, sx, sy)
+    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
+    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
+    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
+    return fragment_brdf_alpha(
+        base_tex, mr_tex, nrm_tex,
+        tuple(col(_C_BASE + c) for c in range(4)),
+        (col(_C_MR), col(_C_MR + 1)),
+        col(_C_NSCALE), wp, nr, tg, col(_C_AMODE), col(_C_ACUT),
+        cam3, lights, covered,
+    )
+
+
 def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
                    covered):
     """Everything after the table + pool gathers (the fragment shader body).
@@ -590,20 +632,43 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
         slot_tex.append(tuple(
             a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
         ))
-    base_tex, mr_tex, nrm_tex = slot_tex
+    return _fragment_from_slot_tex(col, sx, sy, slot_tex, cam3, lights,
+                                   covered)
 
-    _inv_w, attr = _anchored_attrs(col, sx, sy)
-    wp = tuple(attr(_C_WPOS + 3 * c) for c in range(3))
-    nr = tuple(attr(_C_NRM + 3 * c) for c in range(3))
-    tg = tuple(attr(_C_TAN + 3 * c) for c in range(4))
 
-    return fragment_brdf_alpha(
-        base_tex, mr_tex, nrm_tex,
-        tuple(col(_C_BASE + c) for c in range(4)),
-        (col(_C_MR), col(_C_MR + 1)),
-        col(_C_NSCALE), wp, nr, tg, col(_C_AMODE), col(_C_ACUT),
-        cam3, lights, covered,
-    )
+def _slot_tex_at_tap(col, sx, sy, quad_pool, max_anisotropy,
+                     per_slot_samplers, tap_shift):
+    """Gather + trilinear-filter the three texture slots for ONE
+    anisotropic tap (its own pool gathers at the shifted uv). Returns
+    [base_tex, mr_tex, nrm_tex], each a channel tuple."""
+    def fold(a):
+        return fold_window(gather_rows(quad_pool, a[0]), a[3], a[4])
+
+    if per_slot_samplers:
+        pairs = [pool_window_addr(col, sx, sy, max_anisotropy, slot=slot,
+                                  tap_shift=tap_shift) for slot in range(3)]
+        quads = [(fold(a0), fold(a1)) for a0, a1 in pairs]
+    else:
+        a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=0,
+                                  tap_shift=tap_shift)
+        quads = [(fold(a0), fold(a1))] * 3  # one gather serves all slots
+
+    slot_tex = []
+    for slot, srgb in ((0, True), (1, False), (2, False)):
+        q0, q1 = quads[slot]
+        quad0 = lambda s, k, _q=q0: _q[:, k]
+        quad1 = lambda s, k, _q=q1: _q[:, k]
+        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot,
+                             tap_shift=tap_shift)
+        _r0, fx0, fy0 = _level_addr(tp, tp["l0"])[:3]
+        _r1, fx1, fy1 = _level_addr(tp, tp["l1"])[:3]
+        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
+        lfrac = tp["lfrac"]
+        slot_tex.append(tuple(
+            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
+        ))
+    return slot_tex
 
 
 # Interpolated-attrs phase boundary (ops.shade_kernel attrs path): phase A
@@ -685,12 +750,14 @@ def shade_table_samples(
     background_rgba,
     max_anisotropy: float = 1.0,
     per_slot_samplers: bool = False,
+    aniso_taps: int = 1,
 ):
     """Shade flat samples from the shade table; returns (4, N) linear RGBA,
     composited over the background (the single-layer path)."""
     rgb, alpha, covered = shade_table_layer(
         tri_id, sx, sy, table, quad_pool, camera_position, lights,
         max_anisotropy=max_anisotropy, per_slot_samplers=per_slot_samplers,
+        aniso_taps=aniso_taps,
     )
     out = []
     for c in range(3):
@@ -710,6 +777,7 @@ def shade_table_layer(
     lights,
     max_anisotropy: float = 1.0,
     per_slot_samplers: bool = False,
+    aniso_taps: int = 1,
 ):
     """Shade one visibility layer; returns (rgb (3,N), alpha_eff (N,),
     covered (N,) bool).
@@ -735,6 +803,25 @@ def shade_table_layer(
         return row[:, c]
 
     cam3 = (camera_position[0], camera_position[1], camera_position[2])
+    if aniso_taps > 1:
+        # TRUE multi-tap anisotropic filtering: N evenly spaced taps along
+        # the major footprint axis, each with its own pool gathers at the
+        # shifted uv, texture samples averaged BEFORE the BRDF (the
+        # reference sampler's anisotropy, model.cppm:261-275; N static).
+        shifts = [(i + 0.5) / aniso_taps - 0.5 for i in range(aniso_taps)]
+        acc = None
+        for f in shifts:
+            st = _slot_tex_at_tap(col, sx, sy, quad_pool, max_anisotropy,
+                                  per_slot_samplers, f)
+            acc = st if acc is None else [
+                tuple(a + b for a, b in zip(sa, sb))
+                for sa, sb in zip(acc, st)
+            ]
+        inv = 1.0 / aniso_taps
+        slot_tex = [tuple(c * inv for c in st) for st in acc]
+        radiance, alpha = _fragment_from_slot_tex(
+            col, sx, sy, slot_tex, cam3, lights, covered)
+        return jnp.stack(radiance, axis=0), alpha, covered
     if per_slot_samplers:
         q0s, q1s = [], []
         for slot in range(3):

@@ -131,9 +131,11 @@ def render_frame_sharded(
     # gp rank taking a 1/gp slice of the band's flat block-layout pixel
     # stream (pallas_shade_addr_tiled px_slice — measured ~1.9x faster
     # than the assembled one-program form at shard sizes,
-    # tools/shard_shade_ab.py). Mixed-sampler scenes stay on the assembled
-    # XLA shade (the per-slot gather path), as on a single chip.
-    tiled_shade = not debug_visibility and not meta.mixed_samplers
+    # tools/shard_shade_ab.py). Mixed-sampler scenes and multi-tap aniso
+    # (aniso_taps > 1) stay on the assembled XLA shade (the per-slot /
+    # per-tap gather path), as on a single chip.
+    tiled_shade = (not debug_visibility and not meta.mixed_samplers
+                   and config.aniso_taps == 1)
     n_px_band = band_h * pw
     if tiled_shade:
         if n_px_band % gp != 0:
