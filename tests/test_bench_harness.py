@@ -28,11 +28,21 @@ def run_bench(extra_args, env_extra, timeout=240, send_sigterm_after=None):
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,
     )
+    first_err = ""
     if send_sigterm_after is not None:
+        # anchor the signal to bench actually RUNNING: wait for the first
+        # stderr phase marker ("[bench +...] bench start", printed right
+        # when the handlers arm) before timing the SIGTERM. A signal
+        # delivered during interpreter startup / sitecustomize (which can
+        # take seconds on a loaded machine) kills the process before any
+        # bench code exists — outside the "a JSON line always lands"
+        # promise and previously a flaky race in this test.
+        first_err = proc.stderr.readline()
+        assert "bench start" in first_err, first_err
         time.sleep(send_sigterm_after)
         proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=timeout)
-    return proc.returncode, out, err
+    return proc.returncode, out, first_err + err
 
 
 def parse_lines(out):

@@ -180,3 +180,20 @@ def test_sharded_msaa4_uneven_tiles(small_scene):
     single = _render_single(scene, meta, config, camera)
     sharded = _render_sharded(scene, meta, config, camera, gp=2)
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_preview_encode_matches_single_chip(small_scene):
+    """The sharded frame applies the SAME device-side present encode chain
+    (preview downsample + yuv420 pack) as the single-chip program — the
+    encoded streams must be bit-identical (round-4 preview stream)."""
+    scene, meta, aux = small_scene
+    config = RenderConfig(width=96, height=64, msaa_samples=2,
+                          tile_shape=(32, 64), backend="pallas",
+                          present_format="yuv420", present_scale=2)
+    camera = default_camera(aspect=96 / 64)
+    single = _render_single(scene, meta, config, camera)
+    sharded = _render_sharded(scene, meta, config, camera, gp=2)
+    from vktf_tpu.ops.present import encoded_size
+
+    assert single.shape == sharded.shape == (encoded_size(32, 48),)
+    np.testing.assert_array_equal(single, sharded)

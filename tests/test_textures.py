@@ -554,3 +554,35 @@ class TestMultiTapAnisotropy:
         sharded = np.asarray(make_sharded_frame_fn(meta, config, mesh)(
             scene, camera.view_projection_transform, camera.position))
         np.testing.assert_array_equal(single, sharded)
+
+    def test_multi_tap_kernel_form_bit_equals_xla(self, tmp_path):
+        """Kernel-native multi-tap (the two-phase fused path production
+        configs take) is BIT-IDENTICAL to the XLA multi-tap form in
+        interpret mode — per-tap fused rows + in-kernel tap addressing
+        reproduce the per-tap classic two-gather exactly (the fused==classic
+        bitwise guarantee applied per tap)."""
+        import numpy as np
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.ops.pipeline import PallasFrameProgram, make_frame_fn
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene, default_camera
+
+        scene, meta, aux = build_scene(self._floor_scene(tmp_path))
+        camera = default_camera(aspect=2.0, position=(0.0, 0.2, 9.5),
+                                direction=(0.0, -0.05, -1.0))
+        base = dict(width=128, height=64, msaa_samples=2,
+                    backend="pallas", pallas_interpret=True,
+                    tile_shape=(32, 64), pallas_chunk=128,
+                    shade_chunk=1 << 12, shade_skip_mode=False,
+                    max_anisotropy=8.0, aniso_taps=2)
+        kernel_fn = make_frame_fn(meta, RenderConfig(**base))
+        assert isinstance(kernel_fn, PallasFrameProgram)
+        assert kernel_fn._two_phase, "fused scene must take kernel taps"
+        xla_fn = make_frame_fn(meta, RenderConfig(shade_impl="xla", **base))
+        vp, pos = camera.view_projection_transform, camera.position
+        a = np.asarray(kernel_fn(scene, vp, pos))
+        b = np.asarray(xla_fn(scene, vp, pos))
+        np.testing.assert_array_equal(a, b)

@@ -117,10 +117,12 @@ class RenderConfig:
     # TRUE multi-tap anisotropic filtering (1 = the single-tap LOD
     # sharpening above; 2/4/8 = N taps along the major footprint axis with
     # their own pool gathers, averaged before the BRDF — the reference
-    # sampler's anisotropy, model.cppm:261-275). Taps > 1 route the
-    # deferred shade through the XLA form (like mixed-sampler scenes), at
-    # ~N x the pool-gather cost — an opt-in fidelity knob; the oracle
-    # implements the same kernel, golden-pinned (tests/test_textures.py).
+    # sampler's anisotropy, model.cppm:261-275). KERNEL-NATIVE on the
+    # production fused-pool two-phase path (one fused gather per tap;
+    # measured +15%/tap at sponza 1080p: 40.7 -> 46.7 ms at 2 taps,
+    # tools/frame_ab.py); mixed-sampler/mirror-wrap scenes take the XLA
+    # multi-tap form. An opt-in fidelity knob; the numpy oracle implements
+    # the same kernel, golden-pinned (tests/test_textures.py).
     aniso_taps: int = 1
 
     # Deferred-shade implementation: "kernel" = XLA row gathers feeding ONE

@@ -367,6 +367,9 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
     syp = _flat_pad_chunks(sy, n_px, shade_chunk, n_pad)
 
     fused = fused_pool and not attrs_mode  # attrs boundary stays classic
+    # kernel-native multi-tap anisotropy rides the fused-pool form only
+    # (per-tap fused rows; other scenes take the XLA multi-tap path)
+    taps = config.aniso_taps if fused else 1
     ids_p, trows, r0s, r1s = [], [], [], []
     for l in range(layers):
         idp = _flat_pad_chunks(id_px[l], n_px, shade_chunk, n_pad, fill=-1)
@@ -381,6 +384,7 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
                     tri_c, sx_c, sy_c, table,
                     max_anisotropy=config.max_anisotropy, fused_pool=fused,
                     pair_gather=config.resolved_pair_gather(),
+                    aniso_taps=taps,
                 )
             trows.append(trow)
             r0s.append(r0)
@@ -445,6 +449,7 @@ def pallas_shade_final_tiled(addr, quad_pool, lights, camera_position, *,
             camera_position, lights,
             max_anisotropy=config.max_anisotropy, interpret=interpret,
             pool_rowmajor=config.resolved_pool_rowmajor(), fused_pool=fused,
+            aniso_taps=config.aniso_taps if fused else 1,
             **kw,
         )
 
@@ -994,13 +999,17 @@ class PallasFrameProgram:
         # (large scenes).
         impl = config.shade_impl
         if impl is None:
-            impl = ("xla" if (meta.mixed_samplers or config.aniso_taps > 1)
+            # multi-tap aniso is kernel-native only on the fused-pool form
+            # (per-tap fused rows); other multi-tap scenes go through the
+            # XLA form like mixed samplers
+            impl = ("xla" if (meta.mixed_samplers
+                              or (config.aniso_taps > 1 and not fused_pool))
                     else "kernel")
         skip_mode = config.shade_skip_mode
         if skip_mode is None:
             skip_mode = meta.num_triangles <= 32768
         self._two_phase = (tiled_resolve and impl == "kernel"
-                           and config.aniso_taps == 1 and not skip_mode)
+                           and not skip_mode)
         if self._two_phase:
             def shade_addr(tri_id, depth, table):
                 return pallas_shade_addr_tiled(

@@ -56,7 +56,7 @@ from vktf_tpu.ops.texture_pack import SLOT_B_U16
 def _shade_block_body(
     cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
     *, max_anisotropy: float, num_lights: int, pool_rowmajor: bool = False,
-    fused_pool: bool = False,
+    fused_pool: bool = False, aniso_taps: int = 1,
 ):
     """One block of samples: gathered rows in, (rgb 3-tuple, alpha) out.
 
@@ -96,10 +96,16 @@ def _shade_block_body(
         # u16 transpose wins the end-to-end A/B by ~0.8 ms/tensor,
         # tools/inkernel_transpose_ab.py — u32-pair transposes are 4x
         # worse, form c there).
-        qw = q0_ref.shape[1]
-        q0_ref = q0_ref[...].T.reshape(qw, *sx.shape)
+        def relayout(q):
+            qw = q.shape[1]
+            return q[...].T.reshape(qw, *sx.shape)
+
+        if isinstance(q0_ref, (tuple, list)):
+            q0_ref = tuple(relayout(q) for q in q0_ref)
+        else:
+            q0_ref = relayout(q0_ref)
         if q1_ref is not None:
-            q1_ref = q1_ref[...].T.reshape(qw, *sx.shape)
+            q1_ref = relayout(q1_ref)
 
     def make_quad(q_ref, cx, cy, base: int = 0):
         """Folded-row accessor: the 2x2 window select happens PER TAP as
@@ -138,6 +144,44 @@ def _shade_block_body(
 
         return quad
 
+    cam3_early = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    if fused_pool and aniso_taps > 1:
+        # TRUE multi-tap anisotropy, kernel-native (fused-pool scenes):
+        # each tap has its own gathered fused row (q0_ref is a tuple) and
+        # its own tap-shifted addressing; texture samples averaged before
+        # the BRDF — same expression order as the XLA multi-tap path
+        # (shade_table.shade_table_layer), so interpret-mode bit-equal.
+        from vktf_tpu.ops.shade_table import (
+            _fragment_from_slot_tex,
+            _slot_tex_from_quads,
+        )
+
+        shifts = [(i + 0.5) / aniso_taps - 0.5 for i in range(aniso_taps)]
+        acc = None
+        for t, f in enumerate(shifts):
+            a0, (_fx1, _fy1, dx1, dy1, l1_eq) = fused_window_addr(
+                col, sx, sy, max_anisotropy, tap_shift=f
+            )
+            quad0_t = make_quad(q0_ref[t], a0[3], a0[4])
+            quad_b_t = make_quad(q0_ref[t], dx1, dy1, base=SLOT_B_U16)
+
+            def quad1_t(slot, k, _q0=quad0_t, _qb=quad_b_t, _eq=l1_eq):
+                return jnp.where(_eq, _q0(slot, k), _qb(slot, k))
+
+            st = _slot_tex_from_quads(col, sx, sy, quad0_t, quad1_t,
+                                      max_anisotropy, tap_shift=f)
+            acc = st if acc is None else [
+                tuple(a + b for a, b in zip(sa, sb))
+                for sa, sb in zip(acc, st)
+            ]
+        inv = 1.0 / aniso_taps
+        slot_tex = [tuple(c * inv for c in st) for st in acc]
+        lights = [
+            tuple(lights_ref[i, j] for j in range(8))
+            for i in range(num_lights)
+        ]
+        return _fragment_from_slot_tex(col, sx, sy, slot_tex, cam3_early,
+                                       lights, covered)
     if fused_pool:
         a0, (_fx1, _fy1, dx1, dy1, l1_eq) = fused_window_addr(
             col, sx, sy, max_anisotropy
@@ -172,12 +216,17 @@ def _shade_block_body(
 def _shade_layer_kernel(
     cols_ref, *refs, max_anisotropy: float, num_lights: int,
     pool_rowmajor: bool = False, fused_pool: bool = False,
+    aniso_taps: int = 1,
 ):
     """Layer form: out (4, 8, 128) f32 = (rgb linear, effective alpha) for
     the host-side K-layer composite (pallas_shade_final_tiled layers > 1).
-    fused_pool drops the q1 ref (one pool gather serves both mips)."""
+    fused_pool drops the q1 ref (one pool gather serves both mips);
+    aniso_taps > 1 (fused only) carries one q ref PER TAP."""
     if fused_pool:
-        q0_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref, out_ref = refs
+        q_refs = refs[:aniso_taps]
+        tri_ref, sx_ref, sy_ref, cam_ref, lights_ref, out_ref = \
+            refs[aniso_taps:]
+        q0_ref = q_refs[0] if aniso_taps == 1 else tuple(q_refs)
         q1_ref = None
     else:
         (q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref, lights_ref,
@@ -186,6 +235,7 @@ def _shade_layer_kernel(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
         pool_rowmajor=pool_rowmajor, fused_pool=fused_pool,
+        aniso_taps=aniso_taps,
     )
     out_ref[0] = rgb[0]
     out_ref[1] = rgb[1]
@@ -217,6 +267,7 @@ def _resolve_pack(rgb, alpha, frac, cam_ref, tri_i32):
 def _shade_resolve_kernel(
     cols_ref, *refs, max_anisotropy: float, num_lights: int,
     pool_rowmajor: bool = False, fused_pool: bool = False,
+    aniso_taps: int = 1,
 ):
     """Single-layer form: the _resolve_pack tail runs INSIDE the kernel;
     out is (1, 8, 128) i32 packed bytes.
@@ -226,11 +277,14 @@ def _shade_resolve_kernel(
     (4, n_px) f32 intermediates (tools/shade_phase_probe) — here the same
     formulas run on the (8, 128) VMEM tiles the fragment math already
     holds, and the phase-B output shrinks 33 MB f32 -> 8 MB i32.
-    fused_pool drops the q1 ref (one pool gather serves both mips).
+    fused_pool drops the q1 ref (one pool gather serves both mips);
+    aniso_taps > 1 (fused only) carries one q ref PER TAP.
     """
     if fused_pool:
-        (q0_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref, lights_ref,
-         out_ref) = refs
+        q_refs = refs[:aniso_taps]
+        (tri_ref, sx_ref, sy_ref, frac_ref, cam_ref, lights_ref,
+         out_ref) = refs[aniso_taps:]
+        q0_ref = q_refs[0] if aniso_taps == 1 else tuple(q_refs)
         q1_ref = None
     else:
         (q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, frac_ref, cam_ref,
@@ -239,6 +293,7 @@ def _shade_resolve_kernel(
         cols_ref, q0_ref, q1_ref, tri_ref, sx_ref, sy_ref, cam_ref,
         lights_ref, max_anisotropy=max_anisotropy, num_lights=num_lights,
         pool_rowmajor=pool_rowmajor, fused_pool=fused_pool,
+        aniso_taps=aniso_taps,
     )
     out_ref[0] = _resolve_pack(rgb, alpha, frac_ref[...], cam_ref,
                                tri_ref[...])
@@ -377,7 +432,8 @@ def pair_gather_rowsT(table, t, cap_frac: int = 8):
 
 
 def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0,
-                     fused_pool: bool = False, pair_gather: bool = False):
+                     fused_pool: bool = False, pair_gather: bool = False,
+                     aniso_taps: int = 1):
     """Phase A of the two-phase deferred shade: table gather + addressing.
 
     Gathers each sample's shade-table row and computes the two texture-pool
@@ -419,6 +475,16 @@ def shade_addr_chunk(tri_id, sx, sy, table, max_anisotropy: float = 1.0,
         lo = trowT[ROW + c].astype(jnp.uint32)
         return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)  # (N,)
 
+    if fused_pool and aniso_taps > 1:
+        # multi-tap anisotropy: one fused pool row per tap (the kernel
+        # re-derives each tap's in-block fold cases from the same shifts)
+        shifts = [(i + 0.5) / aniso_taps - 0.5 for i in range(aniso_taps)]
+        r0s = tuple(
+            pool_row_indices(colx, sx, sy, max_anisotropy, slot=0,
+                             tap_shift=f)[0]
+            for f in shifts
+        )
+        return trowT, r0s, None
     r0, r1 = pool_row_indices(colx, sx, sy, max_anisotropy, slot=0)
     if fused_pool:
         return trowT, r0, None
@@ -485,13 +551,17 @@ def _shade_final_call(
 
     fused_pool (cols form only): ONE pool gather — the fused-mip row at r0
     carries both trilinear levels (r1 is None and no q1 tensor exists).
+    Multi-tap anisotropy (fused only): r0 is a TUPLE of per-tap row
+    vectors — one pool gather and one kernel q ref per tap.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = tri_id.shape[0]
     covered = tri_id >= 0
-    q0 = gather_rows(quad_pool, r0)  # (N, W) u16; 108 live of W=128 lanes
+    r0s = r0 if isinstance(r0, tuple) else (r0,)
+    # (N, W) u16 each; 108 live of W=128 lanes
+    q0s = [gather_rows(quad_pool, r) for r in r0s]
     q1 = None if fused_pool else gather_rows(quad_pool, r1)
     qw = quad_pool.shape[1]
 
@@ -520,10 +590,10 @@ def _shade_final_call(
         # keep the gather's natural (N, qw) layout; the kernel transposes
         # per block in VMEM (see _shade_block_body) instead of XLA paying
         # an HBM relayout copy per tensor (tools/relayout_ab.py)
-        q0b = pad_first(q0)
+        q0bs = [pad_first(q) for q in q0s]
         q1b = None if fused_pool else pad_first(q1)
     else:
-        q0b = pad_first(q0).T.reshape(qw, nb, 128)
+        q0bs = [pad_first(q).T.reshape(qw, nb, 128) for q in q0s]
         q1b = None if fused_pool else pad_first(q1).T.reshape(qw, nb, 128)
 
     grid = (n_pad // block,)
@@ -549,9 +619,11 @@ def _shade_final_call(
     in_specs = [
         pl.BlockSpec((lead_rows, bb, 128), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        pool_spec,
     ]
-    args = [leadb, q0b]
+    args = [leadb]
+    for q0b in q0bs:
+        in_specs.append(pool_spec)
+        args.append(q0b)
     if not fused_pool:
         in_specs.append(pool_spec)
         args.append(q1b)
@@ -632,6 +704,7 @@ def shade_final_chunk(
     background=None,
     pool_rowmajor: bool = False,
     fused_pool: bool = False,
+    aniso_taps: int = 1,
 ):
     """Phase B of the two-phase deferred shade: pool gathers + the kernel.
 
@@ -657,7 +730,8 @@ def shade_final_chunk(
     return _shade_final_call(
         cols, 2 * ROW, (sx, sy),
         (_shade_layer_kernel, _shade_resolve_kernel),
-        {"max_anisotropy": max_anisotropy, "fused_pool": fused_pool},
+        {"max_anisotropy": max_anisotropy, "fused_pool": fused_pool,
+         "aniso_taps": aniso_taps},
         r0, r1, tri_id, quad_pool, camera_position, lights,
         interpret, block, frac, background, pool_rowmajor,
         fused_pool=fused_pool,

@@ -433,11 +433,13 @@ def _level_addr(tp, level_i):
     return row, fx, fy, x0 & 1, y0 & 1, x0, y0
 
 
-def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0):
+def pool_row_indices(col, sx, sy, max_anisotropy, slot: int = 0,
+                     tap_shift=None):
     """The two per-pixel pool block-row indices (one per mip level) for one
     texture slot (rows differ between slots only when their wrap modes
-    differ)."""
-    a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=slot)
+    differ). tap_shift: see _texture_params (multi-tap anisotropy)."""
+    a0, a1 = pool_window_addr(col, sx, sy, max_anisotropy, slot=slot,
+                              tap_shift=tap_shift)
     return a0[0], a1[0]
 
 
@@ -451,7 +453,7 @@ def pool_window_addr(col, sx, sy, max_anisotropy, slot: int = 0,
     return _level_addr(tp, tp["l0"]), _level_addr(tp, tp["l1"])
 
 
-def fused_window_addr(col, sx, sy, max_anisotropy):
+def fused_window_addr(col, sx, sy, max_anisotropy, tap_shift=None):
     """Single-gather trilinear addressing (fused-mip pool rows).
 
     One row gather — the l0 block row — serves BOTH mip levels: slot A is
@@ -473,8 +475,9 @@ def fused_window_addr(col, sx, sy, max_anisotropy):
     tuple (row to gather + slot-A fold case), and the slot-B parameters —
     l1_eq flags pixels whose l1 == l0 (lod at the chain top), which must
     reuse slot A so the mip lerp degenerates exactly as in the classic
-    path."""
-    tp = _texture_params(col, sx, sy, max_anisotropy, slot=0)
+    path. tap_shift: see _texture_params (multi-tap anisotropy)."""
+    tp = _texture_params(col, sx, sy, max_anisotropy, slot=0,
+                         tap_shift=tap_shift)
     a0 = _level_addr(tp, tp["l0"])
     a1 = _level_addr(tp, tp["l1"])
     bx = a0[5] >> 1
@@ -611,6 +614,28 @@ def _fragment_from_slot_tex(col, sx, sy, slot_tex, cam3, lights, covered):
     )
 
 
+def _slot_tex_from_quads(col, sx, sy, quad0, quad1, max_anisotropy,
+                         tap_shift=None):
+    """Trilinear-filter the three texture slots from (slot, lane) quad
+    accessors at one (possibly tap-shifted) sample position. Returns
+    [base_tex, mr_tex, nrm_tex], each a channel tuple — the sampling half
+    of the fragment body, single-source across the XLA form, the Pallas
+    kernel body, and the multi-tap anisotropy loop."""
+    slot_tex = []
+    for slot, srgb in ((0, True), (1, False), (2, False)):
+        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot,
+                             tap_shift=tap_shift)
+        _r0, fx0, fy0 = _level_addr(tp, tp["l0"])[:3]
+        _r1, fx1, fy1 = _level_addr(tp, tp["l1"])[:3]
+        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
+        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
+        lfrac = tp["lfrac"]
+        slot_tex.append(tuple(
+            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
+        ))
+    return slot_tex
+
+
 def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
                    covered):
     """Everything after the table + pool gathers (the fragment shader body).
@@ -621,17 +646,8 @@ def shade_gathered(col, sx, sy, quad0, quad1, cam3, lights, max_anisotropy,
     share one gathered row (identical samplers) or have their own (mixed
     samplers). cam3 is a 3-tuple of camera-position scalars. Returns
     (rgb 3-tuple, alpha) of vectors shaped like col's outputs."""
-    slot_tex = []
-    for slot, srgb in ((0, True), (1, False), (2, False)):
-        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot)
-        _r0, fx0, fy0 = _level_addr(tp, tp["l0"])[:3]
-        _r1, fx1, fy1 = _level_addr(tp, tp["l1"])[:3]
-        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
-        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
-        lfrac = tp["lfrac"]
-        slot_tex.append(tuple(
-            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
-        ))
+    slot_tex = _slot_tex_from_quads(col, sx, sy, quad0, quad1,
+                                    max_anisotropy)
     return _fragment_from_slot_tex(col, sx, sy, slot_tex, cam3, lights,
                                    covered)
 
@@ -653,22 +669,10 @@ def _slot_tex_at_tap(col, sx, sy, quad_pool, max_anisotropy,
                                   tap_shift=tap_shift)
         quads = [(fold(a0), fold(a1))] * 3  # one gather serves all slots
 
-    slot_tex = []
-    for slot, srgb in ((0, True), (1, False), (2, False)):
-        q0, q1 = quads[slot]
-        quad0 = lambda s, k, _q=q0: _q[:, k]
-        quad1 = lambda s, k, _q=q1: _q[:, k]
-        tp = _texture_params(col, sx, sy, max_anisotropy, slot=slot,
-                             tap_shift=tap_shift)
-        _r0, fx0, fy0 = _level_addr(tp, tp["l0"])[:3]
-        _r1, fx1, fy1 = _level_addr(tp, tp["l1"])[:3]
-        s0 = _filter_slot(quad0, slot, fx0, fy0, srgb)
-        s1 = _filter_slot(quad1, slot, fx1, fy1, srgb)
-        lfrac = tp["lfrac"]
-        slot_tex.append(tuple(
-            a * (1.0 - lfrac) + b * lfrac for a, b in zip(s0, s1)
-        ))
-    return slot_tex
+    quad0 = lambda s, k: quads[s][0][:, k]
+    quad1 = lambda s, k: quads[s][1][:, k]
+    return _slot_tex_from_quads(col, sx, sy, quad0, quad1, max_anisotropy,
+                                tap_shift=tap_shift)
 
 
 # Interpolated-attrs phase boundary (ops.shade_kernel attrs path): phase A

@@ -131,11 +131,16 @@ def render_frame_sharded(
     # gp rank taking a 1/gp slice of the band's flat block-layout pixel
     # stream (pallas_shade_addr_tiled px_slice — measured ~1.9x faster
     # than the assembled one-program form at shard sizes,
-    # tools/shard_shade_ab.py). Mixed-sampler scenes and multi-tap aniso
-    # (aniso_taps > 1) stay on the assembled XLA shade (the per-slot /
-    # per-tap gather path), as on a single chip.
+    # tools/shard_shade_ab.py). Mixed-sampler scenes stay on the assembled
+    # XLA shade (the per-slot gather path), as on a single chip; multi-tap
+    # aniso rides the unified kernels when the fused pool applies (the
+    # same condition the single chip uses for kernel-native taps), else
+    # the assembled XLA multi-tap.
+    fused_ok = config.resolved_fused_pool(
+        mirror_wrap=meta.mirror_wrap, mixed_samplers=meta.mixed_samplers
+    )
     tiled_shade = (not debug_visibility and not meta.mixed_samplers
-                   and config.aniso_taps == 1)
+                   and (config.aniso_taps == 1 or fused_ok))
     n_px_band = band_h * pw
     if tiled_shade:
         if n_px_band % gp != 0:
