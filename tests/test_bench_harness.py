@@ -30,15 +30,24 @@ def run_bench(extra_args, env_extra, timeout=240, send_sigterm_after=None):
     )
     first_err = ""
     if send_sigterm_after is not None:
-        # anchor the signal to bench actually RUNNING: wait for the first
-        # stderr phase marker ("[bench +...] bench start", printed right
-        # when the handlers arm) before timing the SIGTERM. A signal
-        # delivered during interpreter startup / sitecustomize (which can
-        # take seconds on a loaded machine) kills the process before any
-        # bench code exists — outside the "a JSON line always lands"
-        # promise and previously a flaky race in this test.
-        first_err = proc.stderr.readline()
-        assert "bench start" in first_err, first_err
+        # anchor the signal to bench actually RUNNING: wait for the stderr
+        # phase marker ("[bench +...] bench start", printed right when the
+        # handlers arm) before timing the SIGTERM. A signal delivered
+        # during interpreter startup / sitecustomize (which can take
+        # seconds on a loaded machine) kills the process before any bench
+        # code exists — outside the "a JSON line always lands" promise and
+        # previously a flaky race in this test. Earlier stderr lines
+        # (interpreter warnings, DeprecationWarnings before main's _mark)
+        # are accumulated and skipped, not asserted against (ADVICE r4).
+        deadline = time.monotonic() + 120.0
+        while True:
+            line = proc.stderr.readline()
+            first_err += line
+            if "bench start" in line:
+                break
+            assert line and time.monotonic() < deadline, (
+                f"no 'bench start' marker on stderr; got:\n{first_err}"
+            )
         time.sleep(send_sigterm_after)
         proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=timeout)

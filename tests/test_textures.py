@@ -586,3 +586,56 @@ class TestMultiTapAnisotropy:
         a = np.asarray(kernel_fn(scene, vp, pos))
         b = np.asarray(xla_fn(scene, vp, pos))
         np.testing.assert_array_equal(a, b)
+
+    def test_multi_tap_attrs_boundary_routes_to_xla(self, tmp_path):
+        """aniso_taps > 1 + shade_attrs_boundary must NOT silently shade
+        single-tap (ADVICE r4 medium): shade_attrs_chunk carries no tap
+        addressing, so the auto impl gate routes the combo to the XLA
+        multi-tap form — single-chip AND sharded — and an explicit
+        shade_impl='kernel' override errors instead of degrading."""
+        import jax
+        import numpy as np
+        import pytest
+
+        from vktf_tpu.config import RenderConfig
+        from vktf_tpu.ops.pipeline import PallasFrameProgram, make_frame_fn
+        from vktf_tpu.parallel import make_render_mesh, make_sharded_frame_fn
+
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from helpers import build_scene, default_camera
+
+        scene, meta, aux = build_scene(self._floor_scene(tmp_path))
+        camera = default_camera(aspect=2.0, position=(0.0, 0.2, 9.5),
+                                direction=(0.0, -0.05, -1.0))
+        base = dict(width=128, height=64, msaa_samples=2,
+                    backend="pallas", pallas_interpret=True,
+                    tile_shape=(32, 64), pallas_chunk=128,
+                    shade_chunk=1 << 12, shade_skip_mode=False,
+                    max_anisotropy=8.0, aniso_taps=2)
+        attrs_fn = make_frame_fn(
+            meta, RenderConfig(shade_attrs_boundary=True, **base))
+        assert isinstance(attrs_fn, PallasFrameProgram)
+        assert not attrs_fn._two_phase, (
+            "attrs boundary + multi-tap must leave the kernel two-phase path"
+        )
+        xla_fn = make_frame_fn(meta, RenderConfig(shade_impl="xla", **base))
+        vp, pos = camera.view_projection_transform, camera.position
+        produced = np.asarray(attrs_fn(scene, vp, pos))
+        expected = np.asarray(xla_fn(scene, vp, pos))
+        np.testing.assert_array_equal(produced, expected)
+
+        # sharded gate: same combo takes the assembled XLA fallback and
+        # stays bit-equal to the single chip
+        mesh = make_render_mesh(jax.devices(), gp=2)
+        sharded_fn = make_sharded_frame_fn(
+            meta, RenderConfig(shade_attrs_boundary=True, **base), mesh)
+        sharded = np.asarray(sharded_fn(scene, vp, pos))
+        np.testing.assert_array_equal(sharded, expected)
+
+        # an explicit kernel override errors loudly, never single-taps
+        forced = make_frame_fn(
+            meta, RenderConfig(shade_attrs_boundary=True,
+                               shade_impl="kernel", **base))
+        with pytest.raises(ValueError, match="aniso_taps"):
+            forced(scene, vp, pos)

@@ -344,6 +344,16 @@ def pallas_shade_addr_tiled(tri_id, depth, table, *, config: RenderConfig,
     from vktf_tpu.ops.shade_kernel import shade_addr_chunk, shade_attrs_chunk
 
     attrs_mode = config.resolved_attrs_boundary()
+    if attrs_mode and config.aniso_taps > 1:
+        # shade_attrs_chunk carries no tap addressing: rendering would
+        # silently degrade to single-tap (ADVICE r4 medium). The auto
+        # impl gates route this combo to the XLA multi-tap form; reaching
+        # here means an explicit shade_impl="kernel" override.
+        raise ValueError(
+            "aniso_taps > 1 is not supported with shade_attrs_boundary on "
+            "the kernel two-phase path; use shade_impl='xla' (the auto "
+            "gate's choice) for multi-tap attrs-boundary configs"
+        )
     ids = tri_id if tri_id.ndim == 4 else tri_id[None]
     deps = depth if depth.ndim == 4 else depth[None]
     layers = ids.shape[0]
@@ -999,11 +1009,15 @@ class PallasFrameProgram:
         # (large scenes).
         impl = config.shade_impl
         if impl is None:
-            # multi-tap aniso is kernel-native only on the fused-pool form
-            # (per-tap fused rows); other multi-tap scenes go through the
+            # multi-tap aniso is kernel-native only on the fused-pool
+            # NON-attrs two-phase form (per-tap fused rows;
+            # shade_attrs_chunk carries no tap addressing — ADVICE r4
+            # medium: attrs mode used to fall through here and silently
+            # shade single-tap); other multi-tap scenes go through the
             # XLA form like mixed samplers
+            kernel_taps_ok = fused_pool and not config.resolved_attrs_boundary()
             impl = ("xla" if (meta.mixed_samplers
-                              or (config.aniso_taps > 1 and not fused_pool))
+                              or (config.aniso_taps > 1 and not kernel_taps_ok))
                     else "kernel")
         skip_mode = config.shade_skip_mode
         if skip_mode is None:

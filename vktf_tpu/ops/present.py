@@ -61,12 +61,17 @@ def downsample_box(frame, scale: int):
     return ((q.sum(axis=(2, 4)) + n // 2) // n).astype(xp.uint8)
 
 
-def upsample_nearest(frame: np.ndarray, scale: int) -> np.ndarray:
-    """Host-side nearest 2x/4x upsample of a planar or interleaved preview
-    frame back to window size (numpy)."""
+def upsample_nearest(frame: np.ndarray, scale: int, *,
+                     planar: bool = True) -> np.ndarray:
+    """Host-side nearest 2x/4x upsample of a preview frame back to window
+    size (numpy). Layout is EXPLICIT (ADVICE r4: inferring it from
+    frame.shape[0] misreads an interleaved frame of height 3 or 4):
+    planar=True (the present chain's (C, H, W) form, what both production
+    callers pass) upsamples the trailing two axes; planar=False an
+    interleaved (H, W, C) frame's leading two."""
     if scale == 1:
         return frame
-    axes = (-2, -1) if frame.shape[0] in (3, 4) else (0, 1)
+    axes = (-2, -1) if planar else (0, 1)
     out = np.repeat(frame, scale, axis=axes[0])
     return np.repeat(out, scale, axis=axes[1])
 

@@ -139,8 +139,12 @@ def render_frame_sharded(
     fused_ok = config.resolved_fused_pool(
         mirror_wrap=meta.mirror_wrap, mixed_samplers=meta.mixed_samplers
     )
+    # kernel-native multi-tap needs the fused-pool NON-attrs form (the
+    # same condition as the single chip's impl gate — shade_attrs_chunk
+    # carries no tap addressing, ADVICE r4 medium)
+    kernel_taps_ok = fused_ok and not config.resolved_attrs_boundary()
     tiled_shade = (not debug_visibility and not meta.mixed_samplers
-                   and (config.aniso_taps == 1 or fused_ok))
+                   and (config.aniso_taps == 1 or kernel_taps_ok))
     n_px_band = band_h * pw
     if tiled_shade:
         if n_px_band % gp != 0:
