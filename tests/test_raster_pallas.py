@@ -393,3 +393,171 @@ def test_sliver_no_needle_coverage():
             f"needle: tri {ids[s, y, x]} bbox={b.tolist()} "
             f"covered sample ({x},{y})"
         )
+
+
+# ---------------------------------------------------------------------------
+# Hand-computed Vulkan fill-rule conformance (VERDICT r4 weak #4).
+#
+# Every expectation below is derived BY HAND from the spec rules — top-left
+# fill rule, standard sample locations, shared-edge watertightness
+# (graphics_pipeline.cppm:205-221 relies on the hardware rasterizer for
+# these; our software rasterizer must pin them against literal arrays, not
+# against the independent numpy oracle, whose agreement the golden suite
+# already covers). Geometry uses dyadic-rational pixel coordinates with
+# w == 1 so the clip -> screen round-trip is EXACT in f32: edge function
+# values at the asserted samples are exact, no tolerance budget can mask a
+# one-sample boundary disagreement.
+# ---------------------------------------------------------------------------
+
+
+def _setup_px(tris, width, height, z=0.5):
+    """triangle_setup input from PIXEL-space corners (w=1, constant depth).
+
+    tris: one [(px, py)] * 3 list per triangle, coordinates dyadic rationals
+    (exact under /width, *2, -1 in f32). With w = 1 the homogeneous screen
+    coords equal the pixel coords exactly.
+    """
+    from vktf_tpu.ops.vertex import triangle_setup
+
+    clips, index_rows = [], []
+    for corners in tris:
+        base = len(clips)
+        for px, py in corners:
+            clips.append([px / width * 2 - 1, py / height * 2 - 1, z, 1.0])
+        index_rows.append([base, base + 1, base + 2])
+    clip = np.asarray(clips, np.float32)
+    indices = np.asarray(index_rows, np.int32)
+    return jax.jit(lambda c: triangle_setup(c, indices, width, height))(clip)
+
+
+def _raster_both(setup, width, height, msaa):
+    """(dense ids, pallas ids) as (S, H, W) int arrays — production kernel
+    and the dense XLA form must BOTH match the hand expectation."""
+    from vktf_tpu.ops.raster_xla import rasterize_dense
+
+    ids_d, _ = jax.jit(lambda s: rasterize_dense(
+        s, height, width, msaa_samples=msaa, chunk=2))(setup)
+    ids_p, _ = jax.jit(lambda s: rasterize_pallas(
+        s, height, width, tile_shape=(32, 128), msaa_samples=msaa,
+        chunk=128, interpret=True))(setup)
+    return np.asarray(ids_d), np.asarray(ids_p)
+
+
+class TestFillRulesHandComputed:
+    W, H = 128, 32
+
+    def test_shared_diagonal_exactly_once_1x(self):
+        """Quad [2,10)x[2,10) split by the main diagonal; 1x MSAA samples
+        (k+0.5, k+0.5) lie EXACTLY on the diagonal. Hand classification:
+
+          tri 0 = (2,2),(10,10),(10,2): diagonal edge has (a,b) = (8,-8)
+            -> a > 0 -> top-left -> INCLUSIVE; right edge x=10 (a=-8)
+            strict; top edge y=2 (a=0, b=8) inclusive.
+          tri 1 = (2,2),(2,10),(10,10): diagonal edge has a = -8 -> strict
+            (EXCLUSIVE); bottom edge y=10 (a=0, b=-8) strict; left edge
+            x=2 (a=8) inclusive.
+
+        So every diagonal sample belongs to tri 0 alone: covered exactly
+        once, no double-shade, no gap — and right/bottom quad borders emit
+        nothing (pixel centers at half-integers only meet the diagonal)."""
+        setup = _setup_px(
+            [[(2, 2), (10, 10), (10, 2)], [(2, 2), (2, 10), (10, 10)]],
+            self.W, self.H,
+        )
+        expected = np.full((1, self.H, self.W), -1, np.int32)
+        # literal per-pixel winners for rows 2..9, cols 2..9: the diagonal
+        # (row == col) goes to tri 0 by the top-left rule
+        expected[0, 2:10, 2:10] = np.asarray([
+            [0, 0, 0, 0, 0, 0, 0, 0],
+            [1, 0, 0, 0, 0, 0, 0, 0],
+            [1, 1, 0, 0, 0, 0, 0, 0],
+            [1, 1, 1, 0, 0, 0, 0, 0],
+            [1, 1, 1, 1, 0, 0, 0, 0],
+            [1, 1, 1, 1, 1, 0, 0, 0],
+            [1, 1, 1, 1, 1, 1, 0, 0],
+            [1, 1, 1, 1, 1, 1, 1, 0],
+        ], np.int32)
+        ids_d, ids_p = _raster_both(setup, self.W, self.H, msaa=1)
+        np.testing.assert_array_equal(ids_d, expected)
+        np.testing.assert_array_equal(ids_p, expected)
+
+    def test_shared_diagonal_exactly_once_4x(self):
+        """Same split quad at 4x MSAA: per-SAMPLE winners follow the hand
+        rule id = (sy <= sx ? 0 : 1) inside [2,10)^2 — every sample covered
+        exactly once across the shared edge at all 4 standard offsets."""
+        from vktf_tpu.ops.raster_xla import SAMPLE_OFFSETS
+
+        setup = _setup_px(
+            [[(2, 2), (10, 10), (10, 2)], [(2, 2), (2, 10), (10, 10)]],
+            self.W, self.H,
+        )
+        offs = np.asarray(SAMPLE_OFFSETS[4], np.float64)  # (4,2)
+        gy, gx = np.mgrid[0:self.H, 0:self.W]
+        sx = gx[None] + offs[:, 0][:, None, None]  # (4,H,W)
+        sy = gy[None] + offs[:, 1][:, None, None]
+        inside = (sx >= 2) & (sx < 10) & (sy >= 2) & (sy < 10)
+        # no 4x offset has equal x/y parts, so no sample sits ON the
+        # diagonal: strict comparison decides every winner
+        assert not np.any(inside & (sx == sy))
+        expected = np.where(inside, np.where(sy < sx, 0, 1), -1).astype(np.int32)
+        ids_d, ids_p = _raster_both(setup, self.W, self.H, msaa=4)
+        np.testing.assert_array_equal(ids_d, expected)
+        np.testing.assert_array_equal(ids_p, expected)
+
+    def test_top_left_rule_edges_through_samples_1x(self):
+        """Rectangle [2.5,6.5)x[2.5,4.5) split by its diagonal — ALL four
+        border lines pass exactly through 1x sample centers, and the
+        diagonal (slope 1/2) passes exactly through sample (4.5, 3.5).
+
+        Hand classification: top edge y=2.5 (a=0, b=4) INCLUSIVE; left
+        edge x=2.5 (a=2) INCLUSIVE; right edge x=6.5 (a=-2) and bottom
+        edge y=4.5 (a=0, b=-4) EXCLUSIVE; diagonal inclusive for tri 0
+        (a=2), exclusive for tri 1 (a=-2) -> sample (4.5,3.5) is tri 0."""
+        setup = _setup_px(
+            [[(2.5, 2.5), (6.5, 4.5), (6.5, 2.5)],
+             [(2.5, 2.5), (2.5, 4.5), (6.5, 4.5)]],
+            self.W, self.H,
+        )
+        expected = np.full((1, self.H, self.W), -1, np.int32)
+        # rows 2..3, cols 2..5; diagonal sample (col 4, row 3) -> tri 0
+        expected[0, 2:4, 2:6] = np.asarray([
+            [0, 0, 0, 0],
+            [1, 1, 0, 0],
+        ], np.int32)
+        ids_d, ids_p = _raster_both(setup, self.W, self.H, msaa=1)
+        np.testing.assert_array_equal(ids_d, expected)
+        np.testing.assert_array_equal(ids_p, expected)
+
+    def test_standard_4x_sample_x_positions(self):
+        """Vertical band x in [3.375, 3.625) (full height): its borders sit
+        exactly ON the standard 4x sample x-offsets 0.375 (sample 0) and
+        0.625 (sample 3). Left edge inclusive covers sample 0; right edge
+        strict excludes sample 3; samples 1 (0.875) and 2 (0.125) fall
+        outside the band. Coverage mask must be exactly {sample 0, col 3}."""
+        setup = _setup_px(
+            [[(3.375, 0), (3.625, 32), (3.625, 0)],
+             [(3.375, 0), (3.375, 32), (3.625, 32)]],
+            self.W, self.H,
+        )
+        expected = np.zeros((4, self.H, self.W), bool)
+        expected[0, :, 3] = True
+        ids_d, ids_p = _raster_both(setup, self.W, self.H, msaa=4)
+        np.testing.assert_array_equal(ids_d >= 0, expected)
+        np.testing.assert_array_equal(ids_p >= 0, expected)
+
+    def test_standard_4x_sample_y_positions(self):
+        """Horizontal band y in [2.375, 2.625) (full width): borders sit
+        exactly ON the standard 4x sample y-offsets 0.375 (sample 1) and
+        0.625 (sample 2). Top edge inclusive covers sample 1; bottom edge
+        strict excludes sample 2; samples 0 (0.125) and 3 (0.875) fall
+        outside. Coverage mask must be exactly {sample 1, row 2}."""
+        setup = _setup_px(
+            [[(0, 2.375), (128, 2.625), (128, 2.375)],
+             [(0, 2.375), (0, 2.625), (128, 2.625)]],
+            self.W, self.H,
+        )
+        expected = np.zeros((4, self.H, self.W), bool)
+        expected[1, 2, :] = True
+        ids_d, ids_p = _raster_both(setup, self.W, self.H, msaa=4)
+        np.testing.assert_array_equal(ids_d >= 0, expected)
+        np.testing.assert_array_equal(ids_p >= 0, expected)
