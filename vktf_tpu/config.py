@@ -125,6 +125,15 @@ class RenderConfig:
     # the same kernel, golden-pinned (tests/test_textures.py).
     aniso_taps: int = 1
 
+    # Depth-peel layer count override (pallas backend). None = auto: the
+    # scene-derived estimate (1 + translucent instances, clamped to the
+    # kernel's 8-layer cap — scene/flatten.PEEL_LAYERS_MAX). An explicit
+    # 1..8 forces K, e.g. for the raster cost ladder A/B or for stacked
+    # translucent geometry inside ONE instance, which the per-instance
+    # estimate cannot see (flatten._estimate_peel_layers docstring).
+    # All-opaque scenes estimate K=1 and pay nothing.
+    peel_layers: Optional[int] = None
+
     # Deferred-shade implementation: "kernel" = XLA row gathers feeding ONE
     # Pallas kernel (ops.shade_kernel; measured 75 -> 48 ms at Sponza-scale
     # 2^21 samples — the XLA form rematerializes (N,128) intermediates in
@@ -260,6 +269,10 @@ class RenderConfig:
             raise ValueError(
                 f"aniso_taps must be 1, 2, 4 or 8, got {self.aniso_taps}"
             )
+        if self.peel_layers is not None and not 1 <= self.peel_layers <= 8:
+            raise ValueError(
+                f"peel_layers must be None or 1..8, got {self.peel_layers}"
+            )
         if self.present_format not in ("rgb", "yuv420"):
             raise ValueError(f"unknown present_format {self.present_format!r}")
         if self.present_scale not in (1, 2, 4):
@@ -304,6 +317,11 @@ class RenderConfig:
         if tw == 128 and rows % 2 == 0 and (rows // 2) % min(win, rows // 2) == 0:
             return 2
         return 1
+
+    def resolved_peel_layers(self, scene_layers: int) -> int:
+        """Effective depth-peel K: the explicit override, else the scene's
+        estimate (SceneMeta.peel_layers)."""
+        return self.peel_layers if self.peel_layers is not None else scene_layers
 
     def resolved_attrs_boundary(self) -> bool:
         """Resolve shade_attrs_boundary (None = auto: off until the

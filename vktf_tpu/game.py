@@ -216,6 +216,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         help="shorthand for --present-scale 2 "
                              "--present-format yuv420 (8x fewer present "
                              "bytes for link-bound interactive viewing)")
+    parser.add_argument("--peel-layers", type=int, default=None,
+                        choices=range(1, 9), metavar="K",
+                        help="depth-peel layer override (default: scene-"
+                             "derived, 1 + translucent instances, up to 8; "
+                             "all-opaque scenes use 1)")
     parser.add_argument("--mesh", default=None, metavar="GP,SP",
                         help="render through the multi-chip sharded frame "
                              "path over a (gp, sp) device mesh "
@@ -245,7 +250,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         config = RenderConfig(
             width=args.width, height=args.height, msaa_samples=args.msaa,
             backend=args.backend, max_anisotropy=args.anisotropy,
-            aniso_taps=args.aniso_taps,
+            aniso_taps=args.aniso_taps, peel_layers=args.peel_layers,
             present_format=present_format, present_scale=present_scale,
         )
         start(

@@ -802,7 +802,8 @@ def render_frame(
             tri_id, depth = rasterize_pallas(
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
-                interpret=interpret, sort="morton", layers=meta.peel_layers,
+                interpret=interpret, sort="morton",
+                layers=config.resolved_peel_layers(meta.peel_layers),
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
                 interleave=config.resolved_interleave(),
@@ -961,7 +962,7 @@ class PallasFrameProgram:
                 setup, ph, pw, tile_shape=config.tile_shape,
                 msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
                 interpret=interpret, sort="none", perm=perm,
-                layers=meta.peel_layers,
+                layers=config.resolved_peel_layers(meta.peel_layers),
                 window_rows=config.raster_window_rows,
                 group_size=config.raster_group_size,
                 interleave=config.resolved_interleave(),

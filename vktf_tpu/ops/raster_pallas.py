@@ -303,7 +303,7 @@ def _raster_kernel(
     identical in every mode; only the in-buffer sample order changes
     (consumers un-map it with pure reshapes — raster_block_pixel_view).
 
-    With layers=K (2..4) the kernel depth-peels: it keeps the K
+    With layers=K (2..8) the kernel depth-peels: it keeps the K
     lexicographically nearest (depth, draw-order) fragments per sample via a
     branchless sorted-list insertion, which alpha MASK/BLEND compositing
     consumes downstream (the reference's fixed blend state,
@@ -815,8 +815,8 @@ def rasterize_pallas(
     S = len(offsets)
     rows = S * th
 
-    if not 1 <= layers <= 4:
-        raise ValueError(f"layers must be in 1..4, got {layers}")
+    if not 1 <= layers <= 8:
+        raise ValueError(f"layers must be in 1..8, got {layers}")
     # Column-supertile mode (kernel docstring): one program per COLUMN
     # SEGMENT of `bands` vertically-stacked tiles, so chunk hit lists /
     # DMAs / scalar hoists amortize over the segment. bands = the largest

@@ -198,7 +198,8 @@ def render_frame_sharded(
     if debug_visibility == "winner":
         out_specs = (P(None, "sp", None), P(None, "sp", None), P(None, None))
     elif debug_visibility:
-        vis_spec = (P(None, "sp", None) if meta.peel_layers == 1
+        vis_spec = (P(None, "sp", None)
+                    if config.resolved_peel_layers(meta.peel_layers) == 1
                     else P(None, None, "sp", None))
         out_specs = (vis_spec, vis_spec, P(None, None))
     else:
@@ -262,7 +263,7 @@ def render_frame_sharded(
         setup_local = jax.lax.optimization_barrier(setup_local)
 
         # sort-first: this device's band, sort-last: its triangle shard
-        layers = meta.peel_layers
+        layers = config.resolved_peel_layers(meta.peel_layers)
         tri_id, depth = rasterize_pallas(
             setup_local, band_h, pw,
             tile_shape=config.tile_shape,

@@ -35,6 +35,13 @@ from vktf_tpu.ops.texture_pack import build_material_pool
 
 _ALPHA_MODES = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
 
+# Raster-kernel depth-peel capacity: the branchless sorted-insertion keeps
+# up to this many (depth, id) fragments per sample (raster_pallas kernel).
+# Accumulator VMEM scales linearly with K (the column auto-picker accounts
+# for it); scenes estimate K from their translucent-instance count and
+# clamp here, RenderConfig.peel_layers overrides.
+PEEL_LAYERS_MAX = 8
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -87,7 +94,7 @@ class SceneMeta:
     num_triangles: int
     num_vertices: int
     # Depth-peel layer count: 1 for all-opaque scenes; otherwise 1 + the
-    # translucent (MASK/BLEND) instance count clamped to 4
+    # translucent (MASK/BLEND) instance count clamped to PEEL_LAYERS_MAX
     # (_estimate_peel_layers) — the raster kernel keeps that many nearest
     # fragments per sample. A static jit-specialization knob like the light
     # count (the analogue of the reference's per-scene pipeline state,
@@ -121,7 +128,7 @@ def _compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.nd
 def _estimate_peel_layers(mat_alpha, tri_material, tri_instance,
                           log: Optional[Log] = None) -> int:
     """Scene-derived depth-peel count: 1 + the number of translucent
-    instances, clamped to 4.
+    instances, clamped to PEEL_LAYERS_MAX (8).
 
     The reference blends in submission order against the framebuffer
     (graphics_pipeline.cppm:226-234) and so never needs a layer count; the
@@ -130,29 +137,32 @@ def _estimate_peel_layers(mat_alpha, tri_material, tri_instance,
     With a free camera ANY two translucent instances can align along some
     ray (spatial-overlap tests like AABB intersection undercount the common
     stacked-parallel-surfaces case), so the sound bound is the instance
-    count itself, capped at the raster kernel's 4-layer limit — beyond
-    that, compositing approximates with the nearest 4 fragments. Stacked
+    count itself, capped at the raster kernel's 8-layer limit — beyond
+    that, compositing approximates with the nearest 8 fragments. Stacked
     translucent geometry INSIDE one instance (a single primitive containing
     several quads) is not visible to the count (documented limitation).
+    RenderConfig.peel_layers overrides the estimate (cost A/Bs, or forcing
+    a deeper K than the per-instance count can see).
     """
     alpha_mask = mat_alpha[:, 0] != 0
     if not bool(alpha_mask.any()):
         return 1
     tri_alpha = alpha_mask[tri_material]
     n_alpha = int(np.unique(tri_instance[tri_alpha]).shape[0])
-    if 1 + n_alpha > 4:
+    if 1 + n_alpha > PEEL_LAYERS_MAX:
         # surface the clamp at load time (VERDICT r2 weak #6): the user must
-        # be able to tell their scene crossed the nearest-4 approximation
+        # be able to tell their scene crossed the nearest-K approximation
         # line without reading this docstring
         counters.add("scene.peel_layers_clamped")
         if log is not None:
             log.warn(
-                f"{n_alpha} translucent instances exceed the 4-layer depth "
-                f"peel limit: stacks deeper than 4 composite only their "
-                f"nearest 4 fragments (reference blends every fragment in "
-                f"draw order, graphics_pipeline.cppm:226-234)"
+                f"{n_alpha} translucent instances exceed the "
+                f"{PEEL_LAYERS_MAX}-layer depth peel limit: stacks deeper "
+                f"than {PEEL_LAYERS_MAX} composite only their nearest "
+                f"{PEEL_LAYERS_MAX} fragments (reference blends every "
+                f"fragment in draw order, graphics_pipeline.cppm:226-234)"
             )
-    return min(1 + n_alpha, 4)
+    return min(1 + n_alpha, PEEL_LAYERS_MAX)
 
 
 def _material_key(material: Optional[Material]):
