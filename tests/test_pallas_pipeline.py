@@ -493,8 +493,12 @@ def test_prepare_scene_cache_bit_identical(tmp_path):
     base = dict(width=128, height=64, msaa_samples=4, shading_rate="pixel",
                 backend="pallas", pallas_interpret=True, tile_shape=(32, 64),
                 pallas_chunk=128, shade_chunk=1 << 12)
+    # prepare_packed=False on BOTH: this test isolates the scene-cache
+    # variable; the fused prepare emits the legacy dict, so the cached
+    # program must too for a key-by-key comparison (the packed-vs-legacy
+    # form equivalence has its own pin, test_prepare_packed_bit_identical)
     cached = PallasFrameProgram(meta, RenderConfig(
-        prepare_scene_cache=True, **base))
+        prepare_scene_cache=True, prepare_packed=False, **base))
     fused = PallasFrameProgram(meta, RenderConfig(
         prepare_scene_cache=False, **base))
     vp, pos = camera.view_projection_transform, camera.position
@@ -588,3 +592,76 @@ def test_shade_pair_gather_bit_identical(tmp_path):
     vp, pos = camera.view_projection_transform, camera.position
     np.testing.assert_array_equal(np.asarray(classic(scene, vp, pos)),
                                   np.asarray(paired(scene, vp, pos)))
+
+
+def test_prepare_packed_bit_identical(tmp_path):
+    """The round-5 PACKED prepare (flat component-major triangle setup ->
+    pack_tri_rows stream rows, no lane-padded (T,3,3) intermediates) must
+    reproduce the legacy dict prepare BIT-FOR-BIT: same expressions, the
+    packed rows match pack_tri_data's row semantics exactly, and whole
+    frames agree — including a scene with translucency (peel layers) and
+    culling-active camera."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import PallasFrameProgram
+    from vktf_tpu.ops.raster_pallas import pack_tri_data
+
+    from helpers import build_scene, default_camera
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.6, 0.5, 0.4, 1.0),
+                         metallic_factor=0.3, roughness_factor=0.5)
+    blend = w.add_material(base_color_factor=(0.9, 0.2, 0.2, 0.5),
+                           alpha_mode="BLEND")
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.6, 10, 16), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(6.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(0.8), material=blend),
+                   translation=(0.2, 0.2, 0.8),
+                   rotation=(0.7071068, 0.0, 0.0, 0.7071068)),
+        # an instance far outside the frustum so culling bites
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat),
+                   translation=(40.0, 0.0, 0.0)),
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=2, backend="pallas",
+                pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    packed_prog = PallasFrameProgram(meta, RenderConfig(
+        prepare_packed=True, **base))
+    legacy_prog = PallasFrameProgram(meta, RenderConfig(
+        prepare_packed=False, **base))
+    vp, pos = camera.view_projection_transform, camera.position
+
+    # stage-level: same row semantics. Plane-constant values may differ by
+    # FMA-contraction ULPs across the two program forms (XLA contracts
+    # mul+add differently per fusion — the same tolerance the
+    # setup_cm-vs-vertex-route test documents), so discrete rows are exact
+    # and plane rows are ULP-tight.
+    mrows_p, _l, aabbs_p = packed_prog._maybe_scene_update(scene)
+    sp = packed_prog._prepare_cam(scene, mrows_p, aabbs_p, vp)
+    mrows_l, _l2, aabbs_l = legacy_prog._maybe_scene_update(scene)
+    sl = legacy_prog._prepare_cam(scene, mrows_l, aabbs_l, vp)
+    np.testing.assert_array_equal(np.asarray(sp["valid"]),
+                                  np.asarray(sl["valid"]))
+    tdp = np.asarray(sp["tri_data"])
+    tdl = np.asarray(pack_tri_data(sl))
+    for row in (15, 16, 17, 18, 19):  # ids, thresholds, safe: discrete
+        np.testing.assert_array_equal(tdp[row], tdl[row])
+    np.testing.assert_allclose(tdp, tdl, rtol=1e-5, atol=1e-5)
+    t = sl["edge"].shape[0]
+    np.testing.assert_allclose(
+        np.asarray(sp["edge9"]), np.asarray(sl["edge"].reshape(t, 9).T),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sp["anchor2"]), np.asarray(sl["anchor"].T))
+
+    # whole frames agree bit-for-bit (pinned on real hardware too:
+    # tools/prepare_flat_ab.py bit_equal=True maxdiff=0)
+    np.testing.assert_array_equal(np.asarray(packed_prog(scene, vp, pos)),
+                                  np.asarray(legacy_prog(scene, vp, pos)))

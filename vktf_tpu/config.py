@@ -125,6 +125,14 @@ class RenderConfig:
     # the same kernel, golden-pinned (tests/test_textures.py).
     aniso_taps: int = 1
 
+    # Split-stage prepare emits the PACKED component-major stream (flat
+    # triangle setup -> pack_tri_rows: dense (C, T) rows, no lane-padded
+    # (T,3,3) intermediates, absorbs the raster program's pack step).
+    # None = auto (on). False keeps the legacy dict prepare — the A/B
+    # instrument: python tools/prepare_flat_ab.py. Outputs are
+    # bit-identical (pinned by tests/test_pallas_pipeline.py).
+    prepare_packed: Optional[bool] = None
+
     # Depth-peel layer count override (pallas backend). None = auto: the
     # scene-derived estimate (1 + translucent instances, clamped to the
     # kernel's 8-layer cap — scene/flatten.PEEL_LAYERS_MAX). An explicit

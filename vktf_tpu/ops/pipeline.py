@@ -943,16 +943,39 @@ class PallasFrameProgram:
             world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
             return mrows, lights, world_aabbs
 
+        use_packed = config.prepare_packed
+        if use_packed is None:
+            use_packed = True
+
         def prepare_cam(scene, mrows, world_aabbs, view_projection):
-            setup = dict(triangle_setup_cm(
-                scene.tri_corner, mrows, view_projection,
-                config.width, config.height,
-            ))
-            setup["mrows"] = mrows
+            # FLAT component-major setup -> PACKED stream rows (round 5):
+            # the legacy (T,3,3)/(T,2,3) dict forced XLA into lane-padded
+            # fusion layouts costing ~3.5 ms/frame; the flat pipeline
+            # stacks once into dense (C, T) rows and also absorbs the
+            # raster program's ~1.1 ms pack_tri_data for free (same
+            # expressions, bit-identical output — tools/prepare_anatomy.py,
+            # pinned by test_pallas_pipeline packed-vs-legacy bit-equality)
             planes = frustum_planes(view_projection)
             visible = aabbs_intersect_frustum(world_aabbs, planes)
-            setup["valid"] = setup["valid"] & visible[scene.tri_instance]
-            return setup
+            if not use_packed:  # legacy dict form (A/B: prepare_packed)
+                setup = dict(triangle_setup_cm(
+                    scene.tri_corner, mrows, view_projection,
+                    config.width, config.height,
+                ))
+                setup["mrows"] = mrows
+                setup["valid"] = setup["valid"] & visible[scene.tri_instance]
+                return setup
+            from vktf_tpu.ops.raster_pallas import pack_tri_rows
+
+            flat = triangle_setup_cm(
+                scene.tri_corner, mrows, view_projection,
+                config.width, config.height, flat_out=True,
+            )
+            packed = pack_tri_rows(
+                flat, extra_valid=visible[scene.tri_instance]
+            )
+            packed["mrows"] = mrows
+            return packed
 
         def perm_fn(setup):
             return stream_perm(setup, chunk=config.pallas_chunk)

@@ -119,6 +119,90 @@ def pack_tri_data(setup, perm=None, id_base=0):
     return tri_data
 
 
+# Row-stack form for the packed prepare outputs (pack_tri_rows):
+# "concat" assembles (C, T) via 1-D concatenate + reshape, so every
+# fusion output stays a DENSE (T,) vector; "stack" (jnp.stack) feeds the
+# concat with rank-2 (1, T) pieces, which tile-pad 8x in the sublane dim
+# and re-inflate the elementwise pipeline's HBM traffic
+# (tools/prepare_anatomy2.py: the stacked form's fusions all emit
+# f32[1,T] outputs). Values are identical (stack == concat + reshape).
+_ROW_STACK_FORM = "concat"
+
+
+def _stack_rows(rows):
+    if _ROW_STACK_FORM == "concat":
+        return jnp.concatenate(rows).reshape(len(rows), rows[0].shape[0])
+    return jnp.stack(rows, axis=0)
+
+
+def pack_tri_rows(flat, extra_valid=None, id_base=0):
+    """pack_tri_data + the binning bbox rows + the shade-table-build inputs,
+    built straight from the FLAT triangle-setup components
+    (vertex.py flat_out=True).
+
+    Rationale (round 5, tools/prepare_anatomy.py): the legacy prepare
+    program's 3.5 ms was XLA fusions over lane-padded (T,3,3)/(T,2,3)
+    intermediates (f32[T,1]/f32[T,1,3] fusion operands, 128x lane waste);
+    here every value is a (T,) vector stacked once into dense (C, T)
+    stream rows, and the padded shapes never exist. Row semantics are
+    IDENTICAL to pack_tri_data + rasterize_pallas's bbox_rows (same
+    expressions on the same values), so downstream results are bit-equal.
+
+    Returns the PACKED setup dict consumed by rasterize_pallas /
+    build_shade_table_pallas / stream_perm:
+      tri_data  (TRI_ROWS, T) f32 — the raster kernel stream
+      bbox_rows (4, T) f32 valid-masked binning bboxes
+      edge9     (9, T) f32 cofactor planes (table build)
+      anchor2   (2, T) f32
+      valid     (T,) bool (final: setup validity AND extra_valid)
+    """
+    valid = flat["valid"]
+    if extra_valid is not None:
+        valid = valid & extra_valid
+    er = flat["edges_raster"]
+    zp, wp = flat["zplane"], flat["wplane"]
+    num_tris = valid.shape[0]
+    tri_ids = jnp.arange(num_tris, dtype=jnp.float32) + jnp.asarray(
+        id_base, jnp.float32
+    )
+
+    def no_negzero(c):  # see pack_tri_data
+        return jnp.where(c == 0.0, jnp.float32(0.0), c)
+
+    rows = []
+    for e in er:
+        rows += [e[0], e[1], no_negzero(e[2])]
+    rows += [zp[0], zp[1], no_negzero(zp[2])]
+    rows += [wp[0], wp[1], no_negzero(wp[2])]
+    rows += [jnp.where(valid, tri_ids, -1.0)]
+    for e in er:  # rows 16..18: edge fill thresholds as -1.0 / 0.0
+        tl = (e[0] > 0.0) | ((e[0] == 0.0) & (e[1] > 0.0))
+        rows.append(jnp.where(tl, -1.0, 0.0))
+    safe = flat.get("safe") if _SAFE_SLIM else None
+    if safe is None:
+        rows.append(jnp.zeros_like(rows[0]))
+    else:
+        rows.append(jnp.where(safe | ~valid, 1.0, 0.0))
+    zero = jnp.zeros_like(rows[0])
+    while len(rows) < TRI_ROWS:
+        rows.append(zero)
+    tri_data = _stack_rows(rows)  # (TRI_ROWS, T)
+
+    b0, b1, b2, b3 = flat["bbox_cols"]
+    bbox_rows = _stack_rows(
+        [
+            jnp.where(valid, b0, 2**30).astype(jnp.float32),
+            jnp.where(valid, b1, 2**30).astype(jnp.float32),
+            jnp.where(valid, b2, -(2**30)).astype(jnp.float32),
+            jnp.where(valid, b3, -(2**30)).astype(jnp.float32),
+        ]
+    )  # (4, T)
+    edge9 = _stack_rows([c for e in flat["edges"] for c in e])
+    anchor2 = _stack_rows([flat["anchor_x"], flat["anchor_y"]])
+    return dict(tri_data=tri_data, bbox_rows=bbox_rows, edge9=edge9,
+                anchor2=anchor2, valid=valid)
+
+
 def _part1by1(x):
     """Spread the low 16 bits of x to even bit positions."""
     x = x & 0xFFFF
@@ -164,13 +248,18 @@ def stream_perm(setup, chunk: int = 256, granularity: int = 16):
     ids), so a slightly stale permutation — re-sorted only when the camera
     moves past RenderConfig.resort_threshold — is exact.
     """
-    bbox = setup["bbox"]
     valid = setup["valid"]
     t = valid.shape[0]
     t_pad = -(-t // chunk) * chunk
     g = granularity
-    cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) // (2 * g), 0, 1023)
-    cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) // (2 * g), 0, 1023)
+    if "bbox_rows" in setup:  # packed setup (pack_tri_rows)
+        br = setup["bbox_rows"]
+        cx = jnp.clip((br[0] + br[2]).astype(jnp.int32) // (2 * g), 0, 1023)
+        cy = jnp.clip((br[1] + br[3]).astype(jnp.int32) // (2 * g), 0, 1023)
+    else:
+        bbox = setup["bbox"]
+        cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) // (2 * g), 0, 1023)
+        cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) // (2 * g), 0, 1023)
     key = _part1by1(cx) | (_part1by1(cy) << 1)
     key = jnp.where(valid, key, jnp.int32(2**31 - 1))
     if t_pad != t:
@@ -188,11 +277,18 @@ WINDOW_ROWS = 32  # sublane rows rasterized per triangle window step
 # framebuffers.
 _ACC_VMEM_BUDGET = 7 << 20
 
-# Trace-time diagnostic knob (tools/raster_bound_probe.py): "full" = the
-# production kernel; "one_edge" = per-triangle body reduced to a single
-# edge eval + select (isolates VPU work); "empty" = window loop runs but
-# accumulators pass through untouched (loop/DMA/scalar skeleton only).
-# Output is WRONG for anything but "full" — never set elsewhere.
+# Trace-time diagnostic knob (tools/raster_bound_probe.py,
+# tools/raster_skeleton_probe.py): "full" = the production kernel;
+# "one_edge" = per-triangle body reduced to a single edge eval + select
+# (isolates VPU work); "empty" = window loop runs but accumulators pass
+# through untouched (loop/DMA/scalar skeleton only). Round-5 skeleton
+# DECOMPOSITION modes (VERDICT r4 #2 — split the 8.15 ms empty skeleton
+# into hardware-attributable parts): "init_only" = accumulator init +
+# output copy-out, no visit loop; "dma_tiny" = the visit/DMA chain with
+# 1-row (chunk,) copies (issue+wait latency, negligible bytes);
+# "dma_only" = full-size DMAs, no group work (adds the transfer bytes);
+# "groups_only" = + per-group scalar bbox/safe tests, window loops never
+# entered. Output is WRONG for anything but "full" — never set elsewhere.
 _PROBE_BODY = "full"
 
 # Trace-time A/B switch (tools/raster_winskip_ab.py): skip the entire
@@ -373,6 +469,18 @@ def _raster_kernel(
 
     def make_dmas(i, slot):
         col = hit_list_ref[list_row, i] * chunk
+        if _PROBE_BODY == "dma_tiny":
+            # 8-row copies (Mosaic's HBM slice alignment floor): same
+            # issue/wait chain, 1/3 of the data bytes
+            data_dma = pltpu.make_async_copy(
+                tri_data_hbm.at[pl.ds(0, 8), pl.ds(col, chunk)],
+                data_smem.at[slot, pl.ds(0, 8)], data_sem.at[slot],
+            )
+            bbox_dma = pltpu.make_async_copy(
+                tri_bbox_hbm.at[:, pl.ds(col, chunk)],
+                bbox_smem.at[slot], bbox_sem.at[slot],
+            )
+            return data_dma, bbox_dma
         data_dma = pltpu.make_async_copy(
             tri_data_hbm.at[:, pl.ds(col, chunk)], data_smem.at[slot],
             data_sem.at[slot],
@@ -383,10 +491,11 @@ def _raster_kernel(
         )
         return data_dma, bbox_dma
 
-    @pl.when(count > 0)
-    def _():
-        for dma in make_dmas(0, 0):
-            dma.start()
+    if _PROBE_BODY != "init_only":
+        @pl.when(count > 0)
+        def _():
+            for dma in make_dmas(0, 0):
+                dma.start()
 
     def visit(i, _):
         slot = i % 2
@@ -398,6 +507,9 @@ def _raster_kernel(
 
         for dma in make_dmas(i, slot):
             dma.wait()
+
+        if _PROBE_BODY in ("dma_only", "dma_tiny"):
+            return 0
 
         def per_group(g, _):
             # rows 4..7 carry the group_size-triangle group bbox (precomputed).
@@ -424,6 +536,23 @@ def _raster_kernel(
             # identical output. Two pl.when branches trace two bodies; only
             # one executes per group visit.
             gsafe = data_smem[slot, 19, k0] > 0.0
+
+            if _PROBE_BODY == "groups_only":
+                # keep the group scalar tests + both branch predicates
+                # live, never enter a window loop (the runtime-false term
+                # rides the y-offset scalar, so nothing folds at trace
+                # time)
+                never = params_ref[0] < jnp.int32(-(1 << 30))
+
+                @pl.when(group_hit & gsafe & never)
+                def _():
+                    data_smem[slot, 0, 0] = tile_x0
+
+                @pl.when(group_hit & jnp.logical_not(gsafe) & never)
+                def _():
+                    data_smem[slot, 0, 0] = tile_y0
+
+                return 0
 
             def run_group(slim):
                 # band range of the group within this program's footprint
@@ -733,7 +862,8 @@ def _raster_kernel(
                 per_group(j, 0)
         return 0
 
-    jax.lax.fori_loop(0, count, visit, 0, unroll=False)
+    if _PROBE_BODY != "init_only":
+        jax.lax.fori_loop(0, count, visit, 0, unroll=False)
 
 
 def rasterize_pallas(
@@ -842,7 +972,27 @@ def rasterize_pallas(
             f"group_size must be a power of two dividing chunk, got {group_size}"
         )
     num_tris = setup["valid"].shape[0]
-    tri_data = pack_tri_data(setup, None, id_base=id_base)
+    if "tri_data" in setup:
+        # PACKED setup (pack_tri_rows): the stream rows were built inside
+        # the prepare program (flat component-major pipeline, round 5) —
+        # id_base is baked there
+        if not (isinstance(id_base, int) and id_base == 0):
+            raise ValueError("packed setup bakes id_base at pack time")
+        tri_data = setup["tri_data"]
+        bbox_rows = setup["bbox_rows"]
+    else:
+        tri_data = pack_tri_data(setup, None, id_base=id_base)
+        valid = setup["valid"]
+        bbox = setup["bbox"]
+        bbox_rows = jnp.stack(
+            [
+                jnp.where(valid, bbox[:, 0], 2**30).astype(jnp.float32),
+                jnp.where(valid, bbox[:, 1], 2**30).astype(jnp.float32),
+                jnp.where(valid, bbox[:, 2], -(2**30)).astype(jnp.float32),
+                jnp.where(valid, bbox[:, 3], -(2**30)).astype(jnp.float32),
+            ],
+            axis=0,
+        )  # (4, T)
     tri_data = _pad_cols(tri_data, chunk)
     t_pad = tri_data.shape[1]
     if t_pad > num_tris:  # mark stream padding invalid (id row < 0), safe
@@ -850,17 +1000,6 @@ def rasterize_pallas(
         tri_data = tri_data.at[19, num_tris:].set(1.0)
     n_chunks = t_pad // chunk
 
-    valid = setup["valid"]
-    bbox = setup["bbox"]
-    bbox_rows = jnp.stack(
-        [
-            jnp.where(valid, bbox[:, 0], 2**30).astype(jnp.float32),
-            jnp.where(valid, bbox[:, 1], 2**30).astype(jnp.float32),
-            jnp.where(valid, bbox[:, 2], -(2**30)).astype(jnp.float32),
-            jnp.where(valid, bbox[:, 3], -(2**30)).astype(jnp.float32),
-        ],
-        axis=0,
-    )  # (4, T)
     bbox_rows = jnp.concatenate(
         [
             _pad_cols(bbox_rows[:2], chunk, 2**30),

@@ -195,8 +195,7 @@ def build_shade_table_pallas(setup, scene, inst_matrix, *, interpret=False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    edge = setup["edge"]  # (T,3,3)
-    t = edge.shape[0]
+    t = setup["valid"].shape[0]
     t_pad = -(-t // block) * block
 
     def pad(x):  # (C, T) -> (C, t_pad)
@@ -204,10 +203,18 @@ def build_shade_table_pallas(setup, scene, inst_matrix, *, interpret=False,
             return x
         return jnp.pad(x, ((0, 0), (0, t_pad - t)))
 
-    edge9 = pad(edge.reshape(t, 9).T)
+    if "edge9" in setup:
+        # PACKED setup (raster_pallas.pack_tri_rows): the cofactor planes
+        # and anchors arrive already component-major — no padded-layout
+        # reshape/transpose round trip
+        edge9 = pad(setup["edge9"])
+        anc = pad(setup["anchor2"])
+    else:
+        edge = setup["edge"]  # (T,3,3)
+        edge9 = pad(edge.reshape(t, 9).T)
+        anc = pad(setup["anchor"].T)
     tc = pad(scene.tri_corner)
     stat = pad(scene.tri_static_cols)
-    anc = pad(setup["anchor"].T)
     # reuse the pipeline's (T,16) instance-matrix rows when prepare_frame
     # already gathered them (pallas path); gather otherwise
     mrows16 = setup.get("mrows") if isinstance(setup, dict) else None

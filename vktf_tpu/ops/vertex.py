@@ -69,7 +69,8 @@ def clip_transform(world_pos, view_projection):
     )
 
 
-def triangle_setup_cm(tri_corner, mrows, view_projection, width: int, height: int):
+def triangle_setup_cm(tri_corner, mrows, view_projection, width: int,
+                      height: int, flat_out: bool = False):
     """triangle_setup from flatten-time per-triangle corner tables.
 
     Component-major variant for the pallas path: instead of the per-VERTEX
@@ -109,7 +110,7 @@ def triangle_setup_cm(tri_corner, mrows, view_projection, width: int, height: in
     y = [clip_row(1, i) for i in range(3)]
     z = [clip_row(2, i) for i in range(3)]
     w = [clip_row(3, i) for i in range(3)]
-    return _setup_from_corners(x, y, z, w, width, height)
+    return _setup_from_corners(x, y, z, w, width, height, flat_out=flat_out)
 
 
 def triangle_setup(clip, indices, width: int, height: int):
@@ -153,7 +154,8 @@ def triangle_setup(clip, indices, width: int, height: int):
     )
 
 
-def _setup_from_corners(x, y, z, w, width: int, height: int):
+def _setup_from_corners(x, y, z, w, width: int, height: int,
+                        flat_out: bool = False):
     """Shared triangle-setup core on per-corner component vectors.
 
     x/y/z/w: lists of 3 flat (T,) clip components (corner 0..2). Every
@@ -338,23 +340,21 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
         absolute-coordinate cancellation the docstring describes, but
         crossers are huge triangles whose edge magnitudes dwarf it — and it
         is exactly what their old (0,0)-anchored evaluation paid per
-        sample)."""
+        sample). Returns the FLAT (a, b, f_anchor) component tuple; the
+        legacy dict stacks at the very end (flat_out docstring)."""
         f_anchor = jnp.where(
             any_behind,
             c_raw + a * ax + b * ay,
             value_at_v0 + a * dx0 + b * dy0,
         )
-        return jnp.stack([a, b, f_anchor], axis=-1)
+        return a, b, f_anchor
 
     zero = jnp.zeros_like(det)
-    edge = jnp.stack(
-        [
-            anchored(cof0[0], cof0[1], cof0[2], det_w0),
-            anchored(cof1[0], cof1[1], cof1[2], zero),
-            anchored(cof2[0], cof2[1], cof2[2], zero),
-        ],
-        axis=1,
-    )  # (T,3,3)
+    edges = (
+        anchored(cof0[0], cof0[1], cof0[2], det_w0),
+        anchored(cof1[0], cof1[1], cof1[2], zero),
+        anchored(cof2[0], cof2[1], cof2[2], zero),
+    )  # 3 x (a, b, c) flat (T,) components
 
     # ---- raster COVERAGE planes (screen-space) ---------------------------
     # The cofactor planes above are projectively exact but ill-conditioned
@@ -383,13 +383,10 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
         return a, b, f_anchor
 
     sedges = [screen_edge(1, 2), screen_edge(2, 0), screen_edge(0, 1)]
-    edge_raster = jnp.where(
-        use_screen[:, None, None],
-        jnp.stack(
-            [jnp.stack(list(e), axis=-1) for e in sedges], axis=1
-        ),
-        edge,
-    )  # (T,3,3)
+    edges_raster = tuple(
+        tuple(jnp.where(use_screen, s, c) for s, c in zip(se, ce))
+        for se, ce in zip(sedges, edges)
+    )  # component-wise select == the old stacked select, bit for bit
 
     # depth plane (inv_det folded): depth(s_0) = z_ndc_0 exactly
     z_ndc0 = z[0] / safe_w[0]
@@ -402,7 +399,6 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     wb = cof0[1] + cof1[1] + cof2[1]
     wc = cof0[2] + cof1[2] + cof2[2]
     wplane = anchored(wa, wb, wc, det_w0)
-    zw = jnp.stack([zplane, wplane], axis=1)
 
     # ---- slim-body safety flag (raster kernel fast path) -------------------
     # safe marks triangles whose per-sample w_recip > 0 and 0 <= depth <= 1
@@ -421,8 +417,8 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     bh_f = (bbox_cols[3] - bbox_cols[1]).astype(jnp.float32) + 2.0
     tol = jnp.float32(2.0 ** -16)
     werr = (
-        jnp.abs(wplane[:, 0]) * bw_f + jnp.abs(wplane[:, 1]) * bh_f
-        + jnp.abs(wplane[:, 2])
+        jnp.abs(wplane[0]) * bw_f + jnp.abs(wplane[1]) * bh_f
+        + jnp.abs(wplane[2])
     ) * tol
     wmax = jnp.maximum(jnp.maximum(w[0], w[1]), w[2])
     wr_min = det / jnp.maximum(wmax, 1e-12)
@@ -430,8 +426,8 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
     dmin = jnp.minimum(jnp.minimum(dverts[0], dverts[1]), dverts[2])
     dmax = jnp.maximum(jnp.maximum(dverts[0], dverts[1]), dverts[2])
     derr = (
-        jnp.abs(zplane[:, 0]) * bw_f + jnp.abs(zplane[:, 1]) * bh_f
-        + jnp.abs(zplane[:, 2])
+        jnp.abs(zplane[0]) * bw_f + jnp.abs(zplane[1]) * bh_f
+        + jnp.abs(zplane[2])
     ) * tol
     safe = (
         valid
@@ -441,6 +437,38 @@ def _setup_from_corners(x, y, z, w, width: int, height: int):
         & (dmax < 1.0 - derr)
     )
 
+    if flat_out:
+        # FLAT component-major form (round 5): every field stays a (T,)
+        # vector, so no lane-padded (T,3,3)/(T,2,3) tensor ever
+        # materializes. The prepare stage's measured 3.5 ms was XLA
+        # fusions re-reading those padded layouts (f32[T,1]/f32[T,1,3]
+        # fusion shapes, 128x lane waste — tools/prepare_anatomy.py);
+        # consumers stack straight into dense (C, T) stream rows
+        # (raster_pallas.pack_tri_rows). Values are bit-identical to the
+        # stacked form: the expressions above are shared, and stacking is
+        # exact.
+        return {
+            "safe": safe,
+            "edges": edges,                # 3 x (a, b, c) cofactor planes
+            "edges_raster": edges_raster,  # 3 x (a, b, c) coverage planes
+            "zplane": zplane,              # (a, b, c)
+            "wplane": wplane,              # (a, b, c)
+            "anchor_x": ax,
+            "anchor_y": ay,
+            "inv_det": inv_det,
+            "valid": valid,
+            "bbox_cols": tuple(bbox_cols),  # 4 x (T,) i32
+        }
+
+    edge = jnp.stack(
+        [jnp.stack(e, axis=-1) for e in edges], axis=1
+    )  # (T,3,3)
+    edge_raster = jnp.stack(
+        [jnp.stack(e, axis=-1) for e in edges_raster], axis=1
+    )  # (T,3,3)
+    zw = jnp.stack(
+        [jnp.stack(zplane, axis=-1), jnp.stack(wplane, axis=-1)], axis=1
+    )
     return {
         "safe": safe,
         "edge": edge,
