@@ -643,17 +643,27 @@ def test_prepare_packed_bit_identical(tmp_path):
     # mul+add differently per fusion — the same tolerance the
     # setup_cm-vs-vertex-route test documents), so discrete rows are exact
     # and plane rows are ULP-tight.
-    mrows_p, _l, aabbs_p = packed_prog._maybe_scene_update(scene)
-    sp = packed_prog._prepare_cam(scene, mrows_p, aabbs_p, vp)
-    mrows_l, _l2, aabbs_l = legacy_prog._maybe_scene_update(scene)
-    sl = legacy_prog._prepare_cam(scene, mrows_l, aabbs_l, vp)
-    np.testing.assert_array_equal(np.asarray(sp["valid"]),
-                                  np.asarray(sl["valid"]))
+    mrows_p, mrowsT_p, _l, aabbs_p = packed_prog._maybe_scene_update(scene)
+    sp = packed_prog._prepare_cam(scene, mrows_p, mrowsT_p, aabbs_p, vp)
+    mrows_l, mrowsT_l, _l2, aabbs_l = legacy_prog._maybe_scene_update(scene)
+    sl = legacy_prog._prepare_cam(scene, mrows_l, mrowsT_l, aabbs_l, vp)
+    # validity RULES differ by design (packed = per-triangle screen cull,
+    # legacy = per-instance frustum cull — raster_pallas._packed_valid):
+    # both must kill the far-off-screen instance, and triangles valid
+    # under BOTH rules must carry identical ids/thresholds.
+    vp_mask = np.asarray(sp["valid"])
+    vl_mask = np.asarray(sl["valid"])
+    # culling is ACTIVE under both rules (the x=40 box dies in both)
+    assert vp_mask.sum() < vp_mask.size
+    assert vl_mask.sum() < vl_mask.size
+    both = vp_mask & vl_mask
+    assert both.any()
     tdp = np.asarray(sp["tri_data"])
     tdl = np.asarray(pack_tri_data(sl))
-    for row in (15, 16, 17, 18, 19):  # ids, thresholds, safe: discrete
-        np.testing.assert_array_equal(tdp[row], tdl[row])
-    np.testing.assert_allclose(tdp, tdl, rtol=1e-5, atol=1e-5)
+    for row in (15, 16, 17, 18):  # ids + thresholds: discrete
+        np.testing.assert_array_equal(tdp[row][both], tdl[row][both])
+    # plane rows are valid-independent: comparable everywhere
+    np.testing.assert_allclose(tdp[:15], tdl[:15], rtol=1e-5, atol=1e-5)
     t = sl["edge"].shape[0]
     np.testing.assert_allclose(
         np.asarray(sp["edge9"]), np.asarray(sl["edge"].reshape(t, 9).T),
@@ -665,3 +675,47 @@ def test_prepare_packed_bit_identical(tmp_path):
     # tools/prepare_flat_ab.py bit_equal=True maxdiff=0)
     np.testing.assert_array_equal(np.asarray(packed_prog(scene, vp, pos)),
                                   np.asarray(legacy_prog(scene, vp, pos)))
+
+
+def test_prepare_impl_kernel_bit_identical(tmp_path):
+    """The ONE-pass Mosaic setup kernel (prepare_impl='kernel',
+    ops/setup_kernel.py) must reproduce the flat XLA packed prepare's
+    frames bit-for-bit in interpret mode (the kernel body shares the
+    _setup_from_corners / packed_row_lists source), across culling,
+    translucency, and a triangle count that is NOT a block multiple."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import make_frame_fn
+
+    from helpers import build_scene, default_camera
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.6, 0.5, 0.4, 1.0),
+                         metallic_factor=0.3, roughness_factor=0.5)
+    blend = w.add_material(base_color_factor=(0.9, 0.2, 0.2, 0.5),
+                           alpha_mode="BLEND")
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.6, 10, 16), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(6.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(0.8), material=blend),
+                   translation=(0.2, 0.2, 0.8),
+                   rotation=(0.7071068, 0.0, 0.0, 0.7071068)),
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat),
+                   translation=(40.0, 0.0, 0.0)),  # culled
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=2, backend="pallas",
+                pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    vp, pos = camera.view_projection_transform, camera.position
+    a = np.asarray(make_frame_fn(
+        meta, RenderConfig(prepare_impl="kernel", **base))(scene, vp, pos))
+    b = np.asarray(make_frame_fn(
+        meta, RenderConfig(prepare_impl="xla", **base))(scene, vp, pos))
+    np.testing.assert_array_equal(a, b)
+    assert (a.sum(axis=0) > 0).any()

@@ -197,3 +197,21 @@ def test_sharded_preview_encode_matches_single_chip(small_scene):
 
     assert single.shape == sharded.shape == (encoded_size(32, 48),)
     np.testing.assert_array_equal(single, sharded)
+
+
+@pytest.mark.parametrize("gp", [2, 4])
+def test_sharded_prepare_kernel_matches_single_chip(blend_scene, gp):
+    """prepare_impl='kernel' (the one-pass Mosaic setup) on BOTH sides:
+    the sharded frame must stay bit-equal to the single chip — per-lane
+    setup math is position-independent, so micro-shard blocks produce the
+    same constants as the single-chip blocks (ops/setup_kernel.py)."""
+    scene, meta, aux = blend_scene
+    config = RenderConfig(width=96, height=64, msaa_samples=2,
+                          tile_shape=(32, 64), backend="pallas",
+                          prepare_impl="kernel")
+    from helpers import default_camera as _cam
+
+    camera = _cam(aspect=96 / 64)
+    single = _render_single(scene, meta, config, camera)
+    sharded = _render_sharded(scene, meta, config, camera, gp)
+    np.testing.assert_array_equal(single, sharded)

@@ -55,8 +55,8 @@ t0 = time.time()
 prog.warmup(scene, vp, cam_pos)
 print(f"warmup {time.time() - t0:.1f} s", flush=True)
 
-mrows, lights, aabbs = prog._maybe_scene_update(scene)
-setup = prog._prepare_cam(scene, mrows, aabbs, vp)
+mrows, mrowsT, lights, aabbs = prog._maybe_scene_update(scene)
+setup = prog._prepare_cam(scene, mrows, mrowsT, aabbs, vp)
 perm = prog._perm_fn(setup)
 tri_id, depth = prog._raster(setup, perm)
 table = prog._table(setup, scene)
@@ -79,7 +79,7 @@ def pack_only(setup):
 
 def prepare_packed(scene, mrows, aabbs, view_projection):
     """The fused candidate: camera prepare -> packed stream + table inputs."""
-    setup = prog._prepare_cam.__wrapped__(scene, mrows, aabbs,
+    setup = prog._prepare_cam.__wrapped__(scene, mrows, mrows.T, aabbs,
                                           view_projection)
     td = pack_tri_data(setup, None, id_base=0)
     br = bbox_rows_of(setup)
@@ -129,7 +129,7 @@ rpc_s = (time.time() - t0) / 4
 print(f"rpc {rpc_s * 1e3:.1f} ms", flush=True)
 
 stages = [
-    ("prepare_cam", prog._prepare_cam, (scene, mrows, aabbs, vp)),
+    ("prepare_cam", prog._prepare_cam, (scene, mrows, mrowsT, aabbs, vp)),
     ("pack_only", pack_jit, (setup,)),
     ("prepare_packed", packed_jit, (scene, mrows, aabbs, vp)),
     ("shade_addr", prog._shade_addr, (tri_id, depth, table)),
@@ -162,7 +162,7 @@ def hlo_census(jitted, args, label):
     return txt
 
 
-txt_p = hlo_census(prog._prepare_cam, (scene, mrows, aabbs, vp),
+txt_p = hlo_census(prog._prepare_cam, (scene, mrows, mrowsT, aabbs, vp),
                    "prepare_cam")
 txt_a = hlo_census(prog._shade_addr, (tri_id, depth, table), "shade_addr")
 txt_pp = hlo_census(packed_jit, (scene, mrows, aabbs, vp), "prepare_packed")

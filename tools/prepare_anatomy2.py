@@ -40,10 +40,10 @@ camera = Camera(position, direction,
 vp, cam_pos = camera.view_projection_transform, camera.position
 
 prog = PallasFrameProgram(meta, config)
-mrows, lights, aabbs = prog._maybe_scene_update(scene)
-setup = prog._prepare_cam(scene, mrows, aabbs, vp)
+mrows, mrowsT, lights, aabbs = prog._maybe_scene_update(scene)
+setup = prog._prepare_cam(scene, mrows, mrowsT, aabbs, vp)
 
-txt = prog._prepare_cam.lower(scene, mrows, aabbs, vp).compile().as_text()
+txt = prog._prepare_cam.lower(scene, mrows, mrowsT, aabbs, vp).compile().as_text()
 with open("/tmp/prepare_packed2_hlo.txt", "w") as f:
     f.write(txt)
 
@@ -96,7 +96,7 @@ rpc_s = (time.time() - t0) / 4
 print(f"rpc {rpc_s * 1e3:.1f} ms", flush=True)
 
 stages = [
-    ("packed_prepare", prog._prepare_cam, (scene, mrows, aabbs, vp)),
+    ("packed_prepare", prog._prepare_cam, (scene, mrows, mrowsT, aabbs, vp)),
     ("core_sum_only", core_jit, (scene, mrows, aabbs, vp)),
 ]
 for name, fn, a in stages:

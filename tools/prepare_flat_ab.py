@@ -66,11 +66,11 @@ print(f"rpc {rpc_s * 1e3:.1f} ms", flush=True)
 stages = []
 for packed, prog in progs.items():
     tag = "packed" if packed else "legacy"
-    mrows, lights, aabbs = prog._maybe_scene_update(scene)
-    setup = prog._prepare_cam(scene, mrows, aabbs, vp)
+    mrows, mrowsT, lights, aabbs = prog._maybe_scene_update(scene)
+    setup = prog._prepare_cam(scene, mrows, mrowsT, aabbs, vp)
     perm = prog._perm_fn(setup)
     stages += [
-        (f"{tag}_prepare", prog._prepare_cam, (scene, mrows, aabbs, vp)),
+        (f"{tag}_prepare", prog._prepare_cam, (scene, mrows, mrowsT, aabbs, vp)),
         (f"{tag}_raster", prog._raster, (setup, perm)),
         (f"{tag}_table", prog._table, (setup, scene)),
         (f"{tag}_frame", (lambda p: lambda s, v, c: p(s, v, c))(prog),

@@ -66,9 +66,9 @@ print(f"rpc {rpc_s * 1e3:.1f} ms", flush=True)
 
 stages = []
 for form, prog in progs.items():
-    mrows, lights, aabbs = prog._maybe_scene_update(scene)
+    mrows, mrowsT, lights, aabbs = prog._maybe_scene_update(scene)
     stages += [
-        (f"{form}_prepare", prog._prepare_cam, (scene, mrows, aabbs, vp)),
+        (f"{form}_prepare", prog._prepare_cam, (scene, mrows, mrowsT, aabbs, vp)),
         (f"{form}_frame", (lambda p: lambda s, v, c: p(s, v, c))(prog),
          (scene, vp, cam_pos)),
     ]

@@ -133,6 +133,14 @@ class RenderConfig:
     # bit-identical (pinned by tests/test_pallas_pipeline.py).
     prepare_packed: Optional[bool] = None
 
+    # Packed-prepare implementation: "kernel" = the ONE-pass Mosaic setup
+    # kernel (ops/setup_kernel.py — whole per-triangle stage in VMEM, one
+    # launch); "xla" = the flat XLA pipeline (~27 fusions). Plane constants
+    # may differ between the two by FMA-contraction ULPs, so the sharded
+    # path follows the same knob (bit-equality is within-impl). None =
+    # auto; A/B instrument: tools/prepare_kernel_ab.py.
+    prepare_impl: Optional[str] = None
+
     # Depth-peel layer count override (pallas backend). None = auto: the
     # scene-derived estimate (1 + translucent instances, clamped to the
     # kernel's 8-layer cap — scene/flatten.PEEL_LAYERS_MAX). An explicit
@@ -277,6 +285,8 @@ class RenderConfig:
             raise ValueError(
                 f"aniso_taps must be 1, 2, 4 or 8, got {self.aniso_taps}"
             )
+        if self.prepare_impl not in (None, "kernel", "xla"):
+            raise ValueError(f"unknown prepare_impl {self.prepare_impl!r}")
         if self.peel_layers is not None and not 1 <= self.peel_layers <= 8:
             raise ValueError(
                 f"peel_layers must be None or 1..8, got {self.peel_layers}"
@@ -325,6 +335,17 @@ class RenderConfig:
         if tw == 128 and rows % 2 == 0 and (rows // 2) % min(win, rows // 2) == 0:
             return 2
         return 1
+
+    def resolved_prepare_impl(self) -> str:
+        """Resolve prepare_impl (None = auto: "kernel").
+
+        On-chip A/B (tools/prepare_kernel_ab.py, 3 interleaved reps):
+        prepare 0.82-1.14 ms kernel vs 0.99-1.14 xla, whole frame
+        36.96-37.14 vs 37.46-37.47 — kernel ahead every rep, frames
+        bit-equal (maxdiff=0)."""
+        if self.prepare_impl is not None:
+            return self.prepare_impl
+        return "kernel"
 
     def resolved_peel_layers(self, scene_layers: int) -> int:
         """Effective depth-peel K: the explicit override, else the scene's

@@ -940,24 +940,36 @@ class PallasFrameProgram:
             )
             inst_matrix = node_global[scene.inst_node]
             mrows = inst_matrix.reshape(-1, 16)[scene.tri_instance]
+            # component-major copy for the Mosaic setup kernel, transposed
+            # ONCE per scene change instead of per frame (the (T,16)
+            # row-major form is 8x lane-padded; re-reading it every frame
+            # cost a per-frame relayout pass)
+            mrowsT = mrows.T
             world_aabbs = transform_aabbs(scene.inst_aabb, inst_matrix)
-            return mrows, lights, world_aabbs
+            return mrows, mrowsT, lights, world_aabbs
 
         use_packed = config.prepare_packed
         if use_packed is None:
             use_packed = True
+        prepare_impl = config.resolved_prepare_impl()
 
-        def prepare_cam(scene, mrows, world_aabbs, view_projection):
+        def prepare_cam(scene, mrows, mrowsT, world_aabbs,
+                        view_projection):
             # FLAT component-major setup -> PACKED stream rows (round 5):
             # the legacy (T,3,3)/(T,2,3) dict forced XLA into lane-padded
             # fusion layouts costing ~3.5 ms/frame; the flat pipeline
             # stacks once into dense (C, T) rows and also absorbs the
             # raster program's ~1.1 ms pack_tri_data for free (same
             # expressions, bit-identical output — tools/prepare_anatomy.py,
-            # pinned by test_pallas_pipeline packed-vs-legacy bit-equality)
-            planes = frustum_planes(view_projection)
-            visible = aabbs_intersect_frustum(world_aabbs, planes)
+            # pinned by test_pallas_pipeline packed-vs-legacy bit-equality).
+            # Culling: the packed path uses the PER-TRIANGLE screen cull
+            # (raster_pallas._packed_valid — frame-identical, and the
+            # legacy per-instance gather was the stage's hottest op at
+            # 1.5-1.9 ms, tools/prepare_profile.py); the legacy dict path
+            # keeps the reference-shaped per-instance frustum cull.
             if not use_packed:  # legacy dict form (A/B: prepare_packed)
+                planes = frustum_planes(view_projection)
+                visible = aabbs_intersect_frustum(world_aabbs, planes)
                 setup = dict(triangle_setup_cm(
                     scene.tri_corner, mrows, view_projection,
                     config.width, config.height,
@@ -965,15 +977,27 @@ class PallasFrameProgram:
                 setup["mrows"] = mrows
                 setup["valid"] = setup["valid"] & visible[scene.tri_instance]
                 return setup
+            if prepare_impl == "kernel":
+                # ONE-pass Mosaic setup (ops/setup_kernel.py): the whole
+                # per-triangle stage in VMEM, single launch
+                from vktf_tpu.ops.setup_kernel import setup_pack_kernel
+
+                visf = jnp.ones(
+                    (1, scene.tri_corner.shape[1]), jnp.float32
+                )
+                packed = setup_pack_kernel(
+                    scene.tri_corner, mrowsT, visf, view_projection,
+                    config.width, config.height, interpret=interpret,
+                )
+                packed["mrows"] = mrows
+                return packed
             from vktf_tpu.ops.raster_pallas import pack_tri_rows
 
             flat = triangle_setup_cm(
                 scene.tri_corner, mrows, view_projection,
                 config.width, config.height, flat_out=True,
             )
-            packed = pack_tri_rows(
-                flat, extra_valid=visible[scene.tri_instance]
-            )
+            packed = pack_tri_rows(flat)
             packed["mrows"] = mrows
             return packed
 
@@ -1075,8 +1099,9 @@ class PallasFrameProgram:
         self._scene_state = None
         if cache_scene:
             def prepare_cached(scene, view_projection, camera_position):
-                mrows, lights, aabbs = self._maybe_scene_update(scene)
-                setup = self._prepare_cam(scene, mrows, aabbs,
+                mrows, mrowsT, lights, aabbs = self._maybe_scene_update(
+                    scene)
+                setup = self._prepare_cam(scene, mrows, mrowsT, aabbs,
                                           view_projection)
                 return setup, lights
 

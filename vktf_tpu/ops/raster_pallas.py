@@ -156,15 +156,46 @@ def pack_tri_rows(flat, extra_valid=None, id_base=0):
       anchor2   (2, T) f32
       valid     (T,) bool (final: setup validity AND extra_valid)
     """
-    valid = flat["valid"]
-    if extra_valid is not None:
-        valid = valid & extra_valid
-    er = flat["edges_raster"]
-    zp, wp = flat["zplane"], flat["wplane"]
+    valid = _packed_valid(flat, extra_valid)
     num_tris = valid.shape[0]
     tri_ids = jnp.arange(num_tris, dtype=jnp.float32) + jnp.asarray(
         id_base, jnp.float32
     )
+    td, br, e9, a2 = packed_row_lists(flat, valid, tri_ids)
+    return dict(tri_data=_stack_rows(td), bbox_rows=_stack_rows(br),
+                edge9=_stack_rows(e9), anchor2=_stack_rows(a2),
+                valid=valid)
+
+
+def _packed_valid(flat, extra_valid=None):
+    """The packed path's validity rule: setup validity AND a non-empty
+    clamped screen bbox (PER-TRIANGLE screen cull).
+
+    This replaces the legacy per-instance frustum-cull gather
+    (visible[tri_instance] — measured 1.5-1.9 ms/frame at 262k triangles,
+    the single hottest op of the prepare stage: I~200-element BOOL table
+    gathers run at ~6-7 ns/idx, tools/vis_gather_probe.py /
+    prepare_profile.py). Frame output is IDENTICAL: an instance-culled
+    triangle lies entirely outside the frustum, where no sample can pass
+    the kernel's exact inside/0<=depth<=1/w>0 tests, and its clamped
+    bbox is empty so the raster never visits it — while a triangle this
+    rule culls (empty clamped bbox) could never produce a sample either.
+    extra_valid carries the sharded path's is_real padding mask."""
+    b0, b1, b2, b3 = flat["bbox_cols"]
+    valid = flat["valid"] & (b2 > b0) & (b3 > b1)
+    if extra_valid is not None:
+        valid = valid & extra_valid
+    return valid
+
+
+def packed_row_lists(flat, valid, tri_ids):
+    """The packed-setup ROW LISTS (tri_data, bbox_rows, edge9, anchor2)
+    as per-row arrays of whatever shape the flat components carry — the
+    SINGLE SOURCE of the row semantics, shared by the XLA pack
+    (pack_tri_rows stacks them) and the Mosaic setup kernel
+    (ops/setup_kernel.py writes them to its output refs row by row)."""
+    er = flat["edges_raster"]
+    zp, wp = flat["zplane"], flat["wplane"]
 
     def no_negzero(c):  # see pack_tri_data
         return jnp.where(c == 0.0, jnp.float32(0.0), c)
@@ -186,21 +217,17 @@ def pack_tri_rows(flat, extra_valid=None, id_base=0):
     zero = jnp.zeros_like(rows[0])
     while len(rows) < TRI_ROWS:
         rows.append(zero)
-    tri_data = _stack_rows(rows)  # (TRI_ROWS, T)
 
     b0, b1, b2, b3 = flat["bbox_cols"]
-    bbox_rows = _stack_rows(
-        [
-            jnp.where(valid, b0, 2**30).astype(jnp.float32),
-            jnp.where(valid, b1, 2**30).astype(jnp.float32),
-            jnp.where(valid, b2, -(2**30)).astype(jnp.float32),
-            jnp.where(valid, b3, -(2**30)).astype(jnp.float32),
-        ]
-    )  # (4, T)
-    edge9 = _stack_rows([c for e in flat["edges"] for c in e])
-    anchor2 = _stack_rows([flat["anchor_x"], flat["anchor_y"]])
-    return dict(tri_data=tri_data, bbox_rows=bbox_rows, edge9=edge9,
-                anchor2=anchor2, valid=valid)
+    bbox_rows = [
+        jnp.where(valid, b0, 2**30).astype(jnp.float32),
+        jnp.where(valid, b1, 2**30).astype(jnp.float32),
+        jnp.where(valid, b2, -(2**30)).astype(jnp.float32),
+        jnp.where(valid, b3, -(2**30)).astype(jnp.float32),
+    ]
+    edge9 = [c for e in flat["edges"] for c in e]
+    anchor2 = [flat["anchor_x"], flat["anchor_y"]]
+    return rows, bbox_rows, edge9, anchor2
 
 
 def _part1by1(x):

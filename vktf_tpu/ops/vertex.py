@@ -321,12 +321,10 @@ def _setup_from_corners(x, y, z, w, width: int, height: int,
     bbox_cols = [
         jnp.where(valid, c.astype(jnp.int32), zeros_i) for c in bbox_cols
     ]
-    bbox = jnp.stack(bbox_cols, axis=-1)
 
     # ---- anchored plane constants ------------------------------------------
     ax = bbox_cols[0].astype(jnp.float32)
     ay = bbox_cols[1].astype(jnp.float32)
-    anchor = jnp.stack([ax, ay], axis=-1)  # (T,2)
     # vertex-0 screen position + the function values there (w_0 > 0 for all
     # valid triangles that aren't near-plane crossers)
     det_w0 = det / safe_w[0]  # e_0(s_0) = w_recip(s_0)
@@ -469,6 +467,8 @@ def _setup_from_corners(x, y, z, w, width: int, height: int,
     zw = jnp.stack(
         [jnp.stack(zplane, axis=-1), jnp.stack(wplane, axis=-1)], axis=1
     )
+    anchor = jnp.stack([ax, ay], axis=-1)  # (T,2)
+    bbox = jnp.stack(bbox_cols, axis=-1)
     return {
         "safe": safe,
         "edge": edge,

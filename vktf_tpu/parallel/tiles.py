@@ -205,6 +205,8 @@ def render_frame_sharded(
     else:
         out_specs = P(None, "sp", None)
 
+    prepare_impl = config.resolved_prepare_impl()
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -221,18 +223,40 @@ def render_frame_sharded(
 
         # per-triangle prep on this device's 1/(gp*sp) micro-shard
         mrows_micro = mat16[tin_micro]  # (t_micro, 16)
-        setup_micro = dict(triangle_setup_cm(
-            tc_micro, mrows_micro, view_projection,
-            config.width, config.height,
-        ))
         micro_row0 = (gp_rank * sp + sp_rank).astype(jnp.int32) * t_micro
         is_real = (
             micro_row0 + jnp.arange(t_micro, dtype=jnp.int32)
             < meta.num_triangles
         )
-        setup_micro["valid"] = (
-            setup_micro["valid"] & visible[tin_micro] & is_real
-        )
+        if prepare_impl == "kernel":
+            # the SAME one-pass Mosaic setup the single chip runs
+            # (ops/setup_kernel.py) — per-lane math is position-
+            # independent, so micro-shard blocks produce bit-identical
+            # constants to the single-chip blocks, keeping the sharded
+            # frame bit-equal to the single chip within this impl
+            from vktf_tpu.ops.setup_kernel import setup_pack_kernel
+
+            # the kernel applies the packed path's per-triangle SCREEN
+            # cull itself (_packed_valid); only the padding mask rides the
+            # vis row — the per-instance gather is the legacy path's
+            visf = is_real.astype(jnp.float32)[None]
+            setup_micro = setup_pack_kernel(
+                tc_micro, mrows_micro.T, visf, view_projection,
+                config.width, config.height,
+                id_base=micro_row0, interpret=interpret,
+            )
+            raster_gather = {
+                "tri_data": 1, "bbox_rows": 1, "valid": 0,
+            }  # key -> concat axis for the sp gather
+        else:
+            setup_micro = dict(triangle_setup_cm(
+                tc_micro, mrows_micro, view_projection,
+                config.width, config.height,
+            ))
+            setup_micro["valid"] = (
+                setup_micro["valid"] & visible[tin_micro] & is_real
+            )
+            raster_gather = {k: 0 for k in raster_keys}
         setup_micro["mrows"] = mrows_micro
         shard_scene = SimpleNamespace(
             tri_corner=tc_micro, tri_static_cols=stat_micro,
@@ -249,8 +273,8 @@ def render_frame_sharded(
         # raster wants this gp rank's full contiguous shard: gather the sp
         # micro-shards (blocks gp_rank*sp .. gp_rank*sp+sp-1)
         setup_local = {
-            k: jax.lax.all_gather(setup_micro[k], "sp", axis=0, tiled=True)
-            for k in raster_keys
+            k: jax.lax.all_gather(setup_micro[k], "sp", axis=ax, tiled=True)
+            for k, ax in raster_gather.items()
         }
         # SEPARATE barriers: a joint barrier((table, setup_local)) made the
         # raster (which consumes only setup_local) depend on the table
@@ -272,7 +296,8 @@ def render_frame_sharded(
             interpret=interpret,
             sort="morton",
             y_offset=band_y0,
-            id_base=id_base,
+            # packed micro-shards bake global ids at setup_pack_kernel time
+            id_base=0 if prepare_impl == "kernel" else id_base,
             layers=layers,
             window_rows=config.raster_window_rows,
             group_size=config.raster_group_size,
