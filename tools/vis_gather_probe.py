@@ -6,8 +6,6 @@ T=262k) measured ~1.5-1.9 ms — the dominant cost of the packed prepare
   bool_gather    visible[tri_instance]                  (baseline)
   f32_gather     visible.astype(f32)[tri_instance]      (word-sized elems)
   i32_gather     visible.astype(i32)[tri_instance]
-  seg_bcast      concat of per-instance broadcasts (static segment counts
-                 from the flatten layout — tri_instance is sorted)
 
     python tools/vis_gather_probe.py > /tmp/vis_gather_probe.log 2>&1
 """
@@ -36,10 +34,10 @@ scene, meta, _aux = flatten_assets(build_preset("sponza"))
 tin = scene.tri_instance
 t = int(tin.shape[0])
 n_inst = meta.num_instances
-host_tin = np.asarray(tin)
-assert (np.diff(host_tin) >= 0).all(), "tri_instance not sorted"
-counts = np.bincount(host_tin, minlength=n_inst)
-starts = tuple(int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
+# NOTE: tri_instance is NOT instance-sorted (flatten emits a world-Morton
+# static stream), so the segment-broadcast variant is impossible; the
+# production fix was to drop the expansion entirely (per-triangle screen
+# cull, raster_pallas._packed_valid).
 vis = jnp.asarray(np.random.default_rng(0).random(n_inst) < 0.5)
 
 
@@ -55,27 +53,16 @@ def i32_gather(v, tin):
     return v.astype(jnp.int32)[tin]
 
 
-def seg_bcast(v):
-    vf = v.astype(jnp.float32)
-    parts = [
-        jnp.broadcast_to(vf[i], (starts[i + 1] - starts[i],))
-        for i in range(n_inst) if starts[i + 1] > starts[i]
-    ]
-    return jnp.concatenate(parts)
-
-
 fns = {
     "bool_gather": (jax.jit(bool_gather), (vis, tin)),
     "f32_gather": (jax.jit(f32_gather), (vis, tin)),
     "i32_gather": (jax.jit(i32_gather), (vis, tin)),
-    "seg_bcast": (jax.jit(seg_bcast), (vis,)),
 }
 for name, (f, a) in fns.items():
     out = jax.block_until_ready(f(*a))
 # correctness: all forms expand the same mask
 ref = np.asarray(fns["bool_gather"][0](vis, tin))
 assert np.array_equal(np.asarray(fns["f32_gather"][0](vis, tin)) > 0.5, ref)
-assert np.array_equal(np.asarray(fns["seg_bcast"][0](vis)) > 0.5, ref)
 
 for _ in range(2):
     np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
