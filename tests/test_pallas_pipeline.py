@@ -719,3 +719,50 @@ def test_prepare_impl_kernel_bit_identical(tmp_path):
         meta, RenderConfig(prepare_impl="xla", **base))(scene, vp, pos))
     np.testing.assert_array_equal(a, b)
     assert (a.sum(axis=0) > 0).any()
+
+
+def test_prepare_impl_kernel_crossers_and_block_multiple(tmp_path):
+    """Setup-kernel stress: (a) the triangle count is EXACTLY a kernel
+    block multiple (two 32-segment planes = 4096 = ops/setup_kernel's
+    block size — the unpadded grid path), and (b) the camera sits INSIDE
+    the scene so triangles cross the eye plane (w <= 0 corners), driving
+    the near-crosser clipped-bbox candidate math through the Mosaic
+    kernel's (32, 128) tile form. Frames must match the XLA packed form
+    bit-for-bit in interpret mode."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.ops.pipeline import make_frame_fn
+    from vktf_tpu.ops.setup_kernel import _BLOCK
+
+    from helpers import build_scene, default_camera
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.6, 0.5, 0.4, 1.0),
+                         metallic_factor=0.2, roughness_factor=0.6)
+    floor = w.add_mesh(plane_mesh(12.0, segments=32), material=mat)
+    ceil_m = w.add_mesh(plane_mesh(12.0, segments=32), material=mat)
+    w.add_scene([
+        w.add_node(mesh=floor, translation=(0.0, -0.8, 0.0)),
+        w.add_node(mesh=ceil_m, translation=(0.0, 1.2, 0.0),
+                   rotation=(1.0, 0.0, 0.0, 0.0)),  # flipped to face down
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    assert meta.num_triangles == 2 * 2 * 32 * 32 == _BLOCK, (
+        "fixture must hit the exact-block-multiple path"
+    )
+    # camera INSIDE the slab, looking along it: geometry spans behind the
+    # eye plane -> near-plane crossers take the clipped-bbox route
+    camera = default_camera(aspect=2.0, position=(0.0, 0.2, 0.0),
+                            direction=(1.0, 0.05, 0.0))
+    base = dict(width=128, height=64, msaa_samples=2, backend="pallas",
+                pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    vp, pos = camera.view_projection_transform, camera.position
+    a = np.asarray(make_frame_fn(
+        meta, RenderConfig(prepare_impl="kernel", **base))(scene, vp, pos))
+    b = np.asarray(make_frame_fn(
+        meta, RenderConfig(prepare_impl="xla", **base))(scene, vp, pos))
+    np.testing.assert_array_equal(a, b)
+    assert (a.sum(axis=0) > 0).any(), "camera-inside frame came out empty"
