@@ -766,3 +766,106 @@ def test_prepare_impl_kernel_crossers_and_block_multiple(tmp_path):
         meta, RenderConfig(prepare_impl="xla", **base))(scene, vp, pos))
     np.testing.assert_array_equal(a, b)
     assert (a.sum(axis=0) > 0).any(), "camera-inside frame came out empty"
+
+
+def test_raster_prestream_bit_identical(tmp_path):
+    """The pre-permuted raster stream (config.raster_prestream: a second
+    setup-kernel pass over perm-gathered inputs replaces the in-raster
+    ~18.5 ms lane-dim permute, tools/raster_prologue_probe.py) must be
+    invisible in output: frames bit-equal to the classic permute path,
+    the emitted stream rows equal to pack-then-permute on every real
+    column, and the cross-frame stream cache exact across both resort
+    branches (reuse below threshold, refresh above)."""
+    from vktf_tpu.config import RenderConfig
+    from vktf_tpu.mathx import Camera, ViewFrustumParams
+    from vktf_tpu.ops import raster_pallas as rp
+    from vktf_tpu.ops.pipeline import PallasFrameProgram
+
+    from helpers import build_scene, default_camera
+
+    w = GltfWriter()
+    mat = w.add_material(base_color_factor=(0.6, 0.5, 0.4, 1.0),
+                         metallic_factor=0.3, roughness_factor=0.5)
+    blend = w.add_material(base_color_factor=(0.9, 0.2, 0.2, 0.5),
+                           alpha_mode="BLEND")
+    w.add_scene([
+        w.add_node(mesh=w.add_mesh(uv_sphere_mesh(0.6, 10, 16), material=mat)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(6.0), material=mat),
+                   translation=(0.0, -1.0, 0.0)),
+        w.add_node(mesh=w.add_mesh(plane_mesh(0.8), material=blend),
+                   translation=(0.2, 0.2, 0.8),
+                   rotation=(0.7071068, 0.0, 0.0, 0.7071068)),
+        w.add_node(mesh=w.add_mesh(box_mesh(), material=mat),
+                   translation=(40.0, 0.0, 0.0)),  # culled
+        w.add_node(light=w.add_light(type="directional"),
+                   rotation=(0.3827, 0.0, 0.0, 0.9239)),
+    ])
+    scene, meta, _aux = build_scene(w.write(tmp_path / "s.gltf"))
+    camera = default_camera(aspect=2.0, position=(0.0, 0.5, 3.0),
+                            direction=(0.0, -0.1, -1.0))
+    base = dict(width=128, height=64, msaa_samples=2, backend="pallas",
+                pallas_interpret=True, tile_shape=(32, 64),
+                pallas_chunk=128, shade_chunk=1 << 12,
+                shade_skip_mode=False)
+    pre = PallasFrameProgram(meta, RenderConfig(raster_prestream=True,
+                                                **base))
+    cls = PallasFrameProgram(meta, RenderConfig(raster_prestream=False,
+                                                **base))
+    assert pre._prestream and not cls._prestream
+    vp, pos = camera.view_projection_transform, camera.position
+
+    np.testing.assert_array_equal(np.asarray(pre(scene, vp, pos)),
+                                  np.asarray(cls(scene, vp, pos)))
+
+    # stage-level: stream rows == pack-then-permute on every REAL column
+    # (permutation-padding columns carry garbage plane rows by design —
+    # valid=False, never dereferenced past the hit test)
+    setup, _lights = pre._prepare(scene, vp, pos)
+    state = pre._maybe_restream(scene, setup, vp)
+    stream = pre._stream_cam(*state, vp)
+    perm = np.asarray(pre._perm)
+    t = setup["valid"].shape[0]
+    chunk = pre.config.pallas_chunk
+    td_ref = np.array(rp._pad_cols(setup["tri_data"], chunk))
+    if td_ref.shape[1] > t:  # rasterize_pallas's padding marking
+        td_ref[15, t:] = -1.0
+        td_ref[19, t:] = 1.0
+    br = setup["bbox_rows"]
+    br_ref = np.concatenate([
+        np.asarray(rp._pad_cols(br[:2], chunk, 2**30)),
+        np.asarray(rp._pad_cols(br[2:], chunk, -(2**30))),
+    ])
+    real = perm < t
+    td_p = np.asarray(stream["tri_data"])[:, : perm.size]
+    br_p = np.asarray(stream["bbox_rows"])[:, : perm.size]
+    np.testing.assert_array_equal(td_p[:, real], td_ref[:, perm[real]])
+    np.testing.assert_array_equal(br_p[:, real], br_ref[:, perm[real]])
+    # stream padding (perm past t, and the kernel's block tail) is
+    # invalid + slim everywhere
+    assert (td_p[15, ~real] == -1.0).all()
+    assert (td_p[19, ~real] == 1.0).all()
+    tail = np.asarray(stream["tri_data"])[:, perm.size:]
+    assert (tail[15] == -1.0).all() if tail.size else True
+
+    # tiny camera motion (below resort_threshold): cached stream state is
+    # REUSED (stale perm, exact output) and frames still agree
+    camera2 = Camera((0.001, 0.5, 3.0), (0.0, -0.1, -1.0),
+                     ViewFrustumParams(np.radians(45.0), 2.0, 0.1, 1.0e6))
+    vp2 = camera2.view_projection_transform
+    state2 = pre._maybe_restream(
+        scene, pre._prepare(scene, vp2, camera2.position)[0], vp2)
+    assert all(a is b for a, b in zip(state, state2)), "expected reuse"
+    np.testing.assert_array_equal(
+        np.asarray(pre(scene, vp2, camera2.position)),
+        np.asarray(cls(scene, vp2, camera2.position)))
+
+    # large motion (past threshold): stream state REFRESHES, still exact
+    camera3 = Camera((0.5, 0.6, 2.0), (0.3, -0.2, -1.0),
+                     ViewFrustumParams(np.radians(45.0), 2.0, 0.1, 1.0e6))
+    vp3 = camera3.view_projection_transform
+    state3 = pre._maybe_restream(
+        scene, pre._prepare(scene, vp3, camera3.position)[0], vp3)
+    assert any(a is not b for a, b in zip(state, state3)), "expected refresh"
+    np.testing.assert_array_equal(
+        np.asarray(pre(scene, vp3, camera3.position)),
+        np.asarray(cls(scene, vp3, camera3.position)))

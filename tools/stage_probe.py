@@ -92,12 +92,29 @@ if __name__ == "__main__":
 
     setup, lights = prog._prepare(scene, vp, cam_pos)
     perm = prog._perm_fn(setup)
-    tri_id, depth = prog._raster(setup, perm)
-    table = prog._table(setup, scene)
     stages = [
         ("prepare", prog._prepare, (scene, vp, cam_pos)),
         ("perm", prog._perm_fn, (setup,)),
-        ("raster", prog._raster, (setup, perm)),
+    ]
+    if getattr(prog, "_prestream", False):
+        # pre-permuted stream path (config.raster_prestream): per-frame
+        # stream pass + perm-less raster; "restream" is the RESORT-time
+        # input re-gather (amortized over the resort interval)
+        state = prog._maybe_restream(scene, setup, vp)
+        stream = prog._stream_cam(*state, vp)
+        tri_id, depth = prog._raster_stream(stream)
+        _mrows, mrowsT, _l, _a = prog._maybe_scene_update(scene)
+        stages += [
+            ("restream", prog._perm_inputs,
+             (scene.tri_corner, mrowsT, perm)),
+            ("stream", prog._stream_cam, (*state, vp)),
+            ("raster", prog._raster_stream, (stream,)),
+        ]
+    else:
+        tri_id, depth = prog._raster(setup, perm)
+        stages += [("raster", prog._raster, (setup, perm))]
+    table = prog._table(setup, scene)
+    stages += [
         ("table", prog._table, (setup, scene)),
     ]
     if prog._two_phase:

@@ -141,6 +141,21 @@ class RenderConfig:
     # auto; A/B instrument: tools/prepare_kernel_ab.py.
     prepare_impl: Optional[str] = None
 
+    # Pre-permuted raster stream (split-stage pallas path): rasterize from
+    # stream rows the setup kernel emits ALREADY in Morton order (a second
+    # setup-kernel pass over perm-gathered inputs, cached across frames and
+    # refreshed with the stream permutation), instead of permuting the
+    # packed rows inside the raster program every frame. The in-raster
+    # permute is a 28-row LANE-dim gather that measured ~18.5 ms/frame at
+    # 262k triangles — ~97% of the raster program's XLA prologue
+    # (tools/raster_prologue_probe.py; the round-5 skeleton probes folded
+    # it into "init_only", which tools/copyout_layout_probe.py showed was
+    # a misattribution). Per-lane setup math is position-independent (the
+    # sharded micro-shard argument), so frames are bit-identical either
+    # way. None = auto: on when the packed kernel prepare + cached scene
+    # state are in effect. A/B: tools/frame_ab.py raster_prestream=0/1.
+    raster_prestream: Optional[bool] = None
+
     # Depth-peel layer count override (pallas backend). None = auto: the
     # scene-derived estimate (1 + translucent instances, clamped to the
     # kernel's 8-layer cap — scene/flatten.PEEL_LAYERS_MAX). An explicit

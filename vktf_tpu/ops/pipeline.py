@@ -1017,6 +1017,63 @@ class PallasFrameProgram:
                 assemble=not tiled_resolve,
             )
 
+        # Pre-permuted raster stream (config.raster_prestream): the
+        # in-raster permute is a 28-row LANE-dim gather measured at
+        # ~18.5 ms/frame (262k tris) — ~97% of the raster program's XLA
+        # prologue (tools/raster_prologue_probe.py). Instead, a second
+        # setup-kernel pass runs per frame over perm-gathered inputs
+        # (cached across frames, refreshed on resort: _maybe_restream)
+        # and emits the stream rows ALREADY in Morton order; the raster
+        # then runs with perm=None. Bit-identical frames (per-lane setup
+        # math is position-independent — the sharded micro-shard
+        # argument; pinned in tests/test_pallas_pipeline.py).
+        prestream = config.raster_prestream
+        if prestream is None:
+            prestream = use_packed and prepare_impl == "kernel"
+        self._prestream = bool(prestream and use_packed
+                               and prepare_impl == "kernel")
+
+        def stream_cam(tc_p, mrtT_p, visf_p, ids_p, view_projection):
+            # the SAME kernel program as prepare_cam's pass (ids input,
+            # keep_pad) — per-lane outputs bit-identical by construction;
+            # only the raster stream keys flow out (edge9/anchor2 here are
+            # PERMUTED and must never reach the table build)
+            from vktf_tpu.ops.setup_kernel import setup_pack_kernel
+
+            packed = setup_pack_kernel(
+                tc_p, mrtT_p, visf_p, view_projection,
+                config.width, config.height, ids=ids_p,
+                interpret=interpret, keep_pad=True,
+            )
+            return dict(tri_data=packed["tri_data"],
+                        bbox_rows=packed["bbox_rows"],
+                        valid=packed["valid"])
+
+        def perm_inputs(tri_corner, mrowsT, perm):
+            # stream-ordered copies of the setup kernel's inputs; runs
+            # only when the cached permutation refreshes (resort), so the
+            # 54-row gather amortizes across the resort interval
+            t = tri_corner.shape[1]
+            pad = perm.shape[0] - t
+            tc = jnp.pad(tri_corner, ((0, 0), (0, pad)))[:, perm]
+            mrt = jnp.pad(mrowsT, ((0, 0), (0, pad)))[:, perm]
+            visf = (perm < t).astype(jnp.float32)[None]
+            ids = perm.astype(jnp.float32)[None]
+            return tc, mrt, visf, ids
+
+        def raster_stream(stream):
+            return rasterize_pallas(
+                stream, ph, pw, tile_shape=config.tile_shape,
+                msaa_samples=config.msaa_samples, chunk=config.pallas_chunk,
+                interpret=interpret, sort="none", perm=None,
+                layers=config.resolved_peel_layers(meta.peel_layers),
+                window_rows=config.raster_window_rows,
+                group_size=config.raster_group_size,
+                interleave=config.resolved_interleave(),
+                columns=config.raster_columns,
+                assemble=not tiled_resolve,
+            )
+
         def table_fn(setup, scene):
             return build_shade_table_pallas(
                 setup, scene, None, interpret=interpret
@@ -1114,6 +1171,14 @@ class PallasFrameProgram:
         self._shade = jax.jit(shade)
         self._perm = None
         self._sort_vp = None
+        # prestream requires the cached scene state (mrowsT); the fused
+        # prepare path keeps the classic in-raster permute
+        self._prestream = self._prestream and cache_scene
+        self._stream_cam = jax.jit(stream_cam)
+        self._perm_inputs = jax.jit(perm_inputs)
+        self._raster_stream = jax.jit(raster_stream)
+        self._stream_state = None
+        self._stream_key = None
 
     def _maybe_scene_update(self, scene):
         """Cross-frame cache of the camera-independent prepare half.
@@ -1145,10 +1210,34 @@ class PallasFrameProgram:
         self._sort_vp = vp
         return self._perm
 
+    def _maybe_restream(self, scene, setup, view_projection):
+        """Cross-frame cache of the PRE-PERMUTED setup-kernel inputs
+        (config.raster_prestream): refreshed only when the cached stream
+        permutation itself refreshes (resort) or the scene state swaps —
+        jax array identity implies identical values, as _maybe_scene_update.
+        """
+        perm = self._maybe_resort(setup, view_projection)
+        _mrows, mrowsT, _lights, _aabbs = self._maybe_scene_update(scene)
+        key = (perm, mrowsT, scene.tri_corner)
+        if self._stream_state is None or any(
+            a is not b for a, b in zip(key, self._stream_key)
+        ):
+            self._stream_state = self._perm_inputs(
+                scene.tri_corner, mrowsT, perm
+            )
+            self._stream_key = key
+        return self._stream_state
+
     def __call__(self, scene, view_projection, camera_position):
         setup, lights = self._prepare(scene, view_projection, camera_position)
-        perm = self._maybe_resort(setup, view_projection)
-        tri_id, depth = self._raster(setup, perm)
+        if self._prestream:
+            state = self._maybe_restream(scene, setup, view_projection)
+            tri_id, depth = self._raster_stream(
+                self._stream_cam(*state, view_projection)
+            )
+        else:
+            perm = self._maybe_resort(setup, view_projection)
+            tri_id, depth = self._raster(setup, perm)
         table = self._table(setup, scene)
         if self._two_phase:
             addr = self._shade_addr(tri_id, depth, table)

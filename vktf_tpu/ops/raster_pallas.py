@@ -342,6 +342,16 @@ _SAFE_SLIM = True
 # iteration-independent up to the accumulator chain).
 _GROUP_UNROLL = 1
 
+# Trace-time diagnostic knob (tools/raster_prologue_probe.py): return the
+# four kernel operands (hit_counts, hit_list, tri_data, tri_bbox) INSTEAD
+# of calling the kernel — times the raster program's XLA prologue (perm
+# gathers, group reductions, chunk bboxes, binning) in isolation. The
+# round-5 skeleton probes folded this prologue into "init_only", which a
+# synthetic re-measurement (tools/copyout_layout_probe.py: identical init
+# work alone ~1 ms, not 5.5) showed was a misattribution. Output has the
+# wrong type for every consumer — never set outside probes.
+_RETURN_KERNEL_INPUTS = False
+
 # Trace-time A/B switch (tools/binning_frame_ab.py): the keyed-sort
 # hit-list construction (sort(where(hit, chunk_id, INT_MAX)) — half the
 # sort payload of the stable bool argsort) won standalone (4.9 vs 6.6 ms,
@@ -1184,6 +1194,9 @@ def rasterize_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+
+    if _RETURN_KERNEL_INPUTS:  # probe-only: prologue timing, see flag note
+        return (hit_counts, hit_list), (tri_data, tri_bbox)
 
     outs = pl.pallas_call(
         kernel,

@@ -49,10 +49,9 @@ _BLOCK = _BLOCK_ROWS * _LANES  # triangles per block (4096)
 _SPLITS = (TRI_ROWS, 4, 9, 2, 1)
 
 
-def _kernel(params_ref, tc_ref, mrt_ref, vis_ref,
-            td_ref, br_ref, e9_ref, a2_ref, vf_ref,
-            *, width: int, height: int):
-    """One 4096-triangle block: corners+matrices in, packed rows out.
+def _flat_valid(params_ref, tc_ref, mrt_ref, vis_ref,
+                *, width: int, height: int):
+    """Shared kernel body: corners+matrices in -> (flat setup, valid).
 
     params (SMEM f32): [0:16] view_projection row-major, [16] id_base.
     tc (36, 32, 128): scene.tri_corner block (rows 6..14 = object-space
@@ -104,12 +103,24 @@ def _kernel(params_ref, tc_ref, mrt_ref, vis_ref,
     from vktf_tpu.ops.raster_pallas import _packed_valid
 
     valid = _packed_valid(flat, vis_ref[0] > 0.5)
-    base = (pl.program_id(0) * _BLOCK).astype(jnp.float32) + params_ref[16]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
-    tri_ids = base + (row_i * _LANES + lane_i).astype(jnp.float32)
+    return flat, valid
 
-    td, br, e9, a2 = packed_row_lists(flat, valid, tri_ids)
+
+def _kernel(params_ref, tc_ref, mrt_ref, vis_ref, ids_ref,
+            td_ref, br_ref, e9_ref, a2_ref, vf_ref,
+            *, width: int, height: int):
+    """One 4096-triangle block: corners+matrices in, packed rows out.
+
+    tri ids ride an INPUT row (ids_ref) rather than an in-kernel iota so
+    the original-order prepare pass and the pre-permuted stream pass
+    (config.raster_prestream) are the SAME kernel program — same Mosaic
+    binary, same FMA contraction, bit-identical per-lane outputs. (A
+    first stream variant with its own reduced-output kernel produced
+    plane constants off by contraction ULPs — enough to shift a bbox
+    floor and move an anchored plane constant by a whole |a|.)"""
+    flat, valid = _flat_valid(params_ref, tc_ref, mrt_ref, vis_ref,
+                              width=width, height=height)
+    td, br, e9, a2 = packed_row_lists(flat, valid, ids_ref[0])
     for i, row in enumerate(td):
         td_ref[i] = row
     for i, row in enumerate(br):
@@ -122,14 +133,25 @@ def _kernel(params_ref, tc_ref, mrt_ref, vis_ref,
 
 
 def setup_pack_kernel(tri_corner, mrowsT, visf, view_projection,
-                      width: int, height: int, *, id_base=0,
-                      interpret: bool = False):
+                      width: int, height: int, *, id_base=0, ids=None,
+                      interpret: bool = False, keep_pad: bool = False):
     """PACKED setup dict from component-major inputs, one Mosaic pass.
 
     tri_corner (36, T) f32; mrowsT (16, T) f32; visf (1, T) f32 (1.0 =
     instance visible / real row); view_projection (4, 4) traced;
     id_base traced scalar ok (sharded micro-shards bake global ids).
     Returns the same dict contract as raster_pallas.pack_tri_rows.
+
+    ids (1, T) f32 optionally OVERRIDES the default id_base + position
+    row — the pre-permuted stream pass (config.raster_prestream) feeds
+    the original draw-order ids of its permuted columns here, keeping
+    lexicographic depth ties exact under any stream order. Both passes
+    run THIS one kernel program (ids is always an input row), so their
+    per-lane outputs are bit-identical by construction. keep_pad=True
+    returns the full block-aligned width (all-pad columns are invalid-
+    marked: id row -1, slim row 1, bbox rows sentinel) — the stream pass
+    hands that straight to rasterize_pallas, whose all-invalid tail
+    chunks bin to zero hit-list entries.
     """
     t = tri_corner.shape[1]
     t_pad = -(-t // _BLOCK) * _BLOCK
@@ -140,10 +162,11 @@ def setup_pack_kernel(tri_corner, mrowsT, visf, view_projection,
             a = jnp.pad(a, ((0, 0), (0, t_pad - t)))
         return a.reshape(a.shape[0], tb, _LANES)
 
-    params = jnp.concatenate([
-        jnp.asarray(view_projection, jnp.float32).reshape(16),
-        jnp.asarray(id_base, jnp.float32).reshape(1),
-    ])
+    if ids is None:
+        ids = (jnp.arange(t, dtype=jnp.float32)
+               + jnp.asarray(id_base, jnp.float32))[None]
+
+    params = jnp.asarray(view_projection, jnp.float32).reshape(16)
 
     grid = (t_pad // _BLOCK,)
 
@@ -157,7 +180,7 @@ def setup_pack_kernel(tri_corner, mrowsT, visf, view_projection,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[spec(36), spec(16), spec(1)],
+            in_specs=[spec(36), spec(16), spec(1), spec(1)],
             out_specs=[spec(rows) for rows in _SPLITS],
         ),
         out_shape=[
@@ -165,10 +188,11 @@ def setup_pack_kernel(tri_corner, mrowsT, visf, view_projection,
             for rows in _SPLITS
         ],
         interpret=interpret,
-    )(params, prep(tri_corner), prep(mrowsT), prep(visf))
+    )(params, prep(tri_corner), prep(mrowsT), prep(visf), prep(ids))
 
+    keep = t_pad if keep_pad else t
     td, br, e9, a2, vf = (
-        o.reshape(o.shape[0], t_pad)[:, :t] for o in outs
+        o.reshape(o.shape[0], t_pad)[:, :keep] for o in outs
     )
     return dict(tri_data=td, bbox_rows=br, edge9=e9, anchor2=a2,
                 valid=vf[0] > 0.5)
