@@ -869,3 +869,21 @@ def test_raster_prestream_bit_identical(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(pre(scene, vp3, camera3.position)),
         np.asarray(cls(scene, vp3, camera3.position)))
+
+    # SCENE SWAP (animation: a rebuilt node_local array) must invalidate
+    # the cached permuted-input state even with the camera unmoved — a
+    # stale stream would rasterize the OLD instance matrices
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    shift = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.4)
+    node_local2 = scene.node_local.at[1].set(shift @ scene.node_local[1])
+    scene2 = _dc.replace(scene, node_local=node_local2)
+    state4 = pre._maybe_restream(
+        scene2, pre._prepare(scene2, vp3, camera3.position)[0], vp3)
+    assert any(a is not b for a, b in zip(state3, state4)), (
+        "scene swap must refresh the stream cache")
+    np.testing.assert_array_equal(
+        np.asarray(pre(scene2, vp3, camera3.position)),
+        np.asarray(cls(scene2, vp3, camera3.position)))
